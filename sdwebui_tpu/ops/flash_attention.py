@@ -1,0 +1,135 @@
+"""Pallas TPU FlashAttention — the cross-attention kernel of the framework.
+
+TPU-native replacement for the reference's pluggable CUDA attention backends
+(xformers / torch SDPA / Doggettx / sub-quadratic chunking,
+modules/sd_hijack_optimizations.py, modules/sub_quadratic_attention.py —
+see SURVEY.md §2.7).  Those are all ways of never materializing the
+(Sq, Skv) score matrix in slow memory; blockwise online softmax is the same
+math done once, properly, on the MXU:
+
+- grid (batch*heads, q_blocks, kv_blocks); kv is the innermost sequential
+  dimension so Pallas double-buffers the K/V block DMAs against compute
+- fp32 running max / denominator / accumulator in VMEM scratch
+- bf16 matmuls on the MXU with fp32 accumulation
+  (`preferred_element_type`)
+- head_dim and sequence lengths are zero-padded to lane/block multiples
+  outside the kernel; kv padding is masked with -inf inside
+
+Shapes are static under jit, so block geometry is chosen per-compile from
+the real (Sq, Skv, D) — UNet self-attention (S up to 16k, D 40..160),
+cross-attention (Skv = 77·chunks), and the VAE's single-head S=4096/D=512
+mid-block attention all map onto the same kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30  # large-but-finite: keeps fully-masked rows NaN-free
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+            *, scale: float, kv_len: int, block_kv: int, num_kv_blocks: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (Bq, Dp)
+    k = k_ref[0]  # (Bk, Dp)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale  # (Bq, Bk) fp32
+
+    if kv_len % block_kv != 0:  # static: mask only if padding exists
+        col = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]                       # (Bq, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                      # (Bq, Bk) fp32
+
+    l_scr[:, :1] = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:, :1] = m_new
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _finish():
+        denom = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    scale: float | None = None,
+                    block_q: int = 1024, block_kv: int = 1024,
+                    interpret: bool = False) -> jax.Array:
+    """Softmax(q kᵀ · scale) v over (BH, S, D) tensors.
+
+    q: (BH, Sq, D); k, v: (BH, Skv, D).  Returns (BH, Sq, D) in q's dtype.
+    """
+    bh, sq, d = q.shape
+    _, skv, _ = k.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    dp = _round_up(d, 128)
+    bq = min(block_q, _round_up(sq, 16))
+    bk = min(block_kv, _round_up(skv, 16))
+    sq_p = _round_up(sq, bq)
+    skv_p = _round_up(skv, bk)
+
+    qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, dp - d)))
+    kp = jnp.pad(k, ((0, 0), (0, skv_p - skv), (0, dp - d)))
+    vp = jnp.pad(v, ((0, 0), (0, skv_p - skv), (0, dp - d)))
+
+    nq = sq_p // bq
+    nk = skv_p // bk
+
+    kernel = functools.partial(
+        _kernel, scale=scale, kv_len=skv, block_kv=bk, num_kv_blocks=nk)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),   # running max (col 0 used)
+            pltpu.VMEM((bq, 128), jnp.float32),   # running denominator
+            pltpu.VMEM((bq, dp), jnp.float32),    # output accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_p * skv_p * dp,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=bh * sq_p * skv_p,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    return out[:, :sq, :d]

@@ -1,0 +1,112 @@
+"""Per-kernel unit tests vs jnp references (SURVEY.md §4 'implication')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdwebui_tpu.ops.attention import xla_attention
+from sdwebui_tpu.ops.flash_attention import flash_attention
+from sdwebui_tpu.ops.norms import group_norm, layer_norm
+from sdwebui_tpu.ops import attention
+
+
+def _ref_attention(q, k, v):
+    d = q.shape[-1]
+    s = np.einsum("bqd,bkd->bqk", q, k) / np.sqrt(d)
+    s = s - s.max(axis=-1, keepdims=True)
+    p = np.exp(s)
+    p = p / p.sum(axis=-1, keepdims=True)
+    return np.einsum("bqk,bkd->bqd", p, v)
+
+
+@pytest.mark.parametrize("bh,sq,skv,d", [
+    (2, 64, 64, 40),     # SD1.5 self-attn head geometry (tiny seq)
+    (2, 64, 77, 40),     # cross-attn with 77-token conds (kv padding mask)
+    (1, 128, 128, 512),  # VAE mid-block single head
+    (3, 100, 33, 64),    # ragged: q pad + kv pad
+])
+def test_flash_matches_reference(bh, sq, skv, d):
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((bh, sq, d), dtype=np.float32)
+    k = rng.standard_normal((bh, skv, d), dtype=np.float32)
+    v = rng.standard_normal((bh, skv, d), dtype=np.float32)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          block_q=64, block_kv=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), _ref_attention(q, k, v),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bf16():
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((2, 64, 40), dtype=np.float32)
+    k = rng.standard_normal((2, 77, 40), dtype=np.float32)
+    v = rng.standard_normal((2, 77, 40), dtype=np.float32)
+    out = flash_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), block_q=64, block_kv=64, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               _ref_attention(q, k, v), rtol=0.1, atol=0.1)
+
+
+def test_xla_attention_matches_reference():
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((2, 50, 32), dtype=np.float32)
+    k = rng.standard_normal((2, 30, 32), dtype=np.float32)
+    v = rng.standard_normal((2, 30, 32), dtype=np.float32)
+    out = xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), _ref_attention(q, k, v),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_multihead_dispatch_split_merge():
+    """(B,S,H*D) head split/merge wrapper equals per-head reference."""
+    rng = np.random.default_rng(3)
+    b, s, h, d = 2, 16, 4, 8
+    q = rng.standard_normal((b, s, h * d), dtype=np.float32)
+    k = rng.standard_normal((b, s, h * d), dtype=np.float32)
+    v = rng.standard_normal((b, s, h * d), dtype=np.float32)
+    out = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), num_heads=h)
+    qh = q.reshape(b, s, h, d).transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    kh = k.reshape(b, s, h, d).transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    vh = v.reshape(b, s, h, d).transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    ref = _ref_attention(qh, kh, vh).reshape(b, h, s, d).transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_group_norm_matches_torch_formula():
+    import torch
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 8, 8, 32), dtype=np.float32)  # NHWC
+    w = rng.standard_normal(32).astype(np.float32)
+    b = rng.standard_normal(32).astype(np.float32)
+    out = group_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), num_groups=4)
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW for torch
+    tref = torch.nn.functional.group_norm(
+        tx, 4, torch.from_numpy(w), torch.from_numpy(b)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), tref, rtol=1e-4, atol=1e-4)
+
+
+def test_group_norm_silu():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 4, 4, 8), dtype=np.float32)
+    w = np.ones(8, np.float32)
+    b = np.zeros(8, np.float32)
+    plain = np.asarray(group_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), num_groups=2))
+    fused = np.asarray(group_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), num_groups=2, silu=True))
+    np.testing.assert_allclose(fused, plain / (1 + np.exp(-plain)), rtol=1e-5, atol=1e-5)
+
+
+def test_layer_norm_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 7, 16), dtype=np.float32)
+    w = rng.standard_normal(16).astype(np.float32)
+    b = rng.standard_normal(16).astype(np.float32)
+    out = layer_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    ref = torch.nn.functional.layer_norm(
+        torch.from_numpy(x), (16,), torch.from_numpy(w), torch.from_numpy(b)).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
