@@ -1,0 +1,85 @@
+"""Primitive layer applications over ldm-shaped param subtrees.
+
+Every function takes a param dict whose keys mirror the torch state-dict
+entry names (``{"weight": ..., "bias": ...}``) with arrays already converted
+to JAX layout by loader/convert.py:
+
+    conv weight   (O,I,kh,kw) → (kh,kw,I,O)   NHWC / HWIO
+    linear weight (O,I)       → (I,O)
+
+so model code is a direct functional readout of the checkpoint structure —
+no module classes, no name-mapping tables (design stance: SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdwebui_tpu.ops.norms import group_norm, layer_norm  # noqa: F401 (re-export)
+
+_CONV_DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(p, x, stride: int = 1, padding: int = 1):
+    w = p["weight"]
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=_CONV_DIMSPEC,
+    )
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def linear(p, x):
+    out = x @ p["weight"].astype(x.dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def group_norm_p(p, x, num_groups: int = 32, silu: bool = False, eps: float = 1e-5):
+    return group_norm(x, p["weight"], p["bias"], num_groups=num_groups,
+                      eps=eps, silu=silu)
+
+
+def layer_norm_p(p, x, eps: float = 1e-5):
+    return layer_norm(x, p.get("weight"), p.get("bias"), eps=eps)
+
+
+def embedding(p, ids):
+    return jnp.take(p["weight"], ids, axis=0)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def timestep_embedding(timesteps, dim: int, max_period: int = 10000):
+    """ldm sinusoidal embedding: cat([cos, sin]) over log-spaced freqs.
+
+    fp32 island — runs once per step, feeds the time MLP.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -np.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def upsample_nearest_2x(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)

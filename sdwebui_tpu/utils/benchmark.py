@@ -47,7 +47,7 @@ def time_op(fn: Callable, *args, iters: int = 20, repeats: int = 5,
     from args[0], it is reduced to a scalar and re-broadcast so the loop
     has a data dependency XLA can't elide.
     """
-    args = tuple(jnp.asarray(a) for a in args)
+    args = tuple(jax.tree_util.tree_map(jnp.asarray, a) for a in args)
     out_shape = jax.eval_shape(fn, *args)
     chainable = (
         not isinstance(out_shape, (tuple, list, dict))
