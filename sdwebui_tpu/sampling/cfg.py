@@ -1,0 +1,123 @@
+"""Classifier-free-guidance denoiser — the per-step hot loop.
+
+TPU redesign of the reference's `CFGDenoiser.forward`
+(modules/sd_samplers_cfg_denoiser.py:156): prompt-edit schedules become
+pre-gathered cond banks indexed per step (`reconstruct_cond_batch` → a
+device gather), cond+uncond ride one batched UNet call, AND-composition
+weights and skip-uncond (NGMS) are applied in the combine — all pure and
+scan-safe.
+
+Cond layout (per run, static shapes):
+    cond_bank   (K, n_sched, S, D)  K composable prompts (AND), each with a
+                                    prompt-edit schedule bank
+    cond_idx    (K, n_steps)        which schedule entry each step uses
+    cond_weights(K,)                AND weights (parsed from ``prompt :w``)
+    uncond_bank (n_sched_u, S, D) + uncond_idx (n_steps,)
+Batched images share conds (the reference's per-batch cond path); x is
+(B,H,W,C) and the UNet call carries B*(K+1) items.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class CondSchedule:
+    """Device-ready conditioning for one sampling run."""
+
+    cond_bank: Any          # (K, n_sched, S, D)
+    cond_idx: Any           # (K, n_steps) int32
+    cond_weights: Any       # (K,) float32
+    uncond_bank: Any        # (n_sched_u, S, D)
+    uncond_idx: Any         # (n_steps,) int32
+    cond_scale: float = 7.5
+    # NGMS: per-step bool, True = uncond contribution skipped this step
+    skip_uncond: Any = None          # (n_steps,) bool or None
+    # SDXL vector conds
+    vector_cond: Any = None          # (D_adm,)
+    vector_uncond: Any = None        # (D_adm,)
+    # inpainting-model image conditioning, concatenated on channels
+    c_concat: Any = None             # (B,H,W,Cc)
+
+    @staticmethod
+    def simple(cond, uncond, cond_scale=7.5, n_steps=1, **kw):
+        """Single prompt, no scheduling: cond/uncond (S, D) or (1, S, D)."""
+        cond = jnp.asarray(cond)
+        uncond = jnp.asarray(uncond)
+        if cond.ndim == 2:
+            cond = cond[None]
+        if uncond.ndim == 2:
+            uncond = uncond[None]
+        return CondSchedule(
+            cond_bank=cond[None],                      # (1,1,S,D)
+            cond_idx=jnp.zeros((1, n_steps), jnp.int32),
+            cond_weights=jnp.ones((1,), jnp.float32),
+            uncond_bank=uncond,
+            uncond_idx=jnp.zeros((n_steps,), jnp.int32),
+            cond_scale=cond_scale, **kw)
+
+
+def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
+                      mask=None, nmask=None, init_latent=None) -> Callable:
+    """Build model(x, sigma, i) -> denoised for the solver loop.
+
+    denoise_fn(x, sigma, context, y, c_concat) -> denoised, where x is
+    (N,H,W,C) and sigma a scalar (the denoise scaling already applied inside
+    — see pipeline.denoiser).  mask/nmask/init_latent implement the
+    reference's pre-denoise latent mask blend
+    (sd_samplers_cfg_denoiser.py:174-187).
+    """
+    k = sched.cond_bank.shape[0]
+
+    def model(x, sigma, i):
+        if mask is not None:
+            x = init_latent * mask + nmask * x
+        b = x.shape[0]
+
+        # gather this step's conds: (K, S, D) + (S, D)
+        conds = jnp.take_along_axis(
+            sched.cond_bank, sched.cond_idx[:, i][:, None, None, None], axis=1)[:, 0]
+        uncond = sched.uncond_bank[sched.uncond_idx[i]]
+
+        # context: K cond copies per image then uncond — (B*(K+1), S, D)
+        ctx = jnp.concatenate([conds, uncond[None]], axis=0)       # (K+1,S,D)
+        ctx = jnp.repeat(ctx, b, axis=0)                           # (B*(K+1),S,D)
+        x_in = jnp.tile(x, (k + 1, 1, 1, 1))
+        sigma_in = jnp.broadcast_to(sigma, (x_in.shape[0],))
+
+        y = None
+        if sched.vector_cond is not None:
+            y = jnp.concatenate([
+                jnp.tile(sched.vector_cond[None], (b * k, 1)),
+                jnp.tile(sched.vector_uncond[None], (b, 1))], axis=0)
+
+        c_concat = None
+        if sched.c_concat is not None:
+            c_concat = jnp.tile(sched.c_concat, (k + 1, 1, 1, 1))
+
+        out = denoise_fn(x_in, sigma_in, ctx, y, c_concat)
+        out = out.reshape(k + 1, b, *out.shape[1:])
+        out_conds, out_uncond = out[:k], out[k]
+
+        # reference combine_denoised (sd_samplers_cfg_denoiser.py:74):
+        # uncond + Σ_k w_k * scale * (cond_k - uncond)
+        w = sched.cond_weights.astype(out.dtype)[:, None, None, None, None]
+        cfg = out_uncond + jnp.sum(
+            w * (out_conds - out_uncond[None]), axis=0) * sched.cond_scale
+
+        if sched.skip_uncond is not None:
+            # NGMS semantics: the skipped-uncond step returns the weighted
+            # cond mean (reference builds x_out without uncond and combines
+            # against itself → guidance term vanishes)
+            wsum = jnp.sum(sched.cond_weights)
+            cond_mean = jnp.sum(w * out_conds, axis=0) / wsum.astype(out.dtype)
+            cfg = jnp.where(sched.skip_uncond[i], cond_mean, cfg)
+
+        return cfg
+
+    return model

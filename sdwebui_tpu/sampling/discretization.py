@@ -1,0 +1,94 @@
+"""Noise-schedule discretization: alphas_cumprod ↔ sigma tables.
+
+Host-side fp64 numpy (fp32 islands rule: schedule math never runs in bf16 —
+SURVEY.md §2.7).  Replicates the behaviour of k-diffusion's
+``DiscreteSchedule``/``DiscreteEpsDDPMDenoiser`` (the reference wraps ldm
+models with these; modules/sd_samplers_kdiffusion.py:56) and ldm's
+``register_schedule`` beta schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def make_alphas_cumprod(linear_start: float = 0.00085, linear_end: float = 0.0120,
+                        timesteps: int = 1000) -> np.ndarray:
+    """ldm 'linear' schedule: betas linear in sqrt-space."""
+    betas = np.linspace(linear_start ** 0.5, linear_end ** 0.5, timesteps,
+                        dtype=np.float64) ** 2
+    return np.cumprod(1.0 - betas, axis=0)
+
+
+@dataclasses.dataclass
+class Discretization:
+    """sigma table + parameterization for one trained diffusion model.
+
+    prediction_type: 'eps' (SD1.x/SDXL) or 'v' (SD2.x 768-v).
+    quantize: round sigma→t to integers before the model sees them
+    (k-diffusion `quantize=True`, the behaviour webui uses for checkpoints).
+    """
+
+    alphas_cumprod: np.ndarray
+    prediction_type: str = "eps"
+    quantize: bool = True
+
+    def __post_init__(self):
+        ac = np.asarray(self.alphas_cumprod, dtype=np.float64)
+        self.sigmas = np.sqrt((1.0 - ac) / ac)  # (T,)
+        self.log_sigmas = np.log(self.sigmas)
+
+    # ---- sigma <-> t ---------------------------------------------------
+
+    @property
+    def sigma_min(self) -> float:
+        return float(self.sigmas[0])
+
+    @property
+    def sigma_max(self) -> float:
+        return float(self.sigmas[-1])
+
+    def sigma_to_t(self, sigma, do_quantize: bool | None = None):
+        """Continuous (interpolated) or quantized timestep for sigma."""
+        sigma = np.asarray(sigma, dtype=np.float64)
+        log_sigma = np.log(sigma)
+        dists = log_sigma[..., None] - self.log_sigmas[None, :]
+        if do_quantize if do_quantize is not None else self.quantize:
+            return np.abs(dists).argmin(axis=-1).astype(np.float64)
+        low_idx = np.clip((dists >= 0).cumsum(axis=-1).argmax(axis=-1),
+                          0, len(self.sigmas) - 2)
+        high_idx = low_idx + 1
+        low = self.log_sigmas[low_idx]
+        high = self.log_sigmas[high_idx]
+        w = np.clip((low - log_sigma) / (low - high), 0, 1)
+        return (1 - w) * low_idx + w * high_idx
+
+    def t_to_sigma(self, t):
+        t = np.asarray(t, dtype=np.float64)
+        low_idx = np.floor(t).astype(int)
+        high_idx = np.ceil(t).astype(int)
+        w = t - low_idx
+        return np.exp((1 - w) * self.log_sigmas[low_idx] + w * self.log_sigmas[high_idx])
+
+    def get_sigmas(self, n: int) -> np.ndarray:
+        """k-diffusion default ('Automatic'/'Uniform') schedule: n sigmas
+        log-interpolated over the full trained range + terminal 0."""
+        t = np.linspace(len(self.sigmas) - 1, 0, n)
+        return np.append(self.t_to_sigma(t), 0.0).astype(np.float64)
+
+    # ---- model-call scalings (used inside jit; pure formulas) ----------
+
+    def scalings(self, sigma):
+        """Returns (c_in, c_out, c_skip) such that
+        denoised = c_skip*x + c_out*model(c_in*x, t)."""
+        if self.prediction_type == "eps":
+            c_in = 1.0 / (sigma ** 2 + 1.0) ** 0.5
+            return c_in, -sigma, 1.0
+        elif self.prediction_type == "v":
+            c_in = 1.0 / (sigma ** 2 + 1.0) ** 0.5
+            c_out = -sigma / (sigma ** 2 + 1.0) ** 0.5
+            c_skip = 1.0 / (sigma ** 2 + 1.0)
+            return c_in, c_out, c_skip
+        raise ValueError(self.prediction_type)

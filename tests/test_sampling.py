@@ -1,0 +1,225 @@
+"""Sampler/scheduler math tests — analytic validations (the reference has
+none; SURVEY.md §4 'add what the reference lacks')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdwebui_tpu.sampling import (
+    Discretization, SCHEDULERS, SOLVERS, get_schedule, make_alphas_cumprod,
+)
+from sdwebui_tpu.sampling.cfg import CondSchedule, make_cfg_denoiser
+from sdwebui_tpu.sampling.sampler import sample
+from sdwebui_tpu.sampling.solvers import lms_coefficients
+from sdwebui_tpu.sampling.registry import get_sampler, visible_sampler_names
+
+DISC = Discretization(make_alphas_cumprod())
+
+
+# --------------------------------------------------------------------------
+# discretization
+# --------------------------------------------------------------------------
+
+def test_sigma_range_matches_sd15():
+    # SD1.5 trained range (k-diffusion wrapping of ldm alphas)
+    assert DISC.sigma_min == pytest.approx(0.0292, abs=1e-3)
+    assert DISC.sigma_max == pytest.approx(14.615, abs=1e-2)
+
+
+def test_sigma_t_roundtrip():
+    ts = np.array([0.0, 100.5, 500.0, 999.0])
+    sig = DISC.t_to_sigma(ts)
+    back = DISC.sigma_to_t(sig, do_quantize=False)
+    np.testing.assert_allclose(back, ts, atol=1e-6)
+
+
+def test_quantized_t_integer():
+    t = DISC.sigma_to_t(np.array([1.0, 5.0]))
+    assert np.all(t == np.round(t))
+
+
+def test_v_prediction_scalings():
+    d = Discretization(make_alphas_cumprod(), prediction_type="v")
+    c_in, c_out, c_skip = d.scalings(2.0)
+    assert c_in == pytest.approx(1 / np.sqrt(5))
+    assert c_out == pytest.approx(-2 / np.sqrt(5))
+    assert c_skip == pytest.approx(1 / 5)
+
+
+# --------------------------------------------------------------------------
+# schedulers
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", list(SCHEDULERS))
+def test_schedules_monotone_and_terminated(name):
+    s = get_schedule(name, 12, DISC)
+    # the reference ddim scheduler's integer stride can overshoot by one step
+    # (modules/sd_schedulers.py:107-116)
+    assert s.shape == (13,) or (name == "ddim" and s.shape == (14,))
+    # kl_optimal is the one reference scheduler that terminates at σ_min
+    # instead of 0 (modules/sd_schedulers.py:73-78 appends no zero)
+    assert s[-1] == 0.0 or (name == "kl_optimal" and s[-1] == pytest.approx(DISC.sigma_min, rel=1e-6))
+    assert np.all(np.diff(s) < 1e-9), s  # strictly decreasing
+    assert s[0] <= DISC.sigma_max * 1.001
+
+
+def test_karras_endpoints():
+    s = get_schedule("karras", 10, DISC)
+    assert s[0] == pytest.approx(DISC.sigma_max, rel=1e-6)
+    assert s[-2] == pytest.approx(DISC.sigma_min, rel=1e-6)
+
+
+def test_ays_exact_table_at_10_steps():
+    s = get_schedule("align_your_steps", 10, DISC)
+    assert s[0] == pytest.approx(14.615, abs=1e-4)
+
+
+def test_kl_optimal_formula():
+    s = get_schedule("kl_optimal", 4, DISC)
+    expected0 = np.tan(np.arctan(DISC.sigma_max))
+    assert s[0] == pytest.approx(expected0, rel=1e-6)
+
+
+# --------------------------------------------------------------------------
+# solvers — analytic checks
+# --------------------------------------------------------------------------
+
+SIGMAS = get_schedule("karras", 8, DISC)
+
+
+def _run(solver, model, x0, sigmas=SIGMAS, mode="scan", seed=0):
+    spec = SOLVERS[solver]
+    n = len(sigmas) - 1
+    rng = np.random.default_rng(seed)
+    noise = jnp.asarray(rng.standard_normal(
+        (n, max(spec.noises_per_step, 1), *x0.shape)), jnp.float32)
+    return sample(model, x0, sigmas, solver=solver, noise=noise, mode=mode)
+
+
+@pytest.mark.parametrize("solver", list(SOLVERS))
+def test_perfect_denoiser_recovers_target(solver):
+    """With model(x,σ)=x_target, every solver must land exactly on x_target
+    (deterministic ones) or within noise-scale of it (ancestral/sde with the
+    final σ=0 step killing the noise)."""
+    target = jnp.full((1, 4, 4, 2), 3.25, jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 4, 2)),
+                    jnp.float32) * SIGMAS[0]
+    model = lambda xc, s, i: target
+    out = _run(solver, model, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
+
+
+@pytest.mark.parametrize("solver,tol", [
+    ("euler", 0.05), ("heun", 0.01), ("dpmpp_2m", 0.01), ("lms", 0.01),
+    ("dpm_2", 0.01),
+])
+def test_linear_model_ode_accuracy(solver, tol):
+    """denoised = a·x ⇒ exact ODE solution x(σ) = x₀·(σ/σ₀)^(1-a).
+
+    Integrate to a small positive σ_end (avoid the singular σ→0 limit) and
+    compare; higher-order solvers must hit a tighter tolerance.
+    """
+    a = 0.5
+    sig = np.concatenate([np.geomspace(10.0, 0.5, 40), [0.4]])
+    x0 = jnp.full((1, 2, 2, 1), 1.7, jnp.float32)
+    model = lambda xc, s, i: a * xc
+    out = _run(solver, model, x0, sigmas=jnp.asarray(sig, jnp.float32))
+    exact = 1.7 * (sig[-1] / sig[0]) ** (1 - a)
+    np.testing.assert_allclose(np.asarray(out).ravel()[0], exact, rtol=tol)
+
+
+def test_scan_vs_stepwise_identical():
+    a = 0.3
+    model = lambda xc, s, i: a * xc
+    x0 = jnp.full((1, 2, 2, 1), 1.0, jnp.float32)
+    o1 = _run("dpmpp_2m", model, x0, mode="scan")
+    o2 = _run("dpmpp_2m", model, x0, mode="step")
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6)
+
+
+def test_ancestral_noise_changes_output_deterministically():
+    model = lambda xc, s, i: 0.5 * xc
+    x0 = jnp.full((1, 2, 2, 1), 1.0, jnp.float32)
+    o1 = _run("euler_ancestral", model, x0, seed=1)
+    o2 = _run("euler_ancestral", model, x0, seed=1)
+    o3 = _run("euler_ancestral", model, x0, seed=2)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+
+
+def test_lms_order1_coefficient_is_dt():
+    sig = np.array([10.0, 5.0, 2.0, 0.0])
+    c = lms_coefficients(sig, order=4)
+    assert c[0, 0] == pytest.approx(sig[1] - sig[0], rel=1e-6)
+    assert np.all(c[0, 1:] == 0)
+
+
+# --------------------------------------------------------------------------
+# CFG
+# --------------------------------------------------------------------------
+
+def test_cfg_combine_matches_formula():
+    """denoised = uncond + Σ w_k·scale·(cond_k − uncond), with the context
+    row driving a distinguishable output."""
+    def denoise_fn(x, sigma, ctx, y, c_concat):
+        # output = mean of context per item, broadcast over the latent
+        m = jnp.mean(ctx, axis=(1, 2))
+        return jnp.ones_like(x) * m[:, None, None, None]
+
+    cond1 = np.full((7, 3), 2.0, np.float32)
+    cond2 = np.full((7, 3), 5.0, np.float32)
+    uncond = np.full((7, 3), 1.0, np.float32)
+    sched = CondSchedule(
+        cond_bank=jnp.asarray(np.stack([cond1, cond2])[:, None]),
+        cond_idx=jnp.zeros((2, 4), jnp.int32),
+        cond_weights=jnp.asarray([1.0, 0.5]),
+        uncond_bank=jnp.asarray(uncond[None]),
+        uncond_idx=jnp.zeros((4,), jnp.int32),
+        cond_scale=3.0)
+    model = make_cfg_denoiser(denoise_fn, sched)
+    out = model(jnp.zeros((2, 4, 4, 3)), jnp.asarray(1.0), 0)
+    expect = 1.0 + (1.0 * (2 - 1) + 0.5 * (5 - 1)) * 3.0
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+
+
+def test_cfg_skip_uncond_returns_cond_mean():
+    def denoise_fn(x, sigma, ctx, y, c_concat):
+        m = jnp.mean(ctx, axis=(1, 2))
+        return jnp.ones_like(x) * m[:, None, None, None]
+
+    sched = CondSchedule.simple(
+        np.full((7, 3), 2.0, np.float32), np.full((7, 3), 1.0, np.float32),
+        cond_scale=7.0, n_steps=2)
+    sched.skip_uncond = jnp.asarray([False, True])
+    model = make_cfg_denoiser(denoise_fn, sched)
+    o0 = model(jnp.zeros((1, 2, 2, 3)), jnp.asarray(1.0), 0)
+    o1 = model(jnp.zeros((1, 2, 2, 3)), jnp.asarray(1.0), 1)
+    np.testing.assert_allclose(np.asarray(o0), 1 + 7.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1), 2.0, rtol=1e-5)
+
+
+def test_cfg_mask_blend():
+    def denoise_fn(x, sigma, ctx, y, c_concat):
+        return x  # identity: output = (blended) input
+
+    sched = CondSchedule.simple(np.zeros((7, 3), np.float32),
+                                np.zeros((7, 3), np.float32), cond_scale=1.0)
+    mask = jnp.zeros((1, 2, 2, 1)).at[0, 0].set(1.0)
+    init = jnp.full((1, 2, 2, 3), 9.0)
+    model = make_cfg_denoiser(denoise_fn, sched, mask=mask, nmask=1 - mask,
+                              init_latent=init)
+    out = model(jnp.full((1, 2, 2, 3), 4.0), jnp.asarray(1.0), 0)
+    np.testing.assert_allclose(np.asarray(out)[0, 0], 9.0)
+    np.testing.assert_allclose(np.asarray(out)[0, 1], 4.0)
+
+
+def test_sampler_registry_names():
+    names = visible_sampler_names()
+    for expected in ["Euler a", "Euler", "LMS", "Heun", "DPM++ 2M",
+                     "DPM++ 2M SDE", "DPM++ 3M SDE", "DPM++ SDE", "LCM"]:
+        assert expected in names
+    assert get_sampler("k_euler_a").name == "Euler a"
+    assert get_sampler("DPM++ 2M SDE Heun").extra == (("solver_type", "heun"),)
+    with pytest.raises(ValueError):
+        get_sampler("nonexistent")
