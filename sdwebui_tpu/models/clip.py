@@ -46,7 +46,7 @@ def _self_attn(p, x, heads, causal_mask):
 
 
 def encode(params, cfg: CLIPTextConfig, tokens, stop_at_layer: int = 0,
-           apply_final_norm: bool = True):
+           apply_final_norm: bool = True, inputs_embeds=None):
     """tokens (B, S) int32 → (hidden (B,S,width), pooled (B,width)|None).
 
     stop_at_layer: 0 = run all layers (clip_skip=1); n>0 = stop n layers
@@ -58,7 +58,7 @@ def encode(params, cfg: CLIPTextConfig, tokens, stop_at_layer: int = 0,
     endoftext), the standard CLIP pooling rule.
     """
     emb = params["embeddings"]
-    x = embedding(emb["token_embedding"], tokens)
+    x = embedding(emb["token_embedding"], tokens) if inputs_embeds is None else inputs_embeds
     pos = emb["position_embedding"]["weight"][: tokens.shape[1]]
     x = x + pos.astype(x.dtype)
 
@@ -89,6 +89,29 @@ def encode(params, cfg: CLIPTextConfig, tokens, stop_at_layer: int = 0,
     if "text_projection" in params:
         pooled = linear(params["text_projection"], pooled)
     return hidden, pooled
+
+
+def encode_with_fixes(params, cfg: CLIPTextConfig, tokens, fixes_per_item,
+                      stop_at_layer: int = 0, apply_final_norm: bool = True):
+    """`encode` with textual-inversion embedding rows spliced in after token
+    embedding (the reference's EmbeddingsWithFixes, modules/sd_hijack.py:340).
+
+    fixes_per_item: per batch row, list of (chunk_position, embedding) where
+    embedding has `.vectors` (row count) and `.vec` (vectors, width) data;
+    chunk_position is 0-based within the 75-token payload (BOS offset +1
+    applied here).
+    """
+    if not any(fixes_per_item or []):
+        return encode(params, cfg, tokens, stop_at_layer, apply_final_norm)
+
+    emb_table = params["embeddings"]["token_embedding"]["weight"]
+    x = jnp.take(emb_table, tokens, axis=0)
+    for i, fixes in enumerate(fixes_per_item):
+        for pos, emb in fixes or []:
+            vec = jnp.asarray(emb.vec)[:, : x.shape[-1]].astype(x.dtype)
+            x = x.at[i, pos + 1: pos + 1 + emb.vectors].set(vec)
+    return encode(params, cfg, tokens, stop_at_layer, apply_final_norm,
+                  inputs_embeds=x)
 
 
 # --------------------------------------------------------------------------
