@@ -45,6 +45,10 @@ def _self_attn(p, x, heads, causal_mask):
     return linear(p["out_proj"], out)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "stop_at_layer", "apply_final_norm"))
 def encode(params, cfg: CLIPTextConfig, tokens, stop_at_layer: int = 0,
            apply_final_norm: bool = True, inputs_embeds=None):
     """tokens (B, S) int32 → (hidden (B,S,width), pooled (B,width)|None).

@@ -96,6 +96,22 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     dp = _round_up(d, 128)
     bq = min(block_q, _round_up(sq, 16))
     bk = min(block_kv, _round_up(skv, 16))
+    # shrink blocks until the VMEM working set fits (double-buffered input
+    # blocks + fp32 accumulator + score matrix); large-dp fp32 cases (VAE
+    # mid-attention at batch>1) exceed 16MB at the default 1024² blocks
+    itemsize = jnp.dtype(q.dtype).itemsize
+    def vmem_bytes(bq_, bk_):
+        return (2 * bq_ * dp * itemsize      # q double-buffered
+                + 2 * 2 * bk_ * dp * itemsize  # k, v double-buffered
+                + 2 * bq_ * dp * itemsize    # out
+                + bq_ * dp * 4               # fp32 accumulator
+                + 2 * bq_ * 128 * 4          # m, l scratch
+                + bq_ * bk_ * 4)             # score block
+    while vmem_bytes(bq, bk) > 13 * 1024 * 1024 and (bq > 256 or bk > 256):
+        if bk >= bq and bk > 256:
+            bk //= 2
+        else:
+            bq //= 2
     sq_p = _round_up(sq, bq)
     skv_p = _round_up(skv, bk)
 

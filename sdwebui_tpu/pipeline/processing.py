@@ -1,0 +1,231 @@
+"""Generation orchestrator — the reference's `process_images`
+(modules/processing.py:819) redesigned around compiled device programs.
+
+Host side: seeds, prompt schedules, infotext, PIL.  Device side: ONE fused
+jit per (shape, steps, solver) signature covering the entire sampling loop
+(CFG batching + UNet + solver scan) — no host↔device crossings between
+steps — plus a second jit for VAE decode.  Weight pytrees are jit arguments,
+so LoRA/checkpoint swaps never retrace.
+"""
+
+from __future__ import annotations
+
+import functools
+import random
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdwebui_tpu import __version__
+from sdwebui_tpu.models import unet as unet_model
+from sdwebui_tpu.models import vae as vae_model
+from sdwebui_tpu.pipeline.params import GenerationParams, Processed
+from sdwebui_tpu.pipeline.sd_model import SDModel
+from sdwebui_tpu.rng import ImageRNG
+from sdwebui_tpu.sampling.cfg import CondSchedule, make_cfg_denoiser
+from sdwebui_tpu.sampling.registry import get_sampler
+from sdwebui_tpu.sampling.sampler import prepare_noise, sample
+from sdwebui_tpu.sampling.schedulers import get_schedule
+from sdwebui_tpu.text.conditioner import build_cond_schedule
+from sdwebui_tpu.utils import images as images_util
+from sdwebui_tpu.utils import infotext as infotext_util
+
+MAX_SEED = 2 ** 32 - 1
+
+
+# ==========================================================================
+# fused device programs
+# ==========================================================================
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("solver", "unet_cfg", "prediction_type", "extra_items"))
+def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule,
+                  mask, nmask, init_latent, lms_coeffs,
+                  solver: str, unet_cfg, prediction_type: str, extra_items):
+    extra = dict(extra_items)
+    if lms_coeffs is not None:
+        extra["lms_coeffs"] = lms_coeffs
+
+    def denoise(xb, sigma, ctx, y=None, c_concat=None):
+        sigma = sigma.astype(jnp.float32)
+        t = jnp.argmin(
+            jnp.abs(jnp.log(jnp.maximum(sigma, 1e-12))[:, None] - log_sigmas[None, :]),
+            axis=-1).astype(jnp.float32)
+        c_in = (1.0 / jnp.sqrt(sigma ** 2 + 1.0))[:, None, None, None]
+        x_in = (xb * c_in).astype(jnp.bfloat16)
+        if c_concat is not None:
+            x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
+        out = unet_model.apply(unet_params, unet_cfg, x_in, t, ctx).astype(jnp.float32)
+        sig = sigma[:, None, None, None]
+        if prediction_type == "v":
+            return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
+        return xb - out * sig
+
+    model_fn = make_cfg_denoiser(denoise, sched, mask=mask, nmask=nmask,
+                                 init_latent=init_latent)
+    return sample(model_fn, x, sigmas, solver=solver, noise=noise, extra=extra,
+                  mode="scan")
+
+
+@functools.partial(jax.jit, static_argnames=("vae_cfg",))
+def _decode_fused(vae_params, vae_cfg, latents):
+    img = vae_model.decode(vae_params, vae_cfg, latents.astype(jnp.float32))
+    return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("vae_cfg",))
+def _encode_fused(vae_params, vae_cfg, images):
+    x = images.astype(jnp.float32) * 2.0 - 1.0
+    m = vae_model.encode_moments(vae_params, vae_cfg, x)
+    return vae_model.encode_mode(m, vae_cfg)
+
+
+def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
+                   solver: str, extra: dict | None = None,
+                   mask=None, nmask=None, init_latent=None):
+    extra_items = tuple(sorted((extra or {}).items()))
+    lms_coeffs = None
+    if solver == "lms":
+        from sdwebui_tpu.sampling.solvers import lms_coefficients
+
+        lms_coeffs = jnp.asarray(
+            lms_coefficients(np.asarray(sigmas, np.float64)), jnp.float32)
+    return _sample_fused(
+        model.unet_params, jnp.asarray(model.disc.log_sigmas, jnp.float32),
+        x, jnp.asarray(np.asarray(sigmas), jnp.float32), noise, sched,
+        mask, nmask, init_latent, lms_coeffs,
+        solver, model.unet_cfg, model.disc.prediction_type, extra_items)
+
+
+def decode_first_stage(model: SDModel, latents):
+    return _decode_fused(model.vae_params, model.vae_cfg, latents)
+
+
+def encode_first_stage(model: SDModel, images):
+    return _encode_fused(model.vae_params, model.vae_cfg, images)
+
+
+# ==========================================================================
+# orchestration
+# ==========================================================================
+
+def _resolve_seeds(p: GenerationParams):
+    if p.seed in (-1, None):
+        p.seed = random.randrange(MAX_SEED)
+    if p.subseed in (-1, None):
+        p.subseed = random.randrange(MAX_SEED)
+    n = p.batch_size * p.n_iter
+    p.all_seeds = [int(p.seed) + (i if p.subseed_strength == 0 else 0) for i in range(n)]
+    p.all_subseeds = [int(p.subseed) + i for i in range(n)]
+    p.all_prompts = [p.prompt] * n
+    p.all_negative_prompts = [p.negative_prompt] * n
+
+
+def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
+                    extra: dict | None = None) -> str:
+    pairs = {
+        "Steps": p.steps,
+        "Sampler": p.sampler_name,
+        "Schedule type": p.scheduler if p.scheduler != "Automatic" else None,
+        "CFG scale": p.cfg_scale,
+        "Seed": p.all_seeds[index] if p.all_seeds else p.seed,
+        "Size": f"{p.width}x{p.height}",
+        "Model hash": model.sha256[:10] if model.sha256 else None,
+        "Model": model.title.split(" [")[0] if model.title else None,
+        "Denoising strength": p.denoising_strength,
+        "Clip skip": p.clip_skip if p.clip_skip > 1 else None,
+        "Version": f"sdwebui-tpu-{__version__}",
+    }
+    if p.subseed_strength > 0:
+        pairs["Variation seed"] = p.all_subseeds[index] if p.all_subseeds else p.subseed
+        pairs["Variation seed strength"] = p.subseed_strength
+    pairs.update(extra or {})
+    return infotext_util.build(
+        p.all_prompts[index] if p.all_prompts else p.prompt,
+        p.all_negative_prompts[index] if p.all_negative_prompts else p.negative_prompt,
+        pairs)
+
+
+def _build_conds(model: SDModel, p: GenerationParams, steps: int,
+                 cfg_scale: float | None = None,
+                 prompt: str | None = None, negative: str | None = None):
+    model.conditioner.clip_skip = p.clip_skip
+    if model.conditioner2 is not None:
+        model.conditioner2.clip_skip = p.clip_skip
+    encode_fn = lambda texts: model.encode_texts(texts)
+    return build_cond_schedule(
+        encode_fn,
+        prompt if prompt is not None else p.prompt,
+        negative if negative is not None else p.negative_prompt,
+        steps, cond_scale=cfg_scale if cfg_scale is not None else p.cfg_scale)
+
+
+def _solver_extra(p: GenerationParams, sampler) -> dict:
+    extra = dict(sampler.extra)
+    if p.eta is not None and p.eta > 0:
+        extra["eta"] = float(p.eta)
+    if p.s_noise not in (None, 1.0):
+        extra["s_noise"] = float(p.s_noise)
+    return extra
+
+
+def process_txt2img(model: SDModel, p: GenerationParams,
+                    outdir: str | None = None,
+                    callback: Callable | None = None) -> Processed:
+    """txt2img batch loop (reference process_images_inner, trimmed to the
+    first-slice feature set: batching, seeds/subseeds, prompt schedules,
+    AND, all samplers/schedulers, infotext, saving)."""
+    _resolve_seeds(p)
+    sampler = get_sampler(p.sampler_name)
+    scheduler = sampler.scheduler_override or p.scheduler
+    h, w = p.latent_size()
+    c = model.latent_channels
+
+    sigmas = get_schedule(scheduler, p.steps, model.disc, is_sdxl=model.is_sdxl)
+    from sdwebui_tpu.sampling.solvers import SOLVERS
+
+    spec = SOLVERS[sampler.solver]
+
+    all_images = []
+    infotexts = []
+    for n in range(p.n_iter):
+        if callback is not None and callback("batch", n, None) is False:
+            break
+        lo = n * p.batch_size
+        seeds = p.all_seeds[lo: lo + p.batch_size]
+        subseeds = p.all_subseeds[lo: lo + p.batch_size]
+
+        sched = _build_conds(model, p, p.steps)
+
+        rng = ImageRNG((c, h, w), seeds, subseeds=subseeds,
+                       subseed_strength=p.subseed_strength,
+                       seed_resize_from_h=max(p.seed_resize_from_h, 0),
+                       seed_resize_from_w=max(p.seed_resize_from_w, 0),
+                       eta_noise_seed_delta=p.override_settings.get(
+                           "eta_noise_seed_delta", 0))
+        x = jnp.asarray(rng.first(), jnp.float32) * float(sigmas[0])
+        noise = prepare_noise(spec, len(sigmas) - 1, rng, (p.batch_size, h, w, c))
+
+        latents = sample_latents(model, sched, x, sigmas, noise,
+                                 sampler.solver, _solver_extra(p, sampler))
+        images = decode_first_stage(model, latents)
+        pils = images_util.tensor_to_pil(np.asarray(images))
+
+        for i, img in enumerate(pils):
+            info = create_infotext(p, model, lo + i)
+            infotexts.append(info)
+            if outdir and not p.do_not_save_samples:
+                images_util.save_image(img, outdir, seed=seeds[i],
+                                       prompt=p.all_prompts[lo + i], info=info)
+        all_images.extend(pils)
+        if callback is not None:
+            callback("batch_done", n, pils)
+
+    return Processed(
+        images=all_images, params=p, seed=p.all_seeds[0] if p.all_seeds else p.seed,
+        subseed=p.all_subseeds[0] if p.all_subseeds else p.subseed,
+        infotexts=infotexts, all_seeds=p.all_seeds, all_subseeds=p.all_subseeds,
+        all_prompts=p.all_prompts, width=p.width, height=p.height)

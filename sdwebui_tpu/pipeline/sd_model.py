@@ -1,0 +1,160 @@
+"""The loaded-model bundle: UNet + VAE + text encoder(s) + discretization.
+
+Replaces the reference's mutable `shared.sd_model` (a hijacked ldm object,
+modules/sd_models.py:676) with an explicit immutable bundle of param
+pytrees + configs.  "Hijacks" (LoRA, TI, optimizations) become functions
+over this bundle, never in-place patches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdwebui_tpu.models import clip as clip_model
+from sdwebui_tpu.models import unet as unet_model
+from sdwebui_tpu.models import vae as vae_model
+from sdwebui_tpu.models.configs import (
+    CLIP_L, CLIPTextConfig, SD15_UNET, SD_VAE, UNetConfig, VAEConfig,
+)
+from sdwebui_tpu.sampling.discretization import Discretization, make_alphas_cumprod
+from sdwebui_tpu.text.conditioner import TextConditioner
+from sdwebui_tpu.text.tokenizer import get_tokenizer
+
+
+@dataclasses.dataclass
+class SDModel:
+    kind: str                     # sd1 | sd2 | sdxl | sdxl-refiner
+    unet_params: Any
+    unet_cfg: UNetConfig
+    vae_params: Any
+    vae_cfg: VAEConfig
+    disc: Discretization
+    conditioner: TextConditioner          # primary text encoder
+    conditioner2: TextConditioner | None = None  # SDXL's OpenCLIP-bigG
+    title: str = "random-sd15"
+    sha256: str = ""
+
+    @property
+    def is_sdxl(self) -> bool:
+        return self.kind.startswith("sdxl")
+
+    @property
+    def latent_channels(self) -> int:
+        return self.vae_cfg.embed_dim
+
+    # ---- conditioning -------------------------------------------------
+
+    def encode_texts(self, texts, target_chunks=None):
+        """texts → (N, S, D) crossattn conds (+ pooled stored for SDXL)."""
+        if not self.is_sdxl:
+            cond, _ = self.conditioner.encode(texts, target_chunks=target_chunks)
+            return cond
+        # SDXL: CLIP-L (no final LN, penultimate) ⊕ bigG (penultimate),
+        # concatenated on the feature axis; pooled comes from bigG
+        c1, _ = self.conditioner.encode(texts, target_chunks=target_chunks)
+        c2, pooled = self.conditioner2.encode(texts, target_chunks=target_chunks)
+        self._last_pooled = pooled
+        return jnp.concatenate([c1, c2], axis=-1)
+
+    # ---- weight swap helpers ------------------------------------------
+
+    def with_unet_params(self, params) -> "SDModel":
+        return dataclasses.replace(self, unet_params=params)
+
+
+def make_denoise_fn(model: SDModel):
+    """Build denoise(x, sigma, ctx, y, c_concat) → denoised for the CFG
+    wrapper: k-diffusion CompVis(V)Denoiser scalings + quantized σ→t lookup
+    done on-device (the reference keeps sigmas on CPU and indexes per step;
+    here the whole table rides in the compiled program)."""
+    log_sigmas = jnp.asarray(model.disc.log_sigmas, jnp.float32)
+    prediction_type = model.disc.prediction_type
+    unet_cfg = model.unet_cfg
+    unet_params = model.unet_params
+
+    def denoise(x, sigma, ctx, y=None, c_concat=None):
+        sigma = sigma.astype(jnp.float32)
+        t = jnp.argmin(
+            jnp.abs(jnp.log(jnp.maximum(sigma, 1e-12))[:, None] - log_sigmas[None, :]),
+            axis=-1).astype(jnp.float32)
+        c_in = (1.0 / jnp.sqrt(sigma ** 2 + 1.0))[:, None, None, None]
+        x_in = (x * c_in).astype(jnp.bfloat16)
+        if c_concat is not None:
+            x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
+        out = unet_model.apply(unet_params, unet_cfg, x_in, t, ctx, y=y)
+        out = out.astype(jnp.float32)
+        sig = sigma[:, None, None, None]
+        if prediction_type == "v":
+            c_out = -sig / jnp.sqrt(sig ** 2 + 1.0)
+            c_skip = 1.0 / (sig ** 2 + 1.0)
+            return c_skip * x + c_out * out
+        return x - out * sig
+
+    return denoise
+
+
+def decode_latents(model: SDModel, latents):
+    """scaled latents (B,h,w,C) → images (B,H,W,3) float32 in [0,1]."""
+    z = latents.astype(jnp.float32)
+    img = vae_model.decode(model.vae_params, model.vae_cfg, z)
+    return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+
+def encode_images(model: SDModel, images, sample_noise=None):
+    """images (B,H,W,3) in [0,1] → scaled latents. Deterministic (mean) when
+    sample_noise is None — the reference img2img path."""
+    x = images.astype(jnp.float32) * 2.0 - 1.0
+    moments = vae_model.encode_moments(model.vae_params, model.vae_cfg, x)
+    if sample_noise is None:
+        return vae_model.encode_mode(moments, model.vae_cfg)
+    return vae_model.sample_latent(moments, sample_noise, model.vae_cfg)
+
+
+# --------------------------------------------------------------------------
+# factories
+# --------------------------------------------------------------------------
+
+def create_random_sd15(seed: int = 0, dtype=jnp.bfloat16,
+                       prediction_type: str = "eps") -> SDModel:
+    """Random-weight SD1.5 — the reference CI's empty-checkpoint mode
+    (SURVEY.md §4) and the bench target."""
+    disc = Discretization(make_alphas_cumprod(), prediction_type=prediction_type)
+    clip_params = clip_model.init_params(CLIP_L, seed + 1, dtype=jnp.float32)
+    cond = TextConditioner(clip_params, CLIP_L, get_tokenizer())
+    return SDModel(
+        kind="sd1",
+        unet_params=jax.device_put(unet_model.init_params(SD15_UNET, seed, dtype=dtype)),
+        unet_cfg=SD15_UNET,
+        vae_params=jax.device_put(vae_model.init_params(SD_VAE, seed + 2, dtype=jnp.float32)),
+        vae_cfg=SD_VAE,
+        disc=disc,
+        conditioner=cond,
+        title="random-sd15.safetensors [0000000000]",
+    )
+
+
+def create_tiny_sd(seed: int = 0) -> SDModel:
+    """Miniature model for CI-speed end-to-end tests (64×64 images)."""
+    unet_cfg = UNetConfig(model_channels=32, channel_mult=(1, 2),
+                          attention_resolutions=(2, 1), transformer_depth=(1, 1),
+                          context_dim=64, num_heads=4)
+    vae_cfg = VAEConfig(ch=32, ch_mult=(1, 2, 2, 2), num_res_blocks=1)
+    clip_cfg = CLIPTextConfig(width=64, layers=2, heads=4)
+    disc = Discretization(make_alphas_cumprod())
+    cond = TextConditioner(clip_model.init_params(clip_cfg, seed + 1), clip_cfg,
+                           get_tokenizer())
+    return SDModel(
+        kind="sd1",
+        unet_params=jax.device_put(unet_model.init_params(unet_cfg, seed, dtype=jnp.float32)),
+        unet_cfg=unet_cfg,
+        vae_params=jax.device_put(vae_model.init_params(vae_cfg, seed + 2)),
+        vae_cfg=vae_cfg,
+        disc=disc,
+        conditioner=cond,
+        title="tiny-test-model [0000000000]",
+    )

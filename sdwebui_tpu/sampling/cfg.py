@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +45,22 @@ class CondSchedule:
     # inpainting-model image conditioning, concatenated on channels
     c_concat: Any = None             # (B,H,W,Cc)
 
+    def tree_flatten(self):
+        # cond_scale is a traced child (users sweep CFG per request; it must
+        # not bake into the compiled program)
+        children = (self.cond_bank, self.cond_idx, self.cond_weights,
+                    self.uncond_bank, self.uncond_idx, self.skip_uncond,
+                    self.vector_cond, self.vector_uncond, self.c_concat,
+                    jnp.asarray(self.cond_scale, jnp.float32))
+        return children, ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (cb, ci, cw, ub, ui, su, vc, vu, cc, scale) = children
+        return cls(cond_bank=cb, cond_idx=ci, cond_weights=cw, uncond_bank=ub,
+                   uncond_idx=ui, cond_scale=scale, skip_uncond=su,
+                   vector_cond=vc, vector_uncond=vu, c_concat=cc)
+
     @staticmethod
     def simple(cond, uncond, cond_scale=7.5, n_steps=1, **kw):
         """Single prompt, no scheduling: cond/uncond (S, D) or (1, S, D)."""
@@ -60,6 +77,10 @@ class CondSchedule:
             uncond_bank=uncond,
             uncond_idx=jnp.zeros((n_steps,), jnp.int32),
             cond_scale=cond_scale, **kw)
+
+
+jax.tree_util.register_pytree_node(
+    CondSchedule, CondSchedule.tree_flatten, CondSchedule.tree_unflatten)
 
 
 def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,

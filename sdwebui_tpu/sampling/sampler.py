@@ -40,17 +40,20 @@ def sample(model: Callable, x, sigmas, solver: str = "euler",
     noise: (n, noises_per_step, B,H,W,C) pre-generated solver noise.
     """
     spec = SOLVERS[solver]
-    sigmas = jnp.asarray(np.asarray(sigmas), jnp.float32)
+    sigmas = jnp.asarray(sigmas, jnp.float32)
     n = sigmas.shape[0] - 1
     if noise is None:
         noise = jnp.zeros((n, max(spec.noises_per_step, 1), *x.shape), jnp.float32)
     noise = jnp.asarray(noise, x.dtype)
     extra = dict(extra or {})
     if spec.uses_lms_coeffs and "lms_coeffs" not in extra:
+        # needs scipy quadrature — only possible with concrete sigmas; under
+        # jit the caller must precompute (pipeline does)
         from sdwebui_tpu.sampling.solvers import lms_coefficients
 
         extra["lms_coeffs"] = jnp.asarray(
-            lms_coefficients(np.asarray(sigmas, np.float64)), jnp.float32)
+            lms_coefficients(np.asarray(jax.device_get(sigmas), np.float64)),
+            jnp.float32)
 
     state = spec.init_state(x)
 

@@ -1,0 +1,151 @@
+"""End-to-end txt2img pipeline tests (tiny model, CI sizes — mirrors the
+reference CI envelope: 64×64, 3-5 steps, random weights; SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from sdwebui_tpu.pipeline.params import GenerationParams
+from sdwebui_tpu.pipeline.processing import create_infotext, process_txt2img
+from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+from sdwebui_tpu.utils import infotext as infotext_util
+from sdwebui_tpu.utils import images as images_util
+
+
+@pytest.fixture(scope="module")
+def model():
+    return create_tiny_sd()
+
+
+def test_txt2img_basic(model):
+    p = GenerationParams(prompt="a photo of a cat", seed=42, steps=3,
+                         width=64, height=64)
+    res = process_txt2img(model, p)
+    assert len(res.images) == 1
+    assert res.images[0].size == (64, 64)
+    assert res.seed == 42
+    assert "Steps: 3" in res.infotext
+    assert "Seed: 42" in res.infotext
+
+
+def test_txt2img_deterministic_seed(model):
+    p1 = GenerationParams(prompt="x", seed=7, steps=3, width=64, height=64)
+    p2 = GenerationParams(prompt="x", seed=7, steps=3, width=64, height=64)
+    r1 = process_txt2img(model, p1)
+    r2 = process_txt2img(model, p2)
+    np.testing.assert_array_equal(np.asarray(r1.images[0]), np.asarray(r2.images[0]))
+    p3 = GenerationParams(prompt="x", seed=8, steps=3, width=64, height=64)
+    r3 = process_txt2img(model, p3)
+    assert not np.array_equal(np.asarray(r1.images[0]), np.asarray(r3.images[0]))
+
+
+def test_txt2img_batch_and_iter(model):
+    p = GenerationParams(prompt="x", seed=1, steps=2, width=64, height=64,
+                         batch_size=2, n_iter=2)
+    res = process_txt2img(model, p)
+    assert len(res.images) == 4
+    assert res.all_seeds == [1, 2, 3, 4]
+    # each image distinct (different seeds)
+    a, b = np.asarray(res.images[0]), np.asarray(res.images[1])
+    assert not np.array_equal(a, b)
+
+
+def test_txt2img_negative_and_attention_syntax(model):
+    p = GenerationParams(prompt="a (red:1.3) cat [blue] AND dog :0.5",
+                         negative_prompt="ugly, bad", seed=3, steps=3,
+                         width=64, height=64)
+    res = process_txt2img(model, p)
+    assert len(res.images) == 1
+
+
+def test_txt2img_prompt_editing_schedule(model):
+    p = GenerationParams(prompt="a [cat:dog:0.5]", seed=3, steps=4,
+                         width=64, height=64)
+    res = process_txt2img(model, p)
+    assert len(res.images) == 1
+
+
+@pytest.mark.parametrize("sampler", ["Euler", "Euler a", "Heun", "DPM++ 2M",
+                                     "DPM++ 2M SDE", "LMS", "DPM++ SDE"])
+def test_txt2img_samplers(model, sampler):
+    p = GenerationParams(prompt="x", seed=5, steps=2, width=64, height=64,
+                         sampler_name=sampler)
+    res = process_txt2img(model, p)
+    arr = np.asarray(res.images[0])
+    assert arr.shape == (64, 64, 3)
+
+
+@pytest.mark.parametrize("scheduler", ["Karras", "Exponential", "SGM Uniform", "Beta"])
+def test_txt2img_schedulers(model, scheduler):
+    p = GenerationParams(prompt="x", seed=5, steps=2, width=64, height=64,
+                         scheduler=scheduler)
+    res = process_txt2img(model, p)
+    assert len(res.images) == 1
+
+
+def test_txt2img_nonsquare(model):
+    p = GenerationParams(prompt="x", seed=5, steps=2, width=128, height=64)
+    res = process_txt2img(model, p)
+    assert res.images[0].size == (128, 64)
+
+
+def test_subseed_variation(model):
+    base = process_txt2img(model, GenerationParams(
+        prompt="x", seed=5, steps=2, width=64, height=64))
+    varied = process_txt2img(model, GenerationParams(
+        prompt="x", seed=5, subseed=99, subseed_strength=0.5, steps=2,
+        width=64, height=64))
+    assert not np.array_equal(np.asarray(base.images[0]), np.asarray(varied.images[0]))
+
+
+def test_random_seed_assigned(model):
+    p = GenerationParams(prompt="x", seed=-1, steps=1, width=64, height=64)
+    res = process_txt2img(model, p)
+    assert res.seed >= 0
+
+
+def test_save_and_infotext_roundtrip(model, tmp_path):
+    p = GenerationParams(prompt="roundtrip test", negative_prompt="neg",
+                         seed=11, steps=2, width=64, height=64)
+    res = process_txt2img(model, p, outdir=str(tmp_path))
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1
+    from PIL import Image
+
+    im = Image.open(files[0])
+    info = images_util.read_info_from_image(im)
+    parsed = infotext_util.parse(info)
+    assert parsed["Prompt"] == "roundtrip test"
+    assert parsed["Negative prompt"] == "neg"
+    assert parsed["Seed"] == "11"
+    assert parsed["Size-1"] == 64
+
+
+def test_infotext_quoting():
+    p = GenerationParams(prompt="has, comma", seed=1)
+    p.all_prompts = [p.prompt]
+    p.all_negative_prompts = [""]
+    p.all_seeds = [1]
+    p.all_subseeds = [1]
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd as _cts
+
+    info = create_infotext(p, _cts.__wrapped__() if hasattr(_cts, "__wrapped__") else _TinyStub(), 0)
+    parsed = infotext_util.parse(info)
+    assert parsed["Prompt"] == "has, comma"
+
+
+class _TinyStub:
+    sha256 = ""
+    title = "m [abc]"
+
+
+def test_callback_interrupt(model):
+    calls = []
+
+    def cb(kind, n, imgs):
+        calls.append(kind)
+        return False  # interrupt immediately
+
+    p = GenerationParams(prompt="x", seed=1, steps=1, width=64, height=64, n_iter=3)
+    res = process_txt2img(model, p, callback=cb)
+    assert len(res.images) == 0
+    assert calls == ["batch"]
