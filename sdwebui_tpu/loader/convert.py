@@ -1,0 +1,289 @@
+"""State-dict → param-tree conversion (torch layouts → JAX/NHWC layouts).
+
+The param trees mirror checkpoint key hierarchies (models/*.py docstrings),
+so conversion is: strip prefix, split('.'), re-layout the leaf:
+
+    conv   (O,I,kh,kw) → (kh,kw,I,O)
+    linear (O,I)       → (I,O)
+    norms/embeddings   unchanged
+
+plus the open_clip → HF-CLIP re-keying (fused in_proj split into q/k/v) and
+config derivation from weight shapes (replaces configs/*.yaml +
+modules/sd_models_config.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+import numpy as np
+
+from sdwebui_tpu.models.configs import CLIPTextConfig, UNetConfig, VAEConfig
+from sdwebui_tpu.utils.pytree import unflatten
+
+_NO_TRANSPOSE_2D = ("token_embedding", "position_embedding", "positional_embedding",
+                    "text_projection")
+
+
+def _clip_heads(width: int) -> int:
+    """Head count is not in the weights: all production CLIP text towers use
+    64-channel heads (L:12, H:16, bigG:20); tiny test widths use 16."""
+    return width // 64 if width >= 512 else max(width // 16, 1)
+
+
+def convert_leaf(key: str, arr: np.ndarray) -> np.ndarray:
+    arr = np.ascontiguousarray(arr)
+    if not key.endswith(".weight"):
+        return arr
+    if arr.ndim == 4:
+        return np.ascontiguousarray(np.transpose(arr, (2, 3, 1, 0)))
+    if arr.ndim == 2 and not any(t in key for t in _NO_TRANSPOSE_2D):
+        return np.ascontiguousarray(arr.T)
+    return arr
+
+
+def _subtree(sd: dict, prefix: str) -> dict:
+    flat = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            sub = k[len(prefix):]
+            flat[sub] = convert_leaf(sub, v)
+    return unflatten(flat)
+
+
+# --------------------------------------------------------------------------
+# UNet
+# --------------------------------------------------------------------------
+
+def derive_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNetConfig:
+    g = lambda k: sd[prefix + k]
+    model_channels = int(g("input_blocks.0.0.weight").shape[0])
+    in_channels = int(g("input_blocks.0.0.weight").shape[1])
+    out_channels = int(g("out.2.weight").shape[0])
+
+    # walk input blocks: channels + attention depth per block
+    block_res = {}       # index -> is resblock
+    block_attn_depth = {}
+    block_down = set()
+    n_blocks = 0
+    depth_re = re.compile(
+        re.escape(prefix) + r"input_blocks\.(\d+)\.1\.transformer_blocks\.(\d+)\.attn1\.to_q\.weight")
+    for k in sd:
+        if not k.startswith(prefix + "input_blocks."):
+            continue
+        rest = k[len(prefix) + len("input_blocks."):]
+        idx = int(rest.split(".")[0])
+        n_blocks = max(n_blocks, idx + 1)
+        if rest.split(".")[1] == "0" and "in_layers.2.weight" in rest:
+            block_res[idx] = int(sd[k].shape[0])
+        if ".0.op.weight" in rest:
+            block_down.add(idx)
+        m = depth_re.match(k)
+        if m:
+            i = int(m.group(1))
+            block_attn_depth[i] = max(block_attn_depth.get(i, 0), int(m.group(2)) + 1)
+
+    # levels separated by downsample blocks
+    channel_mult = []
+    transformer_depth = []
+    attention_resolutions = []
+    ds = 1
+    level_channels = None
+    level_depth = 0
+    res_per_level = 0
+    res_counts = []
+    for idx in range(1, n_blocks):
+        if idx in block_down:
+            channel_mult.append(level_channels // model_channels)
+            transformer_depth.append(level_depth)
+            if level_depth > 0:
+                attention_resolutions.append(ds)
+            res_counts.append(res_per_level)
+            ds *= 2
+            level_channels, level_depth, res_per_level = None, 0, 0
+            continue
+        if idx in block_res:
+            level_channels = block_res[idx]
+            res_per_level += 1
+        if idx in block_attn_depth:
+            level_depth = max(level_depth, block_attn_depth[idx])
+    channel_mult.append(level_channels // model_channels)
+    transformer_depth.append(level_depth)
+    if level_depth > 0:
+        attention_resolutions.append(ds)
+    res_counts.append(res_per_level)
+
+    # context dim from any cross-attention key projection
+    context_dim = None
+    use_linear = False
+    for k in sd:
+        if k.startswith(prefix) and k.endswith("attn2.to_k.weight"):
+            context_dim = int(sd[k].shape[1])
+        if k.startswith(prefix) and k.endswith(".1.proj_in.weight"):
+            use_linear = sd[k].ndim == 2
+    adm = 0
+    if prefix + "label_emb.0.0.weight" in sd:
+        adm = int(sd[prefix + "label_emb.0.0.weight"].shape[1])
+
+    # head count is not recorded in the weights: SD1 (ctx 768) uses 8 fixed
+    # heads, every later family uses 64-channel heads; sub-64-channel models
+    # (tests) get channels/8 per head
+    if context_dim == 768:
+        num_heads, num_head_channels = 8, -1
+    elif model_channels % 64 == 0:
+        num_heads, num_head_channels = -1, 64
+    else:
+        num_heads, num_head_channels = max(model_channels // 8, 1), -1
+
+    return UNetConfig(
+        in_channels=in_channels, out_channels=out_channels,
+        model_channels=model_channels, num_res_blocks=max(res_counts),
+        channel_mult=tuple(channel_mult),
+        attention_resolutions=tuple(attention_resolutions),
+        transformer_depth=tuple(transformer_depth),
+        context_dim=context_dim or 768,
+        num_heads=num_heads, num_head_channels=num_head_channels,
+        use_linear_in_transformer=use_linear, adm_in_channels=adm)
+
+
+def convert_unet(sd: dict, prefix: str = "model.diffusion_model."):
+    return _subtree(sd, prefix), derive_unet_config(sd, prefix)
+
+
+# --------------------------------------------------------------------------
+# VAE
+# --------------------------------------------------------------------------
+
+def derive_vae_config(sd: dict, prefix: str = "first_stage_model.",
+                      scale_factor: float = 0.18215) -> VAEConfig:
+    ch = int(sd[prefix + "encoder.conv_in.weight"].shape[0])
+    embed_dim = int(sd[prefix + "post_quant_conv.weight"].shape[1])
+    z_channels = int(sd[prefix + "post_quant_conv.weight"].shape[0])
+    levels = set()
+    blocks = set()
+    for k in sd:
+        m = re.match(re.escape(prefix) + r"encoder\.down\.(\d+)\.block\.(\d+)\.", k)
+        if m:
+            levels.add(int(m.group(1)))
+            blocks.add(int(m.group(2)))
+    ch_mult = []
+    for lv in sorted(levels):
+        w = sd[prefix + f"encoder.down.{lv}.block.{max(blocks)}.conv2.weight"]
+        ch_mult.append(int(w.shape[0]) // ch)
+    return VAEConfig(embed_dim=embed_dim, z_channels=z_channels, ch=ch,
+                     ch_mult=tuple(ch_mult), num_res_blocks=len(blocks),
+                     scale_factor=scale_factor)
+
+
+def convert_vae(sd: dict, prefix: str = "first_stage_model.",
+                scale_factor: float = 0.18215):
+    return _subtree(sd, prefix), derive_vae_config(sd, prefix, scale_factor)
+
+
+# --------------------------------------------------------------------------
+# CLIP (HF layout — SD1 / SDXL embedders.0)
+# --------------------------------------------------------------------------
+
+def convert_clip_hf(sd: dict, prefix: str):
+    """prefix up to and including 'text_model.'"""
+    flat = {}
+    for k, v in sd.items():
+        if not k.startswith(prefix):
+            continue
+        sub = k[len(prefix):]
+        if sub == "embeddings.position_ids":
+            continue
+        flat[sub] = convert_leaf(sub, v)
+    tree = unflatten(flat)
+    width = tree["embeddings"]["token_embedding"]["weight"].shape[1]
+    layers = len(tree["encoder"]["layers"])
+    cfg = CLIPTextConfig(
+        vocab_size=tree["embeddings"]["token_embedding"]["weight"].shape[0],
+        width=width, layers=layers, heads=_clip_heads(width),
+        max_length=tree["embeddings"]["position_embedding"]["weight"].shape[0],
+        activation="quick_gelu")
+    return tree, cfg
+
+
+# --------------------------------------------------------------------------
+# CLIP (open_clip layout — SD2 / SDXL embedders.1)
+# --------------------------------------------------------------------------
+
+def convert_clip_openclip(sd: dict, prefix: str):
+    """prefix up to and including 'model.' (open_clip text tower)."""
+    flat = {}
+    text_projection = None
+    for k, v in sd.items():
+        if not k.startswith(prefix):
+            continue
+        sub = k[len(prefix):]
+        if sub == "text_projection":
+            text_projection = np.ascontiguousarray(v)   # applied as x @ W
+            continue
+        if sub == "logit_scale" or sub.startswith("visual."):
+            continue
+        if sub == "token_embedding.weight":
+            flat["embeddings.token_embedding.weight"] = np.ascontiguousarray(v)
+            continue
+        if sub == "positional_embedding":
+            flat["embeddings.position_embedding.weight"] = np.ascontiguousarray(v)
+            continue
+        if sub.startswith("ln_final."):
+            flat["final_layer_norm." + sub[len("ln_final."):]] = np.ascontiguousarray(v)
+            continue
+        m = re.match(r"transformer\.resblocks\.(\d+)\.(.+)", sub)
+        if not m:
+            continue
+        layer, rest = m.group(1), m.group(2)
+        base = f"encoder.layers.{layer}."
+        if rest == "attn.in_proj_weight":
+            w = np.asarray(v)
+            d = w.shape[0] // 3
+            for name, part in zip(("q", "k", "v"), np.split(w, 3, axis=0)):
+                flat[base + f"self_attn.{name}_proj.weight"] = np.ascontiguousarray(part.T)
+        elif rest == "attn.in_proj_bias":
+            b = np.asarray(v)
+            for name, part in zip(("q", "k", "v"), np.split(b, 3, axis=0)):
+                flat[base + f"self_attn.{name}_proj.bias"] = np.ascontiguousarray(part)
+        elif rest.startswith("attn.out_proj."):
+            suffix = rest[len("attn.out_proj."):]
+            flat[base + "self_attn.out_proj." + suffix] = convert_leaf(
+                "out_proj." + suffix, v)
+        elif rest.startswith("ln_1."):
+            flat[base + "layer_norm1." + rest[5:]] = np.ascontiguousarray(v)
+        elif rest.startswith("ln_2."):
+            flat[base + "layer_norm2." + rest[5:]] = np.ascontiguousarray(v)
+        elif rest.startswith("mlp.c_fc."):
+            flat[base + "mlp.fc1." + rest[9:]] = convert_leaf("fc1." + rest[9:], v)
+        elif rest.startswith("mlp.c_proj."):
+            flat[base + "mlp.fc2." + rest[11:]] = convert_leaf("fc2." + rest[11:], v)
+    tree = unflatten(flat)
+    if text_projection is not None:
+        tree["text_projection"] = {"weight": text_projection}
+    width = tree["embeddings"]["token_embedding"]["weight"].shape[1]
+    layers = len(tree["encoder"]["layers"])
+    cfg = CLIPTextConfig(
+        vocab_size=tree["embeddings"]["token_embedding"]["weight"].shape[0],
+        width=width, layers=layers, heads=_clip_heads(width),
+        max_length=tree["embeddings"]["position_embedding"]["weight"].shape[0],
+        activation="gelu",
+        projection_dim=0 if text_projection is None else text_projection.shape[1])
+    return tree, cfg
+
+
+def cast_tree(tree, dtype):
+    """Cast float leaves; ints (embedding ids etc.) untouched."""
+    import jax
+
+    from sdwebui_tpu.models.init_utils import np_dtype
+
+    target = np_dtype(dtype)
+
+    def cast(x):
+        if np.issubdtype(np.asarray(x).dtype, np.floating) or \
+                str(np.asarray(x).dtype) in ("bfloat16", "float8_e4m3fn", "float8_e5m2"):
+            return np.asarray(x).astype(target)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(cast, tree)

@@ -1,0 +1,97 @@
+"""Checkpoint → SDModel (the reference's load_model, modules/sd_models.py:786).
+
+One pass: read (safetensors mmap or restricted .ckpt) → sniff family →
+derive configs from shapes → convert layouts → cast per dtype policy
+(UNet bf16, VAE fp32, CLIP fp32) → ONE `jax.device_put` per component
+(batched transfer — per-leaf uploads through the TPU tunnel cost ~0.5s
+each, SURVEY finding) → assemble conditioners + discretization.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from sdwebui_tpu.loader import convert, sniff
+from sdwebui_tpu.loader.safetensors_io import read_state_dict
+from sdwebui_tpu.loader.torch_ckpt import load_torch_checkpoint
+from sdwebui_tpu.pipeline.sd_model import SDModel
+from sdwebui_tpu.sampling.discretization import Discretization, make_alphas_cumprod
+from sdwebui_tpu.text.conditioner import TextConditioner
+from sdwebui_tpu.text.tokenizer import get_tokenizer
+from sdwebui_tpu.utils import devices
+
+
+def read_checkpoint(path: str) -> dict:
+    if path.endswith(".safetensors"):
+        return read_state_dict(path)
+    return load_torch_checkpoint(path)
+
+
+def load_model(path: str, prediction_type: str | None = None,
+               title: str | None = None, sha256: str = "",
+               embedding_db=None) -> SDModel:
+    sd = read_checkpoint(path)
+    return model_from_state_dict(
+        sd, prediction_type=prediction_type,
+        title=title or os.path.basename(path), sha256=sha256,
+        embedding_db=embedding_db)
+
+
+def model_from_state_dict(sd: dict, prediction_type: str | None = None,
+                          title: str = "checkpoint", sha256: str = "",
+                          embedding_db=None) -> SDModel:
+    info = sniff.sniff(sd)
+    policy = devices.get_policy()
+    tok = get_tokenizer()
+
+    unet_tree, unet_cfg = convert.convert_unet(sd)
+    unet_tree = jax.device_put(convert.cast_tree(unet_tree, policy.param_dtype))
+
+    scale = 0.13025 if info.family.startswith("sdxl") else 0.18215
+    vae_tree, vae_cfg = convert.convert_vae(sd, scale_factor=scale)
+    vae_tree = jax.device_put(convert.cast_tree(vae_tree, policy.vae_dtype))
+
+    cond2 = None
+    if info.family == "sd1":
+        tree, ccfg = convert.convert_clip_hf(
+            sd, "cond_stage_model.transformer.text_model.")
+        cond = TextConditioner(convert.cast_tree(tree, jnp.float32), ccfg, tok,
+                               embedding_db=embedding_db)
+    elif info.family == "sd2":
+        tree, ccfg = convert.convert_clip_openclip(sd, "cond_stage_model.model.")
+        # SD2 conditions on the penultimate layer (open_clip layer="penultimate")
+        cond = TextConditioner(convert.cast_tree(tree, jnp.float32), ccfg, tok,
+                               clip_skip=2, embedding_db=embedding_db)
+    elif info.family == "sdxl":
+        tree1, ccfg1 = convert.convert_clip_hf(
+            sd, "conditioner.embedders.0.transformer.text_model.")
+        tree2, ccfg2 = convert.convert_clip_openclip(
+            sd, "conditioner.embedders.1.model.")
+        # sgm: CLIP-L 'hidden' layer 11, NO final LN; bigG penultimate, no LN
+        cond = TextConditioner(convert.cast_tree(tree1, jnp.float32), ccfg1, tok,
+                               clip_skip=2, apply_final_norm=False,
+                               embedding_db=embedding_db)
+        cond2 = TextConditioner(convert.cast_tree(tree2, jnp.float32), ccfg2, tok,
+                                clip_skip=2, apply_final_norm=False,
+                                embedding_db=embedding_db)
+    elif info.family == "sdxl-refiner":
+        tree2, ccfg2 = convert.convert_clip_openclip(
+            sd, "conditioner.embedders.0.model.")
+        cond = TextConditioner(convert.cast_tree(tree2, jnp.float32), ccfg2, tok,
+                               clip_skip=2, apply_final_norm=False,
+                               embedding_db=embedding_db)
+    else:
+        raise NotImplementedError(f"family {info.family} not yet supported")
+
+    pred = prediction_type or info.prediction_type
+    # ldm betas live in the checkpoint for some models; default schedule else
+    disc = Discretization(make_alphas_cumprod(), prediction_type=pred)
+
+    return SDModel(kind=info.family, unet_params=unet_tree, unet_cfg=unet_cfg,
+                   vae_params=vae_tree, vae_cfg=vae_cfg, disc=disc,
+                   conditioner=cond, conditioner2=cond2,
+                   title=f"{title} [{sha256[:10]}]" if sha256 else title,
+                   sha256=sha256)

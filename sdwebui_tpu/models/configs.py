@@ -33,7 +33,7 @@ class UNetConfig:
 
     def heads_for(self, channels: int) -> int:
         if self.num_head_channels > 0:
-            return channels // self.num_head_channels
+            return max(channels // self.num_head_channels, 1)
         return self.num_heads
 
     @property

@@ -45,6 +45,9 @@ MAX_SEED = 2 ** 32 - 1
 def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule,
                   mask, nmask, init_latent, lms_coeffs,
                   solver: str, unet_cfg, prediction_type: str, extra_items):
+    from sdwebui_tpu.utils import devices as _dv
+
+    compute_dtype = _dv.get_policy().compute_dtype
     extra = dict(extra_items)
     if lms_coeffs is not None:
         extra["lms_coeffs"] = lms_coeffs
@@ -55,7 +58,7 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
             jnp.abs(jnp.log(jnp.maximum(sigma, 1e-12))[:, None] - log_sigmas[None, :]),
             axis=-1).astype(jnp.float32)
         c_in = (1.0 / jnp.sqrt(sigma ** 2 + 1.0))[:, None, None, None]
-        x_in = (xb * c_in).astype(jnp.bfloat16)
+        x_in = (xb * c_in).astype(compute_dtype)
         if c_concat is not None:
             x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
         out = unet_model.apply(unet_params, unet_cfg, x_in, t, ctx).astype(jnp.float32)
