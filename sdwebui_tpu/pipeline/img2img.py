@@ -1,0 +1,221 @@
+"""img2img / inpainting (reference StableDiffusionProcessingImg2Img,
+modules/processing.py:1602-1784 + modules/img2img.py).
+
+Pipeline: init images → resize → mask (binarize/invert/blur,
+inpaint-full-res crop via masking.get_crop_region_v2) → fill modes 0-3 →
+VAE encode → noise to sigma_sched[0] (t_enc slice of the schedule) →
+sampled with per-step latent mask blend → final blend → decode → overlay
+paste-back.  Mask blur uses PIL GaussianBlur (no cv2 in this image)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from PIL import Image
+
+from sdwebui_tpu.pipeline.params import GenerationParams, Processed
+from sdwebui_tpu.pipeline.processing import (
+    _build_conds, _resolve_seeds, _solver_extra, create_infotext,
+    decode_first_stage, encode_first_stage, sample_latents,
+)
+from sdwebui_tpu.pipeline.sd_model import SDModel
+from sdwebui_tpu.rng import ImageRNG, PhiloxGenerator
+from sdwebui_tpu.sampling.registry import get_sampler
+from sdwebui_tpu.sampling.sampler import prepare_noise
+from sdwebui_tpu.sampling.schedulers import get_schedule
+from sdwebui_tpu.sampling.solvers import SOLVERS
+from sdwebui_tpu.utils import images as images_util
+from sdwebui_tpu.utils import masking
+
+
+def setup_img2img_steps(steps: int, denoising_strength: float,
+                        fix_steps: bool = False):
+    """(steps_to_schedule, t_enc) — reference sd_samplers_common.py:22."""
+    if fix_steps:
+        requested = steps
+        steps = int(requested / min(denoising_strength, 0.999)) \
+            if denoising_strength > 0 else 0
+        t_enc = requested - 1
+    else:
+        t_enc = int(min(denoising_strength, 0.999) * steps)
+    return steps, t_enc
+
+
+def _prepare_images_and_mask(p: GenerationParams):
+    """Returns (image array (B,H,W,3) [0,1], mask_latent info dict)."""
+    init_images = p.init_images if isinstance(p.init_images, list) else [p.init_images]
+    imgs = []
+    mask_img = None
+    overlay_mask = None
+    crop_region = None
+
+    if p.mask is not None:
+        mask_img = masking.binarize_mask(
+            p.mask if isinstance(p.mask, Image.Image) else Image.fromarray(p.mask),
+            invert=bool(p.inpainting_mask_invert))
+        mask_img = masking.blur_mask(mask_img, p.mask_blur)
+
+    final_mask = None
+    for im in init_images:
+        if not isinstance(im, Image.Image):
+            im = Image.fromarray(np.asarray(im))
+        im = im.convert("RGB")
+
+        if mask_img is not None and p.inpaint_full_res:
+            m = np.asarray(mask_img.resize(im.size)) > 127
+            crop_region = masking.get_crop_region_v2(m, p.inpaint_full_res_padding)
+            crop_region = masking.expand_crop_region(
+                crop_region, p.width, p.height, im.width, im.height)
+            overlay_mask = mask_img.resize(im.size)
+            x1, y1, x2, y2 = crop_region
+            im = im.crop(crop_region)
+            mask_use = overlay_mask.crop(crop_region)
+        else:
+            mask_use = mask_img
+            overlay_mask = mask_img
+
+        im = images_util.resize_image(p.resize_mode, im, p.width, p.height)
+        if mask_use is not None:
+            mask_use = mask_use.resize((p.width, p.height))
+            if p.inpainting_fill == 0:  # fill with surrounding colors
+                im = Image.composite(
+                    masking.fill(im, mask_use), im,
+                    masking.binarize_mask(mask_use))
+        imgs.append(images_util.pil_to_tensor(im))
+        final_mask = mask_use
+
+    arr = np.stack(imgs)
+    info = {
+        "mask": final_mask if mask_img is not None else None,
+        "overlay_mask": overlay_mask,
+        "crop_region": crop_region,
+        "originals": [
+            (im if isinstance(im, Image.Image) else Image.fromarray(np.asarray(im))).convert("RGB")
+            for im in init_images],
+    }
+    return arr, info
+
+
+def process_img2img(model: SDModel, p: GenerationParams,
+                    outdir: str | None = None, callback=None) -> Processed:
+    assert p.init_images is not None, "img2img requires init_images"
+    if p.denoising_strength is None:
+        p.denoising_strength = 0.75
+    _resolve_seeds(p)
+    sampler = get_sampler(p.sampler_name)
+    scheduler = sampler.scheduler_override or p.scheduler
+    spec = SOLVERS[sampler.solver]
+    h, w = p.latent_size()
+    c = model.latent_channels
+
+    image_arr, mask_info = _prepare_images_and_mask(p)
+    b = p.batch_size
+    if image_arr.shape[0] == 1 and b > 1:
+        image_arr = np.repeat(image_arr, b, axis=0)
+
+    init_latent = encode_first_stage(model, jnp.asarray(image_arr))
+
+    # latent mask (mask = keep weight; nmask = repaint weight)
+    mask = nmask = None
+    if mask_info["mask"] is not None:
+        latmask_img = mask_info["mask"].convert("L").resize((w, h))
+        latmask = np.asarray(latmask_img, np.float32) / 255.0
+        latmask = np.around(latmask)
+        nmask = jnp.asarray(latmask)[None, :, :, None]
+        mask = 1.0 - nmask
+
+        if p.inpainting_fill == 2:     # latent noise in repaint region
+            fill_noise = np.stack([
+                PhiloxGenerator(s).randn((c, h, w)).transpose(1, 2, 0)
+                for s in p.all_seeds[:init_latent.shape[0]]])
+            init_latent = init_latent * mask + jnp.asarray(fill_noise) * nmask
+        elif p.inpainting_fill == 3:   # latent nothing
+            init_latent = init_latent * mask
+
+    # schedule: last t_enc+1 sigmas
+    steps, t_enc = setup_img2img_steps(p.steps, p.denoising_strength)
+    sigmas_full = get_schedule(scheduler, steps, model.disc, is_sdxl=model.is_sdxl)
+    sigma_sched = sigmas_full[steps - t_enc - 1:]
+
+    # inpainting-model image conditioning (9-channel UNet)
+    c_concat = None
+    if model.unet_cfg.in_channels == 9:
+        if nmask is not None:
+            mask_full = np.around(np.asarray(
+                mask_info["mask"].convert("L").resize((p.width, p.height)),
+                np.float32)[None, :, :, None] / 255.0)
+            masked = encode_first_stage(
+                model, jnp.asarray(image_arr * (1.0 - mask_full)))
+            cond_mask = jnp.broadcast_to(nmask, (init_latent.shape[0], h, w, 1))
+        else:
+            cond_mask = jnp.zeros((init_latent.shape[0], h, w, 1))
+            masked = init_latent
+        c_concat = jnp.concatenate([cond_mask, masked], axis=-1)
+
+    all_images, infotexts = [], []
+    for n in range(p.n_iter):
+        if callback is not None and callback("batch", n, None) is False:
+            break
+        lo = n * b
+        seeds = p.all_seeds[lo: lo + b]
+        subseeds = p.all_subseeds[lo: lo + b]
+
+        sched = _build_conds(model, p, t_enc + 1)
+        if c_concat is not None:
+            sched.c_concat = c_concat
+
+        rng = ImageRNG((c, h, w), seeds, subseeds=subseeds,
+                       subseed_strength=p.subseed_strength)
+        x = jnp.asarray(rng.first(), jnp.float32)
+        if p.initial_noise_multiplier != 1.0:
+            x = x * p.initial_noise_multiplier
+        xi = init_latent + x * float(sigma_sched[0])
+
+        noise = prepare_noise(spec, len(sigma_sched) - 1, rng, (b, h, w, c))
+        latents = sample_latents(model, sched, xi, sigma_sched, noise,
+                                 sampler.solver, _solver_extra(p, sampler),
+                                 mask=mask, nmask=nmask, init_latent=init_latent)
+        if mask is not None:
+            latents = latents * nmask + init_latent * mask
+
+        images = decode_first_stage(model, latents)
+        pils = images_util.tensor_to_pil(np.asarray(images))
+        pils = [apply_overlay(p, img, mask_info, idx) for idx, img in enumerate(pils)]
+
+        for i, img in enumerate(pils):
+            info = create_infotext(p, model, lo + i,
+                                   extra={"Denoising strength": p.denoising_strength})
+            infotexts.append(info)
+            if outdir and not p.do_not_save_samples:
+                images_util.save_image(img, outdir, seed=seeds[i],
+                                       prompt=p.all_prompts[lo + i], info=info)
+        all_images.extend(pils)
+        if callback is not None:
+            callback("batch_done", n, pils)
+
+    return Processed(images=all_images, params=p, seed=p.all_seeds[0],
+                     subseed=p.all_subseeds[0], infotexts=infotexts,
+                     all_seeds=p.all_seeds, all_subseeds=p.all_subseeds,
+                     all_prompts=p.all_prompts, width=p.width, height=p.height)
+
+
+def apply_overlay(p: GenerationParams, img: Image.Image, mask_info: dict,
+                  index: int) -> Image.Image:
+    """Paste the generated region back over the original (inpaint-full-res)
+    and composite outside the blurred mask (reference apply_overlay)."""
+    if mask_info.get("mask") is None or mask_info.get("originals") is None:
+        return img
+    original = mask_info["originals"][min(index, len(mask_info["originals"]) - 1)].copy()
+    overlay_mask = mask_info["overlay_mask"]
+
+    if mask_info["crop_region"] is not None:
+        x1, y1, x2, y2 = mask_info["crop_region"]
+        img = img.resize((x2 - x1, y2 - y1))
+        original.paste(
+            Image.composite(img, original.crop(mask_info["crop_region"]),
+                            overlay_mask.crop(mask_info["crop_region"]).resize(img.size)),
+            (x1, y1))
+        return original
+
+    original = original.resize(img.size)
+    return Image.composite(img, original, overlay_mask.resize(img.size))

@@ -112,6 +112,86 @@ def encode_first_stage(model: SDModel, images):
 
 
 # ==========================================================================
+# hires fix (reference sample_hr_pass, modules/processing.py:1364)
+# ==========================================================================
+
+LATENT_UPSCALE_MODES = {
+    "Latent": "bilinear",
+    "Latent (antialiased)": "bilinear",
+    "Latent (bicubic)": "bicubic",
+    "Latent (bicubic antialiased)": "bicubic",
+    "Latent (nearest)": "nearest",
+    "Latent (nearest-exact)": "nearest",
+}
+
+
+def calculate_hr_target(p: GenerationParams):
+    """(hr_width, hr_height) — reference calculate_target_resolution
+    (modules/processing.py:1213)."""
+    if p.hr_resize_x == 0 and p.hr_resize_y == 0:
+        return int(p.width * p.hr_scale), int(p.height * p.hr_scale)
+    if p.hr_resize_y == 0:
+        return p.hr_resize_x, p.hr_resize_x * p.height // p.width
+    if p.hr_resize_x == 0:
+        return p.hr_resize_y * p.width // p.height, p.hr_resize_y
+    return p.hr_resize_x, p.hr_resize_y
+
+
+def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
+                upscale_image_fn=None):
+    """First-pass latents → hires latents (second sampling pass)."""
+    from sdwebui_tpu.pipeline.img2img import setup_img2img_steps
+    from sdwebui_tpu.rng import ImageRNG
+    from sdwebui_tpu.sampling.sampler import prepare_noise
+    from sdwebui_tpu.sampling.solvers import SOLVERS
+
+    hr_w, hr_h = calculate_hr_target(p)
+    th, tw = hr_h // 8, hr_w // 8
+    c = model.latent_channels
+    b = latents.shape[0]
+
+    denoising = p.denoising_strength if p.denoising_strength is not None else 0.7
+    steps = p.hr_second_pass_steps or p.steps
+    sampler = get_sampler(p.hr_sampler_name or p.sampler_name)
+    scheduler = sampler.scheduler_override or (p.hr_scheduler or p.scheduler)
+    spec = SOLVERS[sampler.solver]
+    cfg = p.hr_cfg_scale or p.cfg_scale
+
+    if p.hr_upscaler in LATENT_UPSCALE_MODES or not p.hr_upscaler:
+        method = LATENT_UPSCALE_MODES.get(p.hr_upscaler, "bilinear")
+        up = jax.image.resize(latents, (b, th, tw, c), method=method)
+    else:
+        # image-space upscale: decode → upscaler (registry; PIL fallback) → encode
+        imgs = decode_first_stage(model, latents)
+        pils = images_util.tensor_to_pil(np.asarray(imgs))
+        if upscale_image_fn is None:
+            from sdwebui_tpu.postprocessing.upscalers import upscale_by_name
+
+            upscale_image_fn = lambda im: upscale_by_name(p.hr_upscaler, im, hr_w, hr_h)
+        ups = [upscale_image_fn(im) for im in pils]
+        arr = np.stack([images_util.pil_to_tensor(im.resize((hr_w, hr_h)))
+                        for im in ups])
+        up = encode_first_stage(model, jnp.asarray(arr))
+
+    sched_steps, t_enc = setup_img2img_steps(steps, denoising)
+    sigmas_full = get_schedule(scheduler, sched_steps, model.disc,
+                               is_sdxl=model.is_sdxl)
+    sigma_sched = sigmas_full[sched_steps - t_enc - 1:]
+
+    cond = _build_conds(model, p, t_enc + 1, cfg_scale=cfg,
+                        prompt=p.hr_prompt or p.prompt,
+                        negative=p.hr_negative_prompt or p.negative_prompt)
+
+    rng = ImageRNG((c, th, tw), seeds, subseeds=subseeds,
+                   subseed_strength=p.subseed_strength)
+    noise0 = jnp.asarray(rng.first(), jnp.float32)
+    xi = up + noise0 * float(sigma_sched[0])
+    noise = prepare_noise(spec, len(sigma_sched) - 1, rng, (b, th, tw, c))
+    return sample_latents(model, cond, xi, sigma_sched, noise,
+                          sampler.solver, _solver_extra(p, sampler))
+
+
+# ==========================================================================
 # orchestration
 # ==========================================================================
 
@@ -214,6 +294,8 @@ def process_txt2img(model: SDModel, p: GenerationParams,
 
         latents = sample_latents(model, sched, x, sigmas, noise,
                                  sampler.solver, _solver_extra(p, sampler))
+        if p.enable_hr:
+            latents = _hires_pass(model, p, latents, seeds, subseeds)
         images = decode_first_stage(model, latents)
         pils = images_util.tensor_to_pil(np.asarray(images))
 

@@ -84,19 +84,22 @@ jax.tree_util.register_pytree_node(
 
 
 def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
-                      mask=None, nmask=None, init_latent=None) -> Callable:
+                      mask=None, nmask=None, init_latent=None,
+                      mask_before_denoising: bool = False) -> Callable:
     """Build model(x, sigma, i) -> denoised for the solver loop.
 
     denoise_fn(x, sigma, context, y, c_concat) -> denoised, where x is
     (N,H,W,C) and sigma a scalar (the denoise scaling already applied inside
-    — see pipeline.denoiser).  mask/nmask/init_latent implement the
-    reference's pre-denoise latent mask blend
-    (sd_samplers_cfg_denoiser.py:174-187).
+    — see pipeline.denoiser).  mask (keep-region weight) / nmask / init_latent
+    implement the reference's latent mask blend: applied to the denoised
+    output for k-diffusion samplers (sd_samplers_cfg_denoiser.py:68,292) or
+    to the input for timestep samplers (mask_before_denoising=True,
+    sd_samplers_timesteps.py:54).
     """
     k = sched.cond_bank.shape[0]
 
     def model(x, sigma, i):
-        if mask is not None:
+        if mask is not None and mask_before_denoising:
             x = init_latent * mask + nmask * x
         b = x.shape[0]
 
@@ -138,6 +141,9 @@ def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
             wsum = jnp.sum(sched.cond_weights)
             cond_mean = jnp.sum(w * out_conds, axis=0) / wsum.astype(out.dtype)
             cfg = jnp.where(sched.skip_uncond[i], cond_mean, cfg)
+
+        if mask is not None and not mask_before_denoising:
+            cfg = cfg * nmask + init_latent * mask
 
         return cfg
 

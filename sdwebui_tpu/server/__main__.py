@@ -1,0 +1,61 @@
+"""CLI launcher: `python -m sdwebui_tpu.server --port 7860 --api`.
+
+Mirrors the relevant subset of the reference's ~120 cmd flags
+(modules/cmd_args.py)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("sdwebui_tpu server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--ckpt", default=None, help="checkpoint path or name")
+    p.add_argument("--ckpt-dir", default="models/Stable-diffusion")
+    p.add_argument("--outdir", default="outputs")
+    p.add_argument("--api", action="store_true", default=True)
+    p.add_argument("--api-auth", default=None, help="user:pass[,user:pass]")
+    p.add_argument("--test-server", action="store_true",
+                   help="random tiny model (CI mode, reference --test-server)")
+    p.add_argument("--api-server-stop", action="store_true", default=True)
+    p.add_argument("--config-path", default="config.json")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from sdwebui_tpu.server.api import ApiServer
+    from sdwebui_tpu.server.app import Engine
+    from sdwebui_tpu.utils.options import opts
+
+    opts.load(args.config_path)
+
+    credentials = None
+    if args.api_auth:
+        credentials = dict(pair.split(":", 1) for pair in args.api_auth.split(","))
+
+    engine = Engine(model_dirs=[args.ckpt_dir], ckpt=args.ckpt,
+                    outdir=args.outdir, test_model=args.test_server)
+    server = ApiServer(engine, host=args.host, port=args.port,
+                       credentials=credentials)
+    server.start()
+    print(f"sdwebui_tpu API listening on http://{server.host}:{server.port}",
+          flush=True)
+
+    while True:
+        cmd = server.wait_for_command()
+        if cmd in ("stop", "kill"):
+            print(f"server command: {cmd}; shutting down", flush=True)
+            server.shutdown()
+            return 0
+        if cmd == "restart":
+            print("restart requested (in-process reload not needed: "
+                  "models are explicit state); continuing", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,444 @@
+"""/sdapi/v1 REST API on stdlib http.server (no fastapi in this image).
+
+Route surface and JSON schemas mirror the reference's FastAPI layer
+(modules/api/api.py:211-251) so existing clients/tests work unchanged:
+txt2img, img2img, extras, png-info, progress, interrupt/skip, options,
+samplers/schedulers/upscalers/models listings, memory, server control.
+Generation runs behind the Engine's FIFO queue lock; pydantic validates
+request bodies."""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable
+
+from sdwebui_tpu import __version__
+from sdwebui_tpu.pipeline.params import GenerationParams
+from sdwebui_tpu.runtime.state import state
+from sdwebui_tpu.sampling.registry import SAMPLERS
+from sdwebui_tpu.sampling.schedulers import ALIASES as SCHEDULER_ALIASES
+from sdwebui_tpu.server import schema
+from sdwebui_tpu.server.app import (
+    Engine, decode_base64_to_image, encode_pil_to_base64,
+)
+from sdwebui_tpu.utils import infotext as infotext_util
+from sdwebui_tpu.utils import images as images_util
+from sdwebui_tpu.utils.options import opts
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+def _fields_from_request(req: schema.Txt2ImgRequest) -> dict:
+    d = req.model_dump(exclude_unset=False)
+    sampler = d.pop("sampler_name", None) or d.pop("sampler_index", None) or "Euler a"
+    d.pop("sampler_index", None)
+    gp_fields = {f.name for f in GenerationParams.__dataclass_fields__.values()}
+    out = {k: v for k, v in d.items() if k in gp_fields and v is not None}
+    out["sampler_name"] = sampler
+    out["scheduler"] = d.get("scheduler") or "Automatic"
+    if d.get("hr_cfg"):
+        out["hr_cfg_scale"] = d["hr_cfg"]
+    # Clip skip via override settings (reference behaviour)
+    ov = d.get("override_settings") or {}
+    if "CLIP_stop_at_last_layers" in ov:
+        out["clip_skip"] = int(ov["CLIP_stop_at_last_layers"])
+    return out
+
+
+class Api:
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.routes: dict[tuple[str, str], Callable] = {}
+        r = self.add_route
+        r("POST", "/sdapi/v1/txt2img", self.txt2img)
+        r("POST", "/sdapi/v1/img2img", self.img2img)
+        r("POST", "/sdapi/v1/extra-single-image", self.extras_single)
+        r("POST", "/sdapi/v1/png-info", self.png_info)
+        r("GET", "/sdapi/v1/progress", self.progress)
+        r("POST", "/sdapi/v1/interrupt", self.interrupt)
+        r("POST", "/sdapi/v1/skip", self.skip)
+        r("GET", "/sdapi/v1/options", self.get_options)
+        r("POST", "/sdapi/v1/options", self.set_options)
+        r("GET", "/sdapi/v1/cmd-flags", self.cmd_flags)
+        r("GET", "/sdapi/v1/samplers", self.samplers)
+        r("GET", "/sdapi/v1/schedulers", self.schedulers)
+        r("GET", "/sdapi/v1/upscalers", self.upscalers)
+        r("GET", "/sdapi/v1/latent-upscale-modes", self.latent_upscale_modes)
+        r("GET", "/sdapi/v1/sd-models", self.sd_models)
+        r("GET", "/sdapi/v1/sd-vae", self.sd_vaes)
+        r("GET", "/sdapi/v1/hypernetworks", self.hypernetworks)
+        r("GET", "/sdapi/v1/face-restorers", self.face_restorers)
+        r("GET", "/sdapi/v1/realesrgan-models", self.realesrgan_models)
+        r("GET", "/sdapi/v1/prompt-styles", self.prompt_styles)
+        r("GET", "/sdapi/v1/embeddings", self.embeddings)
+        r("POST", "/sdapi/v1/refresh-checkpoints", self.refresh_checkpoints)
+        r("POST", "/sdapi/v1/refresh-vae", self.refresh_vae)
+        r("POST", "/sdapi/v1/reload-checkpoint", self.reload_checkpoint)
+        r("POST", "/sdapi/v1/unload-checkpoint", self.unload_checkpoint)
+        r("GET", "/sdapi/v1/memory", self.memory)
+        r("GET", "/sdapi/v1/scripts", self.scripts)
+        r("GET", "/sdapi/v1/script-info", self.script_info)
+        r("GET", "/sdapi/v1/extensions", self.extensions)
+        r("POST", "/sdapi/v1/server-kill", self.server_kill)
+        r("POST", "/sdapi/v1/server-restart", self.server_restart)
+        r("POST", "/sdapi/v1/server-stop", self.server_stop)
+        r("GET", "/internal/ping", lambda body: {})
+        r("GET", "/internal/progress", self.internal_progress)
+        r("POST", "/internal/progress", self.internal_progress)
+        r("GET", "/internal/sysinfo", self.sysinfo)
+
+    def add_route(self, method: str, path: str, handler: Callable):
+        self.routes[(method, path)] = handler
+
+    # ---- generation ----------------------------------------------------
+
+    def txt2img(self, body: dict):
+        req = schema.Txt2ImgRequest(**body)
+        p = GenerationParams(**_fields_from_request(req))
+        res = self.engine.txt2img(p, save=req.save_images)
+        images = [encode_pil_to_base64(img, info=res.infotexts[i] if i < len(res.infotexts) else None)
+                  for i, img in enumerate(res.images)] if req.send_images else None
+        return schema.ImageResponse(
+            images=images, parameters=body,
+            info=json.dumps(res.js())).model_dump()
+
+    def img2img(self, body: dict):
+        req = schema.Img2ImgRequest(**body)
+        if not req.init_images:
+            raise ApiError(404, "Init image not found")
+        fields = _fields_from_request(req)
+        fields["init_images"] = [decode_base64_to_image(x) for x in req.init_images]
+        if req.mask:
+            fields["mask"] = decode_base64_to_image(req.mask)
+        if req.mask_blur is not None:
+            fields["mask_blur"] = req.mask_blur
+        p = GenerationParams(**fields)
+        res = self.engine.img2img(p, save=req.save_images)
+        images = [encode_pil_to_base64(img, info=res.infotexts[i] if i < len(res.infotexts) else None)
+                  for i, img in enumerate(res.images)] if req.send_images else None
+        return schema.ImageResponse(
+            images=images, parameters=body,
+            info=json.dumps(res.js())).model_dump()
+
+    def extras_single(self, body: dict):
+        from sdwebui_tpu.postprocessing.upscalers import upscale
+
+        req = schema.ExtrasSingleImageRequest(**body)
+        if not req.image:
+            raise ApiError(404, "Image not found")
+        img = decode_base64_to_image(req.image).convert("RGB")
+        with self.engine.queue_lock:
+            if req.resize_mode == 1:
+                scale = max(req.upscaling_resize_w / img.width,
+                            req.upscaling_resize_h / img.height)
+            else:
+                scale = req.upscaling_resize
+            out = upscale(req.upscaler_1, img, scale)
+            if req.resize_mode == 1 and req.upscaling_crop:
+                left = (out.width - req.upscaling_resize_w) // 2
+                top = (out.height - req.upscaling_resize_h) // 2
+                out = out.crop((left, top, left + req.upscaling_resize_w,
+                                top + req.upscaling_resize_h))
+        return schema.ExtrasSingleImageResponse(
+            html_info=f"<p>Upscaled with {req.upscaler_1}</p>",
+            image=encode_pil_to_base64(out)).model_dump()
+
+    def png_info(self, body: dict):
+        req = schema.PNGInfoRequest(**body)
+        img = decode_base64_to_image(req.image)
+        info = images_util.read_info_from_image(img) or ""
+        return schema.PNGInfoResponse(
+            info=info, items=dict(img.info or {}),
+            parameters=infotext_util.parse(info)).model_dump()
+
+    # ---- progress / control -------------------------------------------
+
+    def progress(self, body: dict | None = None):
+        current = None
+        if state.current_image is not None:
+            current = encode_pil_to_base64(state.current_image)
+        elapsed = time.time() - state.time_start if state.time_start else 0
+        progress = state.progress
+        eta = elapsed / progress - elapsed if progress > 0 else 0
+        return schema.ProgressResponse(
+            progress=progress if state.job else 0.0,
+            eta_relative=eta,
+            state={
+                "skipped": state.skipped, "interrupted": state.interrupted,
+                "stopping_generation": state.stopping_generation,
+                "job": state.job, "job_count": state.job_count,
+                "job_timestamp": state.job_timestamp, "job_no": state.job_no,
+                "sampling_step": state.sampling_step,
+                "sampling_steps": state.sampling_steps,
+            },
+            current_image=current, textinfo=state.textinfo).model_dump()
+
+    def internal_progress(self, body: dict | None = None):
+        body = body or {}
+        live = None
+        if state.current_image is not None and body.get("live_preview", True):
+            live = "data:image/png;base64," + encode_pil_to_base64(state.current_image)
+        return {
+            "active": bool(state.job),
+            "queued": False,
+            "completed": not state.job,
+            "progress": state.progress,
+            "eta": None,
+            "live_preview": live,
+            "id_live_preview": state.id_live_preview,
+            "textinfo": state.textinfo,
+        }
+
+    def interrupt(self, body: dict):
+        state.interrupt()
+        return {}
+
+    def skip(self, body: dict):
+        state.skip()
+        return {}
+
+    # ---- options / listings -------------------------------------------
+
+    def get_options(self, body: dict | None = None):
+        d = opts.dumpjson()
+        model = self.engine._model
+        d["sd_model_checkpoint"] = model.title if model else d.get("sd_model_checkpoint")
+        return d
+
+    def set_options(self, body: dict):
+        checkpoint = body.pop("sd_model_checkpoint", None)
+        for k, v in body.items():
+            try:
+                opts.set(k, v, is_api=True)
+            except KeyError:
+                pass
+        if checkpoint is not None:
+            opts.data["sd_model_checkpoint"] = checkpoint
+            self.engine.reload_checkpoint(checkpoint)
+        return {}
+
+    def cmd_flags(self, body=None):
+        return {"api": True, "ckpt": self.engine._requested_ckpt}
+
+    def samplers(self, body=None):
+        return [{"name": s.name, "aliases": list(s.aliases), "options": dict(s.extra)}
+                for s in SAMPLERS]
+
+    def schedulers(self, body=None):
+        seen = {}
+        for label, key in SCHEDULER_ALIASES.items():
+            seen.setdefault(key, label)
+        return [{"name": k, "label": lbl, "aliases": [lbl], "default_rho": -1,
+                 "need_inner_model": k in ("uniform", "sgm_uniform", "simple",
+                                           "normal", "ddim", "beta")}
+                for k, lbl in seen.items()]
+
+    def upscalers(self, body=None):
+        from sdwebui_tpu.postprocessing.upscalers import upscaler_names
+
+        return [{"name": n, "model_name": None, "model_path": None,
+                 "model_url": None, "scale": 4} for n in upscaler_names()]
+
+    def latent_upscale_modes(self, body=None):
+        from sdwebui_tpu.pipeline.processing import LATENT_UPSCALE_MODES
+
+        return [{"name": n} for n in LATENT_UPSCALE_MODES]
+
+    def sd_models(self, body=None):
+        return [{"title": c.title, "model_name": c.model_name,
+                 "filename": c.filename, "hash": (c.sha256 or "")[:10] or None,
+                 "sha256": c.sha256, "config": None}
+                for c in self.engine.registry.list()]
+
+    def sd_vaes(self, body=None):
+        return []
+
+    def hypernetworks(self, body=None):
+        return []
+
+    def face_restorers(self, body=None):
+        return [{"name": "None", "cmd_dir": None}]
+
+    def realesrgan_models(self, body=None):
+        return []
+
+    def prompt_styles(self, body=None):
+        return []
+
+    def embeddings(self, body=None):
+        db = getattr(self.engine.sd_model.conditioner, "embedding_db", None)
+        loaded = {}
+        if db is not None:
+            loaded = {name: {"step": None, "sd_checkpoint": None,
+                             "sd_checkpoint_name": None,
+                             "shape": int(e.vec.shape[-1]), "vectors": e.vectors}
+                      for name, e in getattr(db, "embeddings", {}).items()}
+        return {"loaded": loaded, "skipped": {}}
+
+    def refresh_checkpoints(self, body=None):
+        self.engine.registry.refresh()
+        return {}
+
+    def refresh_vae(self, body=None):
+        return {}
+
+    def reload_checkpoint(self, body=None):
+        self.engine.reload_checkpoint()
+        return {}
+
+    def unload_checkpoint(self, body=None):
+        self.engine.unload_checkpoint()
+        return {}
+
+    def memory(self, body=None):
+        import resource
+
+        ram_used = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+        mem = {"free": -1, "used": ram_used, "total": -1}
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats() or {}
+            dev = {"free": stats.get("bytes_limit", 0) - stats.get("bytes_in_use", 0),
+                   "used": stats.get("bytes_in_use", 0),
+                   "total": stats.get("bytes_limit", 0)}
+        except Exception:
+            dev = {"error": "unavailable"}
+        return schema.MemoryResponse(
+            ram=mem, cuda={"system": dev, "events": {}}).model_dump()
+
+    def scripts(self, body=None):
+        return {"txt2img": [], "img2img": []}
+
+    def script_info(self, body=None):
+        return []
+
+    def extensions(self, body=None):
+        return []
+
+    def sysinfo(self, body=None):
+        import jax
+
+        return {"version": f"sdwebui-tpu-{__version__}",
+                "jax": jax.__version__, "backend": jax.default_backend(),
+                "device_count": jax.device_count()}
+
+    # ---- server control ------------------------------------------------
+
+    def server_kill(self, body=None):
+        state.server_command = "kill"
+        return {}
+
+    def server_restart(self, body=None):
+        state.server_command = "restart"
+        return {}
+
+    def server_stop(self, body=None):
+        state.server_command = "stop"
+        return {}
+
+
+# ==========================================================================
+# HTTP plumbing
+# ==========================================================================
+
+def make_handler(api: Api, credentials: dict | None = None):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet; engine logs requests
+            pass
+
+        def _auth_ok(self) -> bool:
+            if not credentials:
+                return True
+            header = self.headers.get("Authorization", "")
+            if header.startswith("Basic "):
+                try:
+                    user, pw = base64.b64decode(header[6:]).decode().split(":", 1)
+                    return credentials.get(user) == pw
+                except Exception:
+                    return False
+            return False
+
+        def _send(self, status: int, payload):
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _dispatch(self, method: str):
+            path = self.path.split("?")[0]
+            if not self._auth_ok():
+                self._send(401, {"error": "Unauthorized"})
+                return
+            handler = api.routes.get((method, path))
+            if handler is None:
+                self._send(404, {"error": "NotFound", "detail": path})
+                return
+            body = {}
+            length = int(self.headers.get("Content-Length") or 0)
+            if length:
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    self._send(400, {"error": "BadRequest",
+                                     "detail": "invalid JSON body"})
+                    return
+            try:
+                result = handler(body)
+                self._send(200, result)
+            except ApiError as e:
+                self._send(e.status, {"error": type(e).__name__,
+                                      "detail": e.message})
+            except Exception as e:  # mirror reference's api_middleware
+                traceback.print_exc()
+                self._send(500, {"error": type(e).__name__, "detail": str(e),
+                                 "errors": str(e)})
+
+        def do_GET(self):
+            self._dispatch("GET")
+
+        def do_POST(self):
+            self._dispatch("POST")
+
+    return Handler
+
+
+class ApiServer:
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 7860,
+                 credentials: dict | None = None):
+        self.api = Api(engine)
+        self.engine = engine
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(self.api, credentials))
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def wait_for_command(self):
+        """Block until a server command arrives (stop/restart/kill)."""
+        while True:
+            cmd = state.wait_for_server_command(timeout=1.0)
+            if cmd:
+                return cmd
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()

@@ -1,0 +1,137 @@
+"""Server application state: model lifecycle + generation entry points.
+
+Replaces the reference's shared.* singleton web (SdModelData lazy loading,
+modules/sd_models.py:676; queue_lock, modules/call_queue.py): one Engine
+object owns the checkpoint registry, the loaded SDModel, the FIFO lock
+serializing device work, options and job state."""
+
+from __future__ import annotations
+
+import base64
+import io
+import os
+import threading
+
+from PIL import Image
+
+from sdwebui_tpu.loader.registry import CheckpointRegistry
+from sdwebui_tpu.pipeline.params import GenerationParams
+from sdwebui_tpu.pipeline.sd_model import SDModel, create_tiny_sd
+from sdwebui_tpu.runtime.state import state
+from sdwebui_tpu.utils.options import opts
+
+
+class Engine:
+    def __init__(self, model_dirs=None, ckpt: str | None = None,
+                 outdir: str = "outputs", test_model: bool = False):
+        self.model_dirs = model_dirs or ["models/Stable-diffusion"]
+        self.registry = CheckpointRegistry(self.model_dirs,
+                                           cache_path="cache.json")
+        self.queue_lock = threading.Lock()
+        self.outdir = outdir
+        self.state = state
+        self.opts = opts
+        self._model: SDModel | None = None
+        self._model_lock = threading.Lock()
+        self._requested_ckpt = ckpt
+        self._test_model = test_model
+
+    # ---- model lifecycle ----------------------------------------------
+
+    @property
+    def sd_model(self) -> SDModel:
+        with self._model_lock:
+            if self._model is None:
+                self._model = self._load_initial()
+            return self._model
+
+    def _load_initial(self) -> SDModel:
+        if self._test_model:
+            return create_tiny_sd()
+        from sdwebui_tpu.loader.load import load_model
+
+        info = None
+        if self._requested_ckpt:
+            if os.path.exists(self._requested_ckpt):
+                return load_model(self._requested_ckpt)
+            info = self.registry.find(self._requested_ckpt)
+        info = info or self.registry.find(opts.get("sd_model_checkpoint"))
+        if info is None:
+            # reference CI mode: no checkpoint → random-weight test model
+            return create_tiny_sd()
+        return load_model(info.filename, title=info.name,
+                          sha256=info.calculate_sha256("cache.json"))
+
+    def reload_checkpoint(self, name: str | None = None):
+        with self._model_lock:
+            info = self.registry.find(name or opts.get("sd_model_checkpoint"))
+            if info is None:
+                raise ValueError(f"checkpoint not found: {name}")
+            from sdwebui_tpu.loader.load import load_model
+
+            self._model = load_model(info.filename, title=info.name,
+                                     sha256=info.calculate_sha256("cache.json"))
+
+    def unload_checkpoint(self):
+        with self._model_lock:
+            self._model = None
+
+    # ---- generation ----------------------------------------------------
+
+    def txt2img(self, p: GenerationParams, save: bool = False):
+        from sdwebui_tpu.pipeline.processing import process_txt2img
+
+        with self.queue_lock:
+            state.begin("txt2img")
+            state.job_count = p.n_iter
+            try:
+                outdir = os.path.join(self.outdir, "txt2img-images") if save else None
+                return process_txt2img(self.sd_model, p, outdir=outdir,
+                                       callback=self._batch_callback)
+            finally:
+                state.end()
+
+    def img2img(self, p: GenerationParams, save: bool = False):
+        from sdwebui_tpu.pipeline.img2img import process_img2img
+
+        with self.queue_lock:
+            state.begin("img2img")
+            state.job_count = p.n_iter
+            try:
+                outdir = os.path.join(self.outdir, "img2img-images") if save else None
+                return process_img2img(self.sd_model, p, outdir=outdir,
+                                       callback=self._batch_callback)
+            finally:
+                state.end()
+
+    def _batch_callback(self, kind, n, images):
+        if kind == "batch":
+            if state.interrupted or state.stopping_generation:
+                return False
+            state.job_no = n
+        elif kind == "batch_done" and images:
+            state.set_current_image(images[-1])
+        return True
+
+
+# ---- base64 image codecs (reference modules/api/api.py:77-132) -----------
+
+def decode_base64_to_image(encoding: str) -> Image.Image:
+    if encoding.startswith("data:image/"):
+        encoding = encoding.split(";", 1)[1].split(",", 1)[1]
+    return Image.open(io.BytesIO(base64.b64decode(encoding)))
+
+
+def encode_pil_to_base64(image: Image.Image, fmt: str = "png",
+                         info: str | None = None) -> str:
+    buf = io.BytesIO()
+    if fmt == "png":
+        from PIL import PngImagePlugin
+
+        pnginfo = PngImagePlugin.PngInfo()
+        if info:
+            pnginfo.add_text("parameters", info)
+        image.save(buf, format="PNG", pnginfo=pnginfo)
+    else:
+        image.save(buf, format=fmt.upper())
+    return base64.b64encode(buf.getvalue()).decode("ascii")

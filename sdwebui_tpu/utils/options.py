@@ -1,0 +1,176 @@
+"""Typed runtime settings registry (reference modules/options.py +
+modules/shared_options.py): `OptionInfo` entries grouped in sections, type
+enforcement on assignment, onchange hooks, restriction flags, JSON
+persistence, and the `/sdapi/v1/options` API surface."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable
+
+
+class OptionInfo:
+    def __init__(self, default: Any, label: str, component: str | None = None,
+                 component_args: dict | None = None,
+                 onchange: Callable | None = None, section: tuple = (None, None),
+                 restrict_api: bool = False, do_not_save: bool = False):
+        self.default = default
+        self.label = label
+        self.component = component
+        self.component_args = component_args or {}
+        self.onchange = onchange
+        self.section = section
+        self.restrict_api = restrict_api
+        self.do_not_save = do_not_save
+
+    def info(self, text):  # fluent doc helper, parity with reference
+        self.label += f" ({text})"
+        return self
+
+
+def options_section(section, entries: dict) -> dict:
+    for v in entries.values():
+        v.section = section
+    return entries
+
+
+class Options:
+    def __init__(self, templates: dict[str, OptionInfo]):
+        self.data_labels = templates
+        self.data = {k: v.default for k, v in templates.items()}
+        self.restricted_opts = {k for k, v in templates.items() if v.restrict_api}
+
+    # attribute access ---------------------------------------------------
+
+    def __getattr__(self, item):
+        data = self.__dict__.get("data", {})
+        if item in data:
+            return data[item]
+        raise AttributeError(item)
+
+    def __setattr__(self, key, value):
+        if key in ("data_labels", "data", "restricted_opts"):
+            super().__setattr__(key, value)
+            return
+        if key in self.data:
+            self.set(key, value)
+            return
+        super().__setattr__(key, value)
+
+    def get(self, key, default=None):
+        return self.data.get(key, default)
+
+    def set(self, key, value, run_callbacks=True, is_api=False):
+        if key not in self.data_labels:
+            raise KeyError(f"unknown option {key}")
+        info = self.data_labels[key]
+        if is_api and info.restrict_api:
+            raise PermissionError(f"option {key} cannot be set via API")
+        default = info.default
+        if default is not None and value is not None and \
+                not isinstance(value, type(default)):
+            # bool/int/float coercion with type enforcement
+            if isinstance(default, bool):
+                value = bool(value)
+            elif isinstance(default, int) and isinstance(value, (int, float)):
+                value = int(value)
+            elif isinstance(default, float) and isinstance(value, (int, float)):
+                value = float(value)
+            elif isinstance(default, str):
+                value = str(value)
+            else:
+                raise TypeError(f"bad type for option {key}: {type(value)}")
+        changed = self.data.get(key) != value
+        self.data[key] = value
+        if changed and run_callbacks and info.onchange is not None:
+            info.onchange()
+        return changed
+
+    # persistence --------------------------------------------------------
+
+    def save(self, path: str):
+        out = {k: v for k, v in self.data.items()
+               if not self.data_labels[k].do_not_save}
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(out, f, indent=4)
+
+    def load(self, path: str):
+        if not os.path.exists(path):
+            return
+        with open(path, encoding="utf-8") as f:
+            saved = json.load(f)
+        for k, v in saved.items():
+            if k in self.data_labels:
+                self.data[k] = v
+
+    def dumpjson(self) -> dict:
+        return dict(self.data)
+
+
+# ==========================================================================
+# default option templates (representative subset of the reference's 282;
+# grouped by the same section keys so /sdapi/v1/options is familiar)
+# ==========================================================================
+
+def make_default_templates() -> dict:
+    t: dict[str, OptionInfo] = {}
+    t.update(options_section(("saving-images", "Saving images/grids"), {
+        "samples_save": OptionInfo(True, "Always save all generated images"),
+        "samples_format": OptionInfo("png", "File format for images"),
+        "grid_save": OptionInfo(True, "Always save all generated image grids"),
+        "enable_pnginfo": OptionInfo(True, "Save infotext to metadata"),
+        "outdir_txt2img_samples": OptionInfo("outputs/txt2img-images", "txt2img output dir"),
+        "outdir_img2img_samples": OptionInfo("outputs/img2img-images", "img2img output dir"),
+        "outdir_extras_samples": OptionInfo("outputs/extras-images", "extras output dir"),
+    }))
+    t.update(options_section(("sd", "Stable Diffusion"), {
+        "sd_model_checkpoint": OptionInfo(None, "Stable Diffusion checkpoint", "dropdown"),
+        "sd_checkpoints_limit": OptionInfo(1, "Maximum number of loaded checkpoints"),
+        "sd_vae": OptionInfo("Automatic", "SD VAE"),
+        "CLIP_stop_at_last_layers": OptionInfo(1, "Clip skip"),
+        "enable_emphasis": OptionInfo(True, "Enable emphasis"),
+        "emphasis_mode": OptionInfo("Original", "Emphasis mode"),
+        "comma_padding_backtrack": OptionInfo(20, "Prompt word wrap length limit"),
+        "randn_source": OptionInfo("NV", "Random number generator source",
+                                   component_args={"choices": ["NV", "CPU", "JAX"]}),
+        "tiling": OptionInfo(False, "Tiling"),
+    }))
+    t.update(options_section(("sampler-params", "Sampler parameters"), {
+        "eta_ancestral": OptionInfo(1.0, "Eta for k-diffusion samplers"),
+        "eta_noise_seed_delta": OptionInfo(0, "Eta noise seed delta (ENSD)"),
+        "s_churn": OptionInfo(0.0, "sigma churn"),
+        "s_noise": OptionInfo(1.0, "sigma noise"),
+        "beta_dist_alpha": OptionInfo(0.6, "Beta scheduler alpha"),
+        "beta_dist_beta": OptionInfo(0.6, "Beta scheduler beta"),
+    }))
+    t.update(options_section(("img2img", "img2img"), {
+        "inpainting_mask_weight": OptionInfo(1.0, "Inpainting conditioning mask strength"),
+        "initial_noise_multiplier": OptionInfo(1.0, "Noise multiplier for img2img"),
+        "img2img_fix_steps": OptionInfo(False, "With img2img, do exactly the amount of steps specified"),
+        "img2img_color_correction": OptionInfo(False, "Apply color correction"),
+    }))
+    t.update(options_section(("optimizations", "Optimizations"), {
+        "cross_attention_optimization": OptionInfo("Automatic", "Cross attention optimization",
+                                                   component_args={"choices": ["Automatic", "flash", "xla"]}),
+        "s_min_uncond": OptionInfo(0.0, "Negative Guidance minimum sigma"),
+        "batch_cond_uncond": OptionInfo(True, "Batch cond/uncond"),
+    }))
+    t.update(options_section(("upscaling", "Upscaling"), {
+        "upscaler_for_img2img": OptionInfo("None", "Upscaler for img2img"),
+        "ESRGAN_tile": OptionInfo(192, "Tile size for upscalers"),
+        "ESRGAN_tile_overlap": OptionInfo(8, "Tile overlap for upscalers"),
+    }))
+    t.update(options_section(("live-previews", "Live previews"), {
+        "show_progress_every_n_steps": OptionInfo(10, "Live preview display period"),
+        "live_previews_enable": OptionInfo(True, "Show live previews"),
+        "live_preview_content": OptionInfo("Prompt", "Live preview subject"),
+    }))
+    t.update(options_section(("api", "API"), {
+        "api_enable_requests": OptionInfo(True, "Allow http:// and https:// URLs for input images", restrict_api=True),
+        "api_forbid_local_requests": OptionInfo(True, "Forbid URLs to local resources", restrict_api=True),
+    }))
+    return t
+
+
+opts = Options(make_default_templates())

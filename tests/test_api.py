@@ -1,0 +1,208 @@
+"""Black-box HTTP contract tests against a live server — the reference's
+test strategy verbatim (SURVEY.md §4: tiny sizes, random weights, schema
+validation not image quality)."""
+
+import base64
+import io
+
+import numpy as np
+import pytest
+import requests
+from PIL import Image
+
+from sdwebui_tpu.server.api import ApiServer
+from sdwebui_tpu.server.app import Engine
+
+
+@pytest.fixture(scope="module")
+def server():
+    engine = Engine(test_model=True, outdir="/tmp/sdtpu-test-outputs")
+    srv = ApiServer(engine, host="127.0.0.1", port=0)
+    srv.start()
+    yield f"http://127.0.0.1:{srv.port}"
+    srv.shutdown()
+
+
+@pytest.fixture()
+def url_txt2img(server):
+    return f"{server}/sdapi/v1/txt2img"
+
+
+SIMPLE_TXT2IMG = {
+    "prompt": "example prompt",
+    "negative_prompt": "example negative",
+    "seed": 1234,
+    "steps": 2,
+    "width": 64,
+    "height": 64,
+    "sampler_name": "Euler a",
+    "cfg_scale": 7,
+    "batch_size": 1,
+    "n_iter": 1,
+}
+
+
+def _b64_image(color=(128, 40, 200), size=(64, 64)):
+    buf = io.BytesIO()
+    Image.new("RGB", size, color).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _decode(b64):
+    return Image.open(io.BytesIO(base64.b64decode(b64)))
+
+
+# --------------------------------------------------------------------------
+
+def test_ping(server):
+    assert requests.get(f"{server}/internal/ping").status_code == 200
+
+
+def test_txt2img_simple(url_txt2img):
+    r = requests.post(url_txt2img, json=SIMPLE_TXT2IMG)
+    assert r.status_code == 200
+    data = r.json()
+    assert len(data["images"]) == 1
+    img = _decode(data["images"][0])
+    assert img.size == (64, 64)
+    assert "example prompt" in data["info"]
+    # infotext travels in the PNG
+    assert "Steps: 2" in (img.info.get("parameters") or "")
+
+
+def test_txt2img_deterministic(url_txt2img):
+    a = requests.post(url_txt2img, json=SIMPLE_TXT2IMG).json()["images"][0]
+    b = requests.post(url_txt2img, json=SIMPLE_TXT2IMG).json()["images"][0]
+    np.testing.assert_array_equal(np.asarray(_decode(a)), np.asarray(_decode(b)))
+
+
+@pytest.mark.parametrize("extras", [
+    {"enable_hr": True, "hr_scale": 2.0, "hr_upscaler": "Latent",
+     "denoising_strength": 0.6, "hr_second_pass_steps": 2},
+    {"batch_size": 2, "n_iter": 2},
+    {"prompt": "a (red:1.3) [cat|dog] AND thing :0.4 BREAK more"},
+    {"sampler_name": "DPM++ 2M", "scheduler": "Karras"},
+    {"width": 96, "height": 64},
+    {"subseed": 99, "subseed_strength": 0.5},
+])
+def test_txt2img_variants(url_txt2img, extras):
+    body = dict(SIMPLE_TXT2IMG, **extras)
+    r = requests.post(url_txt2img, json=body)
+    assert r.status_code == 200, r.text
+    expected = body.get("batch_size", 1) * body.get("n_iter", 1)
+    assert len(r.json()["images"]) == expected
+
+
+def test_img2img_simple(server):
+    body = dict(SIMPLE_TXT2IMG, init_images=[_b64_image()],
+                denoising_strength=0.7)
+    r = requests.post(f"{server}/sdapi/v1/img2img", json=body)
+    assert r.status_code == 200, r.text
+    assert len(r.json()["images"]) == 1
+
+
+def test_img2img_inpaint(server):
+    mask = Image.new("L", (64, 64), 0)
+    mask.paste(255, (16, 16, 48, 48))
+    buf = io.BytesIO()
+    mask.save(buf, format="PNG")
+    body = dict(SIMPLE_TXT2IMG, init_images=[_b64_image()],
+                mask=base64.b64encode(buf.getvalue()).decode(),
+                denoising_strength=0.8, inpainting_fill=1, mask_blur=2)
+    r = requests.post(f"{server}/sdapi/v1/img2img", json=body)
+    assert r.status_code == 200, r.text
+
+
+def test_img2img_missing_init_images(server):
+    r = requests.post(f"{server}/sdapi/v1/img2img", json=SIMPLE_TXT2IMG)
+    assert r.status_code == 404
+
+
+def test_extras_single(server):
+    body = {"image": _b64_image(size=(32, 32)), "upscaling_resize": 2.0,
+            "upscaler_1": "Lanczos"}
+    r = requests.post(f"{server}/sdapi/v1/extra-single-image", json=body)
+    assert r.status_code == 200
+    assert _decode(r.json()["image"]).size == (64, 64)
+
+
+def test_png_info_roundtrip(server, url_txt2img):
+    img_b64 = requests.post(url_txt2img, json=SIMPLE_TXT2IMG).json()["images"][0]
+    r = requests.post(f"{server}/sdapi/v1/png-info", json={"image": img_b64})
+    assert r.status_code == 200
+    data = r.json()
+    assert "Steps: 2" in data["info"]
+    assert data["parameters"]["Seed"] == "1234"
+
+
+def test_progress(server):
+    r = requests.get(f"{server}/sdapi/v1/progress")
+    assert r.status_code == 200
+    data = r.json()
+    assert {"progress", "eta_relative", "state"} <= set(data)
+
+
+def test_internal_progress(server):
+    r = requests.post(f"{server}/internal/progress", json={"id_task": "x"})
+    assert r.status_code == 200
+    assert "active" in r.json()
+
+
+def test_interrupt_and_skip(server):
+    assert requests.post(f"{server}/sdapi/v1/interrupt", json={}).status_code == 200
+    assert requests.post(f"{server}/sdapi/v1/skip", json={}).status_code == 200
+
+
+def test_options_get_set(server):
+    r = requests.get(f"{server}/sdapi/v1/options")
+    assert r.status_code == 200
+    opts_data = r.json()
+    assert "sd_model_checkpoint" in opts_data
+    r = requests.post(f"{server}/sdapi/v1/options",
+                      json={"eta_noise_seed_delta": 31337})
+    assert r.status_code == 200
+    assert requests.get(f"{server}/sdapi/v1/options").json()[
+        "eta_noise_seed_delta"] == 31337
+    requests.post(f"{server}/sdapi/v1/options", json={"eta_noise_seed_delta": 0})
+
+
+@pytest.mark.parametrize("path", [
+    "samplers", "schedulers", "upscalers", "latent-upscale-modes", "sd-models",
+    "sd-vae", "hypernetworks", "face-restorers", "realesrgan-models",
+    "prompt-styles", "embeddings", "cmd-flags", "memory", "scripts",
+    "script-info", "extensions",
+])
+def test_get_listings(server, path):
+    r = requests.get(f"{server}/sdapi/v1/{path}")
+    assert r.status_code == 200, path
+
+
+def test_samplers_content(server):
+    names = [s["name"] for s in requests.get(f"{server}/sdapi/v1/samplers").json()]
+    assert "Euler a" in names and "DPM++ 2M" in names
+
+
+def test_unknown_route_404(server):
+    assert requests.get(f"{server}/sdapi/v1/nonexistent").status_code == 404
+
+
+def test_invalid_json_400(server, url_txt2img):
+    r = requests.post(url_txt2img, data="{not json",
+                      headers={"Content-Type": "application/json"})
+    assert r.status_code == 400
+
+
+def test_auth():
+    engine = Engine(test_model=True)
+    srv = ApiServer(engine, host="127.0.0.1", port=0,
+                    credentials={"user": "pass"})
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        assert requests.get(f"{base}/sdapi/v1/samplers").status_code == 401
+        assert requests.get(f"{base}/sdapi/v1/samplers",
+                            auth=("user", "wrong")).status_code == 401
+        assert requests.get(f"{base}/sdapi/v1/samplers",
+                            auth=("user", "pass")).status_code == 200
+    finally:
+        srv.shutdown()

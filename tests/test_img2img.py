@@ -1,0 +1,164 @@
+"""img2img / inpainting / hires-fix tests (CI-size tiny model)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sdwebui_tpu.pipeline.img2img import process_img2img, setup_img2img_steps
+from sdwebui_tpu.pipeline.params import GenerationParams
+from sdwebui_tpu.pipeline.processing import calculate_hr_target, process_txt2img
+from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+from sdwebui_tpu.utils import masking
+
+
+@pytest.fixture(scope="module")
+def model():
+    return create_tiny_sd()
+
+
+def _img(color=(200, 60, 60), size=(64, 64)):
+    return Image.new("RGB", size, color)
+
+
+def _mask(size=(64, 64)):
+    m = Image.new("L", size, 0)
+    for y in range(16, 48):
+        for x in range(16, 48):
+            m.putpixel((x, y), 255)
+    return m
+
+
+def test_setup_img2img_steps():
+    assert setup_img2img_steps(20, 0.75) == (20, 15)
+    assert setup_img2img_steps(20, 1.0) == (20, 19)
+    assert setup_img2img_steps(10, 0.5, fix_steps=True) == (20, 9)
+
+
+def test_img2img_basic(model):
+    p = GenerationParams(prompt="a cat", seed=3, steps=4, width=64, height=64,
+                         denoising_strength=0.75, init_images=[_img()])
+    res = process_img2img(model, p)
+    assert len(res.images) == 1
+    assert res.images[0].size == (64, 64)
+    assert "Denoising strength: 0.75" in res.infotext
+
+
+def test_img2img_low_denoise_stays_close(model):
+    """denoising_strength≈0 must return (nearly) the VAE round-trip of the
+    input — the sampler barely runs."""
+    src = _img((120, 120, 120))
+    p = GenerationParams(prompt="x", seed=3, steps=8, width=64, height=64,
+                         denoising_strength=0.05, init_images=[src])
+    res = process_img2img(model, p)
+    p2 = GenerationParams(prompt="x", seed=3, steps=8, width=64, height=64,
+                          denoising_strength=0.9, init_images=[src])
+    res2 = process_img2img(model, p2)
+    d_low = np.mean(np.abs(np.asarray(res.images[0], int) - 120))
+    d_high = np.mean(np.abs(np.asarray(res2.images[0], int) - 120))
+    assert d_low < d_high  # more denoising → further from init
+
+
+def test_img2img_deterministic(model):
+    mk = lambda: GenerationParams(prompt="x", seed=5, steps=3, width=64,
+                                  height=64, denoising_strength=0.6,
+                                  init_images=[_img()])
+    r1, r2 = process_img2img(model, mk()), process_img2img(model, mk())
+    np.testing.assert_array_equal(np.asarray(r1.images[0]), np.asarray(r2.images[0]))
+
+
+def test_inpaint_preserves_unmasked(model):
+    """Outside the mask, the output equals the original (overlay paste)."""
+    src = _img((50, 100, 150))
+    p = GenerationParams(prompt="a dog", seed=7, steps=3, width=64, height=64,
+                         denoising_strength=0.9, init_images=[src],
+                         mask=_mask(), mask_blur=0, inpainting_fill=1)
+    res = process_img2img(model, p)
+    out = np.asarray(res.images[0])
+    # corner (unmasked) must be the original color
+    np.testing.assert_array_equal(out[0, 0], [50, 100, 150])
+    np.testing.assert_array_equal(out[63, 63], [50, 100, 150])
+    # center (masked) should have changed
+    assert not np.array_equal(out[32, 32], [50, 100, 150])
+
+
+@pytest.mark.parametrize("fill", [0, 1, 2, 3])
+def test_inpaint_fill_modes(model, fill):
+    p = GenerationParams(prompt="x", seed=7, steps=2, width=64, height=64,
+                         denoising_strength=0.8, init_images=[_img()],
+                         mask=_mask(), inpainting_fill=fill)
+    res = process_img2img(model, p)
+    assert len(res.images) == 1
+
+
+def test_inpaint_full_res_crop(model):
+    p = GenerationParams(prompt="x", seed=7, steps=2, width=64, height=64,
+                         denoising_strength=0.8, init_images=[_img(size=(128, 128))],
+                         mask=_mask((128, 128)), inpaint_full_res=True,
+                         inpaint_full_res_padding=8)
+    res = process_img2img(model, p)
+    assert res.images[0].size == (128, 128)
+
+
+def test_mask_invert(model):
+    src = _img((50, 100, 150))
+    p = GenerationParams(prompt="x", seed=7, steps=3, width=64, height=64,
+                         denoising_strength=0.9, init_images=[src],
+                         mask=_mask(), mask_blur=0, inpainting_mask_invert=1)
+    res = process_img2img(model, p)
+    out = np.asarray(res.images[0])
+    # inverted: center preserved, corner repainted
+    np.testing.assert_array_equal(out[32, 32], [50, 100, 150])
+
+
+# --------------------------------------------------------------------------
+# masking utils
+# --------------------------------------------------------------------------
+
+def test_get_crop_region():
+    m = np.zeros((64, 64), bool)
+    m[10:20, 30:40] = True
+    assert masking.get_crop_region_v2(m, 0) == (30, 10, 40, 20)
+    assert masking.get_crop_region_v2(m, 5) == (25, 5, 45, 25)
+    assert masking.get_crop_region_v2(np.zeros((8, 8), bool)) == (0, 0, 8, 8)
+
+
+def test_expand_crop_region_aspect():
+    region = masking.expand_crop_region((30, 10, 40, 20), 64, 64, 64, 64)
+    x1, y1, x2, y2 = region
+    assert (x2 - x1) == (y2 - y1)  # square processing aspect
+
+
+# --------------------------------------------------------------------------
+# hires fix
+# --------------------------------------------------------------------------
+
+def test_hr_target_resolution():
+    p = GenerationParams(width=64, height=64, hr_scale=2.0)
+    assert calculate_hr_target(p) == (128, 128)
+    p = GenerationParams(width=64, height=32, hr_resize_x=256, hr_resize_y=0)
+    assert calculate_hr_target(p) == (256, 128)
+
+
+def test_hires_latent_upscale(model):
+    p = GenerationParams(prompt="x", seed=5, steps=2, width=64, height=64,
+                         enable_hr=True, hr_scale=2.0, hr_upscaler="Latent",
+                         denoising_strength=0.6, hr_second_pass_steps=2)
+    res = process_txt2img(model, p)
+    assert res.images[0].size == (128, 128)
+
+
+def test_hires_image_upscaler(model):
+    p = GenerationParams(prompt="x", seed=5, steps=2, width=64, height=64,
+                         enable_hr=True, hr_scale=2.0, hr_upscaler="Lanczos",
+                         denoising_strength=0.6, hr_second_pass_steps=2)
+    res = process_txt2img(model, p)
+    assert res.images[0].size == (128, 128)
+
+
+def test_hires_different_sampler_and_prompt(model):
+    p = GenerationParams(prompt="x", seed=5, steps=2, width=64, height=64,
+                         enable_hr=True, hr_scale=2.0, hr_upscaler="Latent (nearest)",
+                         denoising_strength=0.6, hr_second_pass_steps=2,
+                         hr_sampler_name="DPM++ 2M", hr_prompt="different")
+    res = process_txt2img(model, p)
+    assert res.images[0].size == (128, 128)
