@@ -1,0 +1,157 @@
+"""`<lora:name:mult>` / `<hypernet:name:mult>` prompt-tag parsing + the
+per-generation activation registry (reference modules/extra_networks.py).
+
+Tags are stripped from the prompt before tokenization; activation maps to
+functional param transforms (networks/lora.py) applied for the duration of
+one generation — no global mutation."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+
+_RE_NETWORK = re.compile(r"<(\w+):([^>]+)>")
+
+
+@dataclasses.dataclass
+class ExtraNetworkParams:
+    kind: str
+    items: list
+
+    @property
+    def name(self) -> str:
+        return self.items[0] if self.items else ""
+
+    def mult(self, index: int = 1, default: float = 1.0) -> float:
+        try:
+            return float(self.items[index])
+        except (IndexError, ValueError):
+            return default
+
+
+def parse_prompt(prompt: str):
+    """prompt → (clean_prompt, [ExtraNetworkParams])."""
+    found = []
+
+    def strip(m):
+        found.append(ExtraNetworkParams(m.group(1),
+                                        [x.strip() for x in m.group(2).split(":")]))
+        return ""
+
+    clean = _RE_NETWORK.sub(strip, prompt)
+    return clean, found
+
+
+def parse_prompts(prompts: list):
+    """First prompt defines the networks (reference behaviour: one network
+    set per batch)."""
+    res = []
+    nets = None
+    for p in prompts:
+        clean, found = parse_prompt(p)
+        if nets is None:
+            nets = found
+        res.append(clean)
+    return res, nets or []
+
+
+class LoraRegistry:
+    """Available .safetensors/.pt LoRA files (models/Lora)."""
+
+    def __init__(self, dirs=("models/Lora", "models/LyCORIS")):
+        self.dirs = [d for d in dirs]
+        self.files: dict[str, str] = {}
+        self.refresh()
+
+    def refresh(self):
+        self.files = {}
+        for d in self.dirs:
+            if not os.path.isdir(d):
+                continue
+            for root, _, files in os.walk(d):
+                for fn in files:
+                    if fn.lower().endswith((".safetensors", ".pt", ".ckpt")):
+                        name = os.path.splitext(fn)[0]
+                        self.files[name] = os.path.join(root, fn)
+
+    def load(self, name: str) -> dict:
+        path = self.files.get(name)
+        if path is None:
+            raise FileNotFoundError(f"LoRA {name!r} not found in {self.dirs}")
+        if path.endswith(".safetensors"):
+            from sdwebui_tpu.loader.safetensors_io import read_state_dict
+
+            return read_state_dict(path)
+        from sdwebui_tpu.loader.torch_ckpt import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
+
+
+_default_registry: LoraRegistry | None = None
+_merge_cache: dict = {}
+
+
+def default_registry() -> LoraRegistry:
+    global _default_registry
+    if _default_registry is None:
+        _default_registry = LoraRegistry()
+    return _default_registry
+
+
+def activate(model, prompt: str, registry: LoraRegistry | None = None):
+    """Parse tags, strip them, return (clean_prompt, model-with-networks).
+
+    Merged trees are cached per (model identity, network set) so repeated
+    generations with the same LoRAs skip the merge (the reference instead
+    mutates weights and tracks 'loaded networks')."""
+    clean, nets = parse_prompt(prompt)
+    nets = [n for n in nets if n.kind in ("lora", "lyco")]
+    if not nets:
+        return clean, model
+    key = (id(model), tuple((n.kind, tuple(n.items)) for n in nets))
+    if key in _merge_cache:
+        return clean, _merge_cache[key]
+    merged = apply_to_model(model, nets, registry or default_registry())
+    if len(_merge_cache) > 4:
+        _merge_cache.clear()
+    _merge_cache[key] = merged
+    return clean, merged
+
+
+def apply_to_model(model, nets: list, registry: LoraRegistry):
+    """Activate `<lora:...>` tags: returns a model copy with merged UNet and
+    text-encoder params (reference network_apply_weights, functionally).
+
+    `<lora:name:te_mult:unet_mult>`: one arg applies to both (reference
+    extra_networks_lora.py semantics)."""
+    from sdwebui_tpu.networks.lora import apply_loras
+
+    loras_unet, loras_te = [], []
+    for net in nets:
+        if net.kind not in ("lora", "lyco"):
+            continue
+        sd = registry.load(net.name)
+        te_mult = net.mult(1, 1.0)
+        unet_mult = net.mult(2, te_mult)
+        loras_unet.append((sd, unet_mult))
+        loras_te.append((sd, te_mult))
+
+    if not loras_unet:
+        return model
+
+    unet_params, n1, um1 = apply_loras(model.unet_params, loras_unet, "lora_unet_")
+    model = model.with_unet_params(unet_params)
+
+    clip_params, n2, _ = apply_loras(model.conditioner.params, loras_te, "lora_te_")
+    if n2 == 0:
+        clip_params, n2, _ = apply_loras(model.conditioner.params, loras_te,
+                                         "lora_te1_")
+    if n2:
+        import dataclasses as dc
+        import copy
+
+        cond = copy.copy(model.conditioner)
+        cond.params = clip_params
+        model = dc.replace(model, conditioner=cond)
+    return model

@@ -1,0 +1,103 @@
+"""Textual-inversion embedding registry + tokenize-time splicing.
+
+Reference: modules/textual_inversion/textual_inversion.py (EmbeddingDatabase,
+load_from_file :157, find_embedding_at_position :245).  Embeddings load from
+.pt ({'string_to_param': {'*': (V,D)}} — via our restricted unpickler),
+.safetensors ({'emb_params'} or SDXL {'clip_l','clip_g'}), and .bin
+(diffusers {name: tensor}).  Trigger matching happens on token ids at
+tokenize time (TextConditioner.embedding_db hook)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Embedding:
+    name: str
+    vec: np.ndarray            # (vectors, dim); SDXL: dict handled upstream
+    vec_g: np.ndarray | None = None   # SDXL bigG branch
+    step: int | None = None
+    shorthash: str | None = None
+
+    @property
+    def vectors(self) -> int:
+        return int(self.vec.shape[0])
+
+
+def load_embedding_file(path: str, name: str | None = None) -> Embedding:
+    name = name or os.path.splitext(os.path.basename(path))[0]
+    if path.endswith(".safetensors"):
+        from sdwebui_tpu.loader.safetensors_io import read_state_dict
+
+        sd = read_state_dict(path)
+        if "emb_params" in sd:
+            vec = np.asarray(sd["emb_params"], np.float32)
+            return Embedding(name, np.atleast_2d(vec))
+        if "clip_l" in sd:   # SDXL dual embedding
+            return Embedding(name, np.atleast_2d(np.asarray(sd["clip_l"], np.float32)),
+                             vec_g=np.atleast_2d(np.asarray(sd["clip_g"], np.float32)))
+        # single-tensor fallback
+        key = next(iter(sd))
+        return Embedding(name, np.atleast_2d(np.asarray(sd[key], np.float32)))
+
+    from sdwebui_tpu.loader.torch_ckpt import load_torch_checkpoint
+
+    data = load_torch_checkpoint(path)
+    # load_torch_checkpoint flattens to arrays only; probe known layouts
+    if "emb_params" in data:
+        return Embedding(name, np.atleast_2d(np.asarray(data["emb_params"], np.float32)))
+    if data:
+        key = next(iter(data))
+        return Embedding(name, np.atleast_2d(np.asarray(data[key], np.float32)))
+    raise ValueError(f"no embedding tensor found in {path}")
+
+
+class EmbeddingDatabase:
+    """Token-sequence-triggered embedding registry."""
+
+    def __init__(self, tokenizer=None):
+        self.tokenizer = tokenizer
+        self.embeddings: dict[str, Embedding] = {}
+        self.ids_lookup: dict[int, list] = {}
+        self.skipped: list[str] = []
+
+    def register(self, emb: Embedding):
+        self.embeddings[emb.name] = emb
+        if self.tokenizer is None:
+            return
+        ids = self.tokenizer.encode(emb.name)
+        if not ids:
+            return
+        first = ids[0]
+        self.ids_lookup.setdefault(first, [])
+        self.ids_lookup[first] = sorted(
+            self.ids_lookup[first] + [(ids, emb)],
+            key=lambda x: len(x[0]), reverse=True)
+
+    def load_from_dir(self, dirpath: str):
+        if not os.path.isdir(dirpath):
+            return
+        for fn in sorted(os.listdir(dirpath)):
+            if not fn.lower().endswith((".pt", ".safetensors", ".bin")):
+                continue
+            path = os.path.join(dirpath, fn)
+            try:
+                self.register(load_embedding_file(path))
+            except Exception:
+                self.skipped.append(fn)
+
+    def find_at(self, ids: list, position: int):
+        """(embedding, consumed_token_count) at ids[position], else (None, 0)
+        — the TextConditioner hook (reference find_embedding_at_position)."""
+        token = ids[position]
+        candidates = self.ids_lookup.get(token)
+        if not candidates:
+            return None, 0
+        for trigger_ids, emb in candidates:
+            if ids[position: position + len(trigger_ids)] == trigger_ids:
+                return emb, len(trigger_ids)
+        return None, 0

@@ -102,6 +102,9 @@ def process_img2img(model: SDModel, p: GenerationParams,
     if p.denoising_strength is None:
         p.denoising_strength = 0.75
     _resolve_seeds(p)
+    from sdwebui_tpu.networks import extra_networks
+
+    clean_prompt, model = extra_networks.activate(model, p.prompt)
     sampler = get_sampler(p.sampler_name)
     scheduler = sampler.scheduler_override or p.scheduler
     spec = SOLVERS[sampler.solver]
@@ -160,7 +163,7 @@ def process_img2img(model: SDModel, p: GenerationParams,
         seeds = p.all_seeds[lo: lo + b]
         subseeds = p.all_subseeds[lo: lo + b]
 
-        sched = _build_conds(model, p, t_enc + 1)
+        sched = _build_conds(model, p, t_enc + 1, prompt=clean_prompt)
         if c_concat is not None:
             sched.c_concat = c_concat
 

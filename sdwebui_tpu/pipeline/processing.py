@@ -262,6 +262,10 @@ def process_txt2img(model: SDModel, p: GenerationParams,
     first-slice feature set: batching, seeds/subseeds, prompt schedules,
     AND, all samplers/schedulers, infotext, saving)."""
     _resolve_seeds(p)
+    # extra networks: strip <lora:...> tags, swap in merged param trees
+    from sdwebui_tpu.networks import extra_networks
+
+    clean_prompt, model = extra_networks.activate(model, p.prompt)
     sampler = get_sampler(p.sampler_name)
     scheduler = sampler.scheduler_override or p.scheduler
     h, w = p.latent_size()
@@ -281,7 +285,7 @@ def process_txt2img(model: SDModel, p: GenerationParams,
         seeds = p.all_seeds[lo: lo + p.batch_size]
         subseeds = p.all_subseeds[lo: lo + p.batch_size]
 
-        sched = _build_conds(model, p, p.steps)
+        sched = _build_conds(model, p, p.steps, prompt=clean_prompt)
 
         rng = ImageRNG((c, h, w), seeds, subseeds=subseeds,
                        subseed_strength=p.subseed_strength,

@@ -43,7 +43,17 @@ class Engine:
         with self._model_lock:
             if self._model is None:
                 self._model = self._load_initial()
+                self._attach_embeddings(self._model)
             return self._model
+
+    def _attach_embeddings(self, model: SDModel, dirpath: str = "embeddings"):
+        from sdwebui_tpu.networks.textual_inversion import EmbeddingDatabase
+
+        db = EmbeddingDatabase(model.conditioner.tokenizer)
+        db.load_from_dir(dirpath)
+        model.conditioner.embedding_db = db
+        if model.conditioner2 is not None:
+            model.conditioner2.embedding_db = db
 
     def _load_initial(self) -> SDModel:
         if self._test_model:

@@ -1,0 +1,249 @@
+"""Extra-network tests: LoRA algebras vs hand-computed deltas, TI loading,
+<lora:...> tag parsing, end-to-end activation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sdwebui_tpu.networks import extra_networks, lora
+from sdwebui_tpu.networks.textual_inversion import (
+    Embedding, EmbeddingDatabase, load_embedding_file,
+)
+from sdwebui_tpu.utils.pytree import flatten
+
+RNG = np.random.default_rng(0)
+
+
+def make_params():
+    """Mini tree with one linear and one conv, jax layouts."""
+    return {
+        "input_blocks": {"1": {"1": {"transformer_blocks": {"0": {"attn1": {
+            "to_q": {"weight": jnp.zeros((8, 8), jnp.float32)},
+        }}}}}},
+        "out": {"2": {"weight": jnp.zeros((3, 3, 4, 6), jnp.float32),
+                      "bias": jnp.zeros((6,), jnp.float32)}},
+    }
+
+
+def test_path_lookup_and_resolution():
+    params = make_params()
+    lookup = lora.build_path_lookup(params)
+    assert lora.resolve_module(
+        "input_blocks_1_1_transformer_blocks_0_attn1_to_q", lookup) == \
+        "input_blocks.1.1.transformer_blocks.0.attn1.to_q"
+    # diffusers-style name for the same module
+    assert lora.resolve_module(
+        "down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q", lookup) == \
+        "input_blocks.1.1.transformer_blocks.0.attn1.to_q"
+    assert lora.resolve_module("nonexistent_module", lookup) is None
+
+
+def test_lora_linear_delta():
+    params = make_params()
+    up = RNG.standard_normal((8, 4)).astype(np.float32)    # (out, rank)
+    down = RNG.standard_normal((4, 8)).astype(np.float32)  # (rank, in)
+    sd = {
+        "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q.lora_up.weight": up,
+        "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q.lora_down.weight": down,
+        "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q.alpha": np.float32(2.0),
+    }
+    new, n, unmatched = lora.apply_loras(params, [(sd, 0.5)])
+    assert n == 1 and not unmatched
+    expected = (up @ down) * (2.0 / 4) * 0.5   # torch layout (out, in)
+    got = np.asarray(flatten(new)["input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"])
+    np.testing.assert_allclose(got, expected.T, atol=1e-5)  # jax (in, out)
+
+
+def test_lora_conv_delta():
+    params = make_params()
+    down = RNG.standard_normal((2, 4, 3, 3)).astype(np.float32)  # (r, I, k, k)
+    up = RNG.standard_normal((6, 2, 1, 1)).astype(np.float32)    # (O, r, 1, 1)
+    sd = {"lora_unet_out_2.lora_up.weight": up,
+          "lora_unet_out_2.lora_down.weight": down}
+    new, n, _ = lora.apply_loras(params, [(sd, 1.0)])
+    assert n == 1
+    expected = np.einsum("or,rikl->oikl", up.reshape(6, 2), down)  # alpha=rank
+    got = np.asarray(flatten(new)["out.2.weight"])
+    np.testing.assert_allclose(got, np.transpose(expected, (2, 3, 1, 0)), atol=1e-5)
+
+
+def test_hada_delta():
+    params = make_params()
+    mod = "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q"
+    w1a = RNG.standard_normal((8, 2)).astype(np.float32)
+    w1b = RNG.standard_normal((2, 8)).astype(np.float32)
+    w2a = RNG.standard_normal((8, 2)).astype(np.float32)
+    w2b = RNG.standard_normal((2, 8)).astype(np.float32)
+    sd = {f"{mod}.hada_w1_a": w1a, f"{mod}.hada_w1_b": w1b,
+          f"{mod}.hada_w2_a": w2a, f"{mod}.hada_w2_b": w2b,
+          f"{mod}.alpha": np.float32(2.0)}
+    new, n, _ = lora.apply_loras(params, [(sd, 1.0)])
+    assert n == 1
+    expected = (w1a @ w1b) * (w2a @ w2b) * (2.0 / 2)
+    got = np.asarray(flatten(new)["input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"])
+    np.testing.assert_allclose(got, expected.T, atol=1e-5)
+
+
+def test_full_and_ia3():
+    params = make_params()
+    mod = "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q"
+    diff = RNG.standard_normal((8, 8)).astype(np.float32)
+    new, n, _ = lora.apply_loras(params, [({f"{mod}.diff": diff}, 0.5)])
+    got = np.asarray(flatten(new)["input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"])
+    np.testing.assert_allclose(got, diff.T * 0.5, atol=1e-6)
+
+    base = {"m": {"weight": jnp.ones((4, 6), jnp.float32)}}
+    v = np.asarray([2, 2, 2, 2, 2, 2], np.float32)
+    new2, n2, _ = lora.apply_loras(
+        base, [({"lora_unet_m.w": v, "lora_unet_m.on_input": np.asarray(0)}, 1.0)])
+    np.testing.assert_allclose(np.asarray(new2["m"]["weight"]), 2.0, atol=1e-6)
+
+
+def test_lokr_delta():
+    base = {"m": {"weight": jnp.zeros((4, 6), jnp.float32)}}  # jax (in=4,out=6)
+    # torch shape (out=6, in=4); kron((2,2),(3,2)) = (6,4)
+    w1 = RNG.standard_normal((2, 2)).astype(np.float32)
+    w2 = RNG.standard_normal((3, 2)).astype(np.float32)
+    sd = {"lora_unet_m.lokr_w1": w1, "lora_unet_m.lokr_w2": w2}
+    new, n, _ = lora.apply_loras(base, [(sd, 1.0)])
+    assert n == 1
+    np.testing.assert_allclose(np.asarray(new["m"]["weight"]),
+                               np.kron(w1, w2).T, atol=1e-5)
+
+
+def test_multiple_loras_stack():
+    base = {"m": {"weight": jnp.zeros((4, 4), jnp.float32)}}
+    d1 = np.eye(4, dtype=np.float32)
+    d2 = 2 * np.eye(4, dtype=np.float32)
+    new, n, _ = lora.apply_loras(
+        base, [({"lora_unet_m.diff": d1}, 1.0), ({"lora_unet_m.diff": d2}, 0.5)])
+    np.testing.assert_allclose(np.asarray(new["m"]["weight"]),
+                               np.eye(4) * 2.0, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# tag parsing
+# --------------------------------------------------------------------------
+
+def test_parse_prompt_tags():
+    clean, nets = extra_networks.parse_prompt(
+        "a cat <lora:style:0.8> walking <hypernet:hn:0.5:extra>")
+    assert clean == "a cat  walking "
+    assert [(n.kind, n.name) for n in nets] == [("lora", "style"), ("hypernet", "hn")]
+    assert nets[0].mult() == 0.8
+    assert nets[1].mult(2, 1.0) == 1.0  # 'extra' unparseable → default
+
+
+def test_parse_prompt_no_tags():
+    clean, nets = extra_networks.parse_prompt("plain prompt")
+    assert clean == "plain prompt" and nets == []
+
+
+def test_lora_te_unet_multipliers():
+    n = extra_networks.ExtraNetworkParams("lora", ["name", "0.3", "0.9"])
+    assert n.mult(1) == 0.3 and n.mult(2, n.mult(1)) == 0.9
+    n2 = extra_networks.ExtraNetworkParams("lora", ["name", "0.3"])
+    assert n2.mult(2, n2.mult(1)) == 0.3
+
+
+# --------------------------------------------------------------------------
+# textual inversion
+# --------------------------------------------------------------------------
+
+def test_embedding_safetensors_roundtrip(tmp_path):
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+
+    vec = RNG.standard_normal((3, 64)).astype(np.float32)
+    p = str(tmp_path / "myembed.safetensors")
+    write_safetensors(p, {"emb_params": vec})
+    emb = load_embedding_file(p)
+    assert emb.name == "myembed" and emb.vectors == 3
+    np.testing.assert_array_equal(emb.vec, vec)
+
+
+def test_embedding_pt_roundtrip(tmp_path):
+    import torch
+
+    vec = torch.randn(2, 64)
+    p = str(tmp_path / "other.pt")
+    torch.save({"emb_params": vec}, p)
+    emb = load_embedding_file(p)
+    assert emb.vectors == 2
+
+
+def test_embedding_db_trigger_matching(tmp_path):
+    from sdwebui_tpu.text.tokenizer import FallbackTokenizer
+
+    tok = FallbackTokenizer()
+    db = EmbeddingDatabase(tok)
+    db.register(Embedding("trigger", np.ones((2, 64), np.float32)))
+    db.register(Embedding("triggerlong", np.ones((1, 64), np.float32)))
+
+    ids = tok.encode("a triggerlong b")
+    pos = len(tok.encode("a "))
+    emb, consumed = db.find_at(ids, pos)
+    assert emb.name == "triggerlong"  # longest match wins
+    assert consumed == len(tok.encode("triggerlong"))
+
+    ids2 = tok.encode("plain words")
+    assert db.find_at(ids2, 0) == (None, 0)
+
+
+def test_embedding_changes_generation(tmp_path):
+    """End to end: a registered embedding alters the output image."""
+    from sdwebui_tpu.pipeline.params import GenerationParams
+    from sdwebui_tpu.pipeline.processing import process_txt2img
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+
+    model = create_tiny_sd()
+    db = EmbeddingDatabase(model.conditioner.tokenizer)
+    db.register(Embedding("mytoken", RNG.standard_normal((2, 64)).astype(np.float32)))
+    gp = lambda: GenerationParams(prompt="a mytoken photo", seed=3, steps=2,
+                                  width=64, height=64)
+    base = process_txt2img(model, gp())
+    model.conditioner.embedding_db = db
+    with_emb = process_txt2img(model, gp())
+    assert not np.array_equal(np.asarray(base.images[0]),
+                              np.asarray(with_emb.images[0]))
+
+
+def test_lora_changes_generation(tmp_path, monkeypatch):
+    """End to end: <lora:x:1> tag loads a file and alters the output."""
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+    from sdwebui_tpu.pipeline.params import GenerationParams
+    from sdwebui_tpu.pipeline.processing import process_txt2img
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+
+    model = create_tiny_sd()
+    # build a rank-2 lora for one attention projection of the tiny unet
+    target = "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q"
+    w = np.asarray(flatten(model.unet_params)[
+        "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"])
+    cin, cout = w.shape
+    sd = {f"{target}.lora_up.weight": RNG.standard_normal((cout, 2)).astype(np.float32) * 5,
+          f"{target}.lora_down.weight": RNG.standard_normal((2, cin)).astype(np.float32) * 5}
+    lora_dir = tmp_path / "Lora"
+    lora_dir.mkdir()
+    write_safetensors(str(lora_dir / "testlora.safetensors"), sd)
+
+    reg = extra_networks.LoraRegistry(dirs=[str(lora_dir)])
+    monkeypatch.setattr(extra_networks, "_default_registry", reg)
+    extra_networks._merge_cache.clear()
+
+    # compare at the activation level (decoded images of a random-weight net
+    # can saturate to black and hide differences)
+    clean, merged = extra_networks.activate(model, "a photo <lora:testlora:1.0>")
+    assert clean == "a photo "
+    assert merged is not model
+    w_base = np.asarray(flatten(model.unet_params)[
+        "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"])
+    w_merged = np.asarray(flatten(merged.unet_params)[
+        "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"])
+    assert not np.allclose(w_base, w_merged)
+    # cache hit returns the same object
+    _, merged2 = extra_networks.activate(model, "a photo <lora:testlora:1.0>")
+    assert merged2 is merged
+    # and the merged model still generates end-to-end
+    res = process_txt2img(merged, GenerationParams(prompt="a photo", seed=3,
+                                                   steps=2, width=64, height=64))
+    assert len(res.images) == 1
