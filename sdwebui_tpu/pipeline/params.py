@@ -40,6 +40,10 @@ class GenerationParams:
     do_not_save_grid: bool = False
     override_settings: dict = dataclasses.field(default_factory=dict)
 
+    # refiner (reference processing_scripts/refiner.py + apply_refiner)
+    refiner_checkpoint: str = ""
+    refiner_switch_at: float = 0.0
+
     # hires fix (txt2img)
     enable_hr: bool = False
     denoising_strength: float | None = None

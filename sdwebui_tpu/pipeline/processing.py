@@ -61,7 +61,8 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
         x_in = (xb * c_in).astype(compute_dtype)
         if c_concat is not None:
             x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
-        out = unet_model.apply(unet_params, unet_cfg, x_in, t, ctx).astype(jnp.float32)
+        out = unet_model.apply(unet_params, unet_cfg, x_in, t, ctx,
+                               y=y).astype(jnp.float32)
         sig = sigma[:, None, None, None]
         if prediction_type == "v":
             return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
@@ -180,7 +181,8 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
 
     cond = _build_conds(model, p, t_enc + 1, cfg_scale=cfg,
                         prompt=p.hr_prompt or p.prompt,
-                        negative=p.hr_negative_prompt or p.negative_prompt)
+                        negative=p.hr_negative_prompt or p.negative_prompt,
+                        width=hr_w, height=hr_h)
 
     rng = ImageRNG((c, th, tw), seeds, subseeds=subseeds,
                    subseed_strength=p.subseed_strength)
@@ -234,16 +236,25 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
 
 def _build_conds(model: SDModel, p: GenerationParams, steps: int,
                  cfg_scale: float | None = None,
-                 prompt: str | None = None, negative: str | None = None):
-    model.conditioner.clip_skip = p.clip_skip
+                 prompt: str | None = None, negative: str | None = None,
+                 width: int | None = None, height: int | None = None):
+    model.conditioner.clip_skip = max(p.clip_skip,
+                                      2 if model.kind != "sd1" else 1)
     if model.conditioner2 is not None:
-        model.conditioner2.clip_skip = p.clip_skip
+        model.conditioner2.clip_skip = max(p.clip_skip, 2)
     encode_fn = lambda texts: model.encode_texts(texts)
+    vector_maker = None
+    if model.is_sdxl:
+        from sdwebui_tpu.pipeline.sd_model import sdxl_vector_maker
+
+        vector_maker = sdxl_vector_maker(model, width or p.width,
+                                         height or p.height)
     return build_cond_schedule(
         encode_fn,
         prompt if prompt is not None else p.prompt,
         negative if negative is not None else p.negative_prompt,
-        steps, cond_scale=cfg_scale if cfg_scale is not None else p.cfg_scale)
+        steps, cond_scale=cfg_scale if cfg_scale is not None else p.cfg_scale,
+        vector_maker=vector_maker)
 
 
 def _solver_extra(p: GenerationParams, sampler) -> dict:
@@ -257,7 +268,8 @@ def _solver_extra(p: GenerationParams, sampler) -> dict:
 
 def process_txt2img(model: SDModel, p: GenerationParams,
                     outdir: str | None = None,
-                    callback: Callable | None = None) -> Processed:
+                    callback: Callable | None = None,
+                    refiner_model: SDModel | None = None) -> Processed:
     """txt2img batch loop (reference process_images_inner, trimmed to the
     first-slice feature set: batching, seeds/subseeds, prompt schedules,
     AND, all samplers/schedulers, infotext, saving)."""
@@ -296,8 +308,22 @@ def process_txt2img(model: SDModel, p: GenerationParams,
         x = jnp.asarray(rng.first(), jnp.float32) * float(sigmas[0])
         noise = prepare_noise(spec, len(sigmas) - 1, rng, (p.batch_size, h, w, c))
 
-        latents = sample_latents(model, sched, x, sigmas, noise,
-                                 sampler.solver, _solver_extra(p, sampler))
+        if refiner_model is not None and 0 < p.refiner_switch_at < 1:
+            # base → refiner handoff at the switch-point sigma (the reference
+            # swaps checkpoints inside a step, apply_refiner
+            # sd_samplers_common.py:158; we split the schedule — multistep
+            # history resets at the boundary, matching a fresh sampler)
+            s_idx = max(int(p.steps * p.refiner_switch_at), 1)
+            latents = sample_latents(model, sched, x, sigmas[: s_idx + 1],
+                                     noise[:s_idx], sampler.solver,
+                                     _solver_extra(p, sampler))
+            r_sched = _build_conds(refiner_model, p, p.steps - s_idx)
+            latents = sample_latents(refiner_model, r_sched, latents,
+                                     sigmas[s_idx:], noise[s_idx:],
+                                     sampler.solver, _solver_extra(p, sampler))
+        else:
+            latents = sample_latents(model, sched, x, sigmas, noise,
+                                     sampler.solver, _solver_extra(p, sampler))
         if p.enable_hr:
             latents = _hires_pass(model, p, latents, seeds, subseeds)
         images = decode_first_stage(model, latents)

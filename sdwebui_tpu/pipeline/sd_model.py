@@ -50,16 +50,18 @@ class SDModel:
     # ---- conditioning -------------------------------------------------
 
     def encode_texts(self, texts, target_chunks=None):
-        """texts → (N, S, D) crossattn conds (+ pooled stored for SDXL)."""
-        if not self.is_sdxl:
-            cond, _ = self.conditioner.encode(texts, target_chunks=target_chunks)
-            return cond
-        # SDXL: CLIP-L (no final LN, penultimate) ⊕ bigG (penultimate),
-        # concatenated on the feature axis; pooled comes from bigG
-        c1, _ = self.conditioner.encode(texts, target_chunks=target_chunks)
-        c2, pooled = self.conditioner2.encode(texts, target_chunks=target_chunks)
-        self._last_pooled = pooled
-        return jnp.concatenate([c1, c2], axis=-1)
+        """texts → (N, S, D) crossattn conds, or (conds, pooled) for SDXL."""
+        if self.kind == "sdxl":
+            # CLIP-L (no final LN, penultimate) ⊕ bigG (penultimate),
+            # concatenated on features; pooled comes from bigG
+            c1, _ = self.conditioner.encode(texts, target_chunks=target_chunks)
+            c2, pooled = self.conditioner2.encode(texts, target_chunks=target_chunks)
+            return jnp.concatenate([c1, c2], axis=-1), pooled
+        if self.kind == "sdxl-refiner":
+            cond, pooled = self.conditioner.encode(texts, target_chunks=target_chunks)
+            return cond, pooled
+        cond, _ = self.conditioner.encode(texts, target_chunks=target_chunks)
+        return cond
 
     # ---- weight swap helpers ------------------------------------------
 
@@ -115,6 +117,44 @@ def encode_images(model: SDModel, images, sample_noise=None):
     return vae_model.sample_latent(moments, sample_noise, model.vae_cfg)
 
 
+def sdxl_vector_maker(model: SDModel, width: int, height: int,
+                      crop: tuple = (0, 0),
+                      aesthetic_score: float = 6.0,
+                      negative_aesthetic_score: float = 2.5):
+    """SDXL adm vector builder (reference modules/sd_models_xl.py:12-52):
+
+    base:    [pooled(1280) | emb(orig_h,orig_w) | emb(crop_t,crop_l) |
+              emb(target_h,target_w)]                       = 2816
+    refiner: [pooled(1280) | emb(orig_h,orig_w) | emb(crop_t,crop_l) |
+              emb(aesthetic_score)]                          = 2560
+    each scalar sinusoid-embedded at dim 256 (sgm layout).
+    """
+    from sdwebui_tpu.models.layers import timestep_embedding
+
+    refiner = model.kind == "sdxl-refiner"
+
+    def emb_scalars(values):
+        parts = [timestep_embedding(jnp.asarray([float(v)]), 256)[0]
+                 for v in values]
+        return jnp.concatenate(parts, axis=-1)
+
+    common = emb_scalars([height, width, crop[0], crop[1]])
+    if not refiner:
+        common = jnp.concatenate([common, emb_scalars([height, width])], axis=-1)
+
+    def maker(pooled, is_uncond):
+        n = pooled.shape[0]
+        tail = jnp.broadcast_to(common[None], (n, common.shape[0]))
+        if refiner:
+            pos = timestep_embedding(jnp.asarray([aesthetic_score]), 256)[0]
+            neg = timestep_embedding(jnp.asarray([negative_aesthetic_score]), 256)[0]
+            aes = jnp.where(is_uncond[:, None], neg[None], pos[None])
+            tail = jnp.concatenate([tail, aes], axis=-1)
+        return jnp.concatenate([pooled.astype(jnp.float32), tail], axis=-1)
+
+    return maker
+
+
 # --------------------------------------------------------------------------
 # factories
 # --------------------------------------------------------------------------
@@ -135,6 +175,36 @@ def create_random_sd15(seed: int = 0, dtype=jnp.bfloat16,
         disc=disc,
         conditioner=cond,
         title="random-sd15.safetensors [0000000000]",
+    )
+
+
+def create_tiny_sdxl(seed: int = 0) -> SDModel:
+    """Miniature SDXL-shaped model (dual encoders + adm vectors) for tests."""
+    unet_cfg = UNetConfig(model_channels=32, channel_mult=(1, 2),
+                          attention_resolutions=(2,), transformer_depth=(0, 1),
+                          context_dim=96, num_heads=4,
+                          use_linear_in_transformer=True,
+                          adm_in_channels=64 + 6 * 256)
+    vae_cfg = VAEConfig(ch=32, ch_mult=(1, 2, 2, 2), num_res_blocks=1,
+                        scale_factor=0.13025)
+    cfg_l = CLIPTextConfig(width=32, layers=2, heads=2)
+    cfg_g = CLIPTextConfig(width=64, layers=2, heads=2, projection_dim=64)
+    disc = Discretization(make_alphas_cumprod())
+    tok = get_tokenizer()
+    cond1 = TextConditioner(clip_model.init_params(cfg_l, seed + 1), cfg_l, tok,
+                            clip_skip=2, apply_final_norm=False)
+    cond2 = TextConditioner(clip_model.init_params(cfg_g, seed + 3), cfg_g, tok,
+                            clip_skip=2, apply_final_norm=False)
+    return SDModel(
+        kind="sdxl",
+        unet_params=jax.device_put(unet_model.init_params(unet_cfg, seed, dtype=jnp.float32)),
+        unet_cfg=unet_cfg,
+        vae_params=jax.device_put(vae_model.init_params(vae_cfg, seed + 2)),
+        vae_cfg=vae_cfg,
+        disc=disc,
+        conditioner=cond1,
+        conditioner2=cond2,
+        title="tiny-sdxl-test [0000000000]",
     )
 
 

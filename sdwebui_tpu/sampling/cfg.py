@@ -39,9 +39,10 @@ class CondSchedule:
     cond_scale: float = 7.5
     # NGMS: per-step bool, True = uncond contribution skipped this step
     skip_uncond: Any = None          # (n_steps,) bool or None
-    # SDXL vector conds
-    vector_cond: Any = None          # (D_adm,)
-    vector_uncond: Any = None        # (D_adm,)
+    # SDXL vector conds (pooled text + size/crop embeds), scheduled like the
+    # crossattn banks — per-entry pooled outputs differ across prompt edits
+    vector_bank: Any = None          # (K, n_sched, D_adm)
+    vector_uncond_bank: Any = None   # (n_sched_u, D_adm)
     # inpainting-model image conditioning, concatenated on channels
     c_concat: Any = None             # (B,H,W,Cc)
 
@@ -50,16 +51,16 @@ class CondSchedule:
         # not bake into the compiled program)
         children = (self.cond_bank, self.cond_idx, self.cond_weights,
                     self.uncond_bank, self.uncond_idx, self.skip_uncond,
-                    self.vector_cond, self.vector_uncond, self.c_concat,
+                    self.vector_bank, self.vector_uncond_bank, self.c_concat,
                     jnp.asarray(self.cond_scale, jnp.float32))
         return children, ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (cb, ci, cw, ub, ui, su, vc, vu, cc, scale) = children
+        (cb, ci, cw, ub, ui, su, vb, vub, cc, scale) = children
         return cls(cond_bank=cb, cond_idx=ci, cond_weights=cw, uncond_bank=ub,
                    uncond_idx=ui, cond_scale=scale, skip_uncond=su,
-                   vector_cond=vc, vector_uncond=vu, c_concat=cc)
+                   vector_bank=vb, vector_uncond_bank=vub, c_concat=cc)
 
     @staticmethod
     def simple(cond, uncond, cond_scale=7.5, n_steps=1, **kw):
@@ -115,10 +116,13 @@ def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
         sigma_in = jnp.broadcast_to(sigma, (x_in.shape[0],))
 
         y = None
-        if sched.vector_cond is not None:
+        if sched.vector_bank is not None:
+            vec_conds = jnp.take_along_axis(
+                sched.vector_bank, sched.cond_idx[:, i][:, None, None], axis=1)[:, 0]
+            vec_uncond = sched.vector_uncond_bank[sched.uncond_idx[i]]
             y = jnp.concatenate([
-                jnp.tile(sched.vector_cond[None], (b * k, 1)),
-                jnp.tile(sched.vector_uncond[None], (b, 1))], axis=0)
+                jnp.repeat(vec_conds, b, axis=0),
+                jnp.tile(vec_uncond[None], (b, 1))], axis=0)
 
         c_concat = None
         if sched.c_concat is not None:

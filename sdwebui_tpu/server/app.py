@@ -96,10 +96,32 @@ class Engine:
             state.job_count = p.n_iter
             try:
                 outdir = os.path.join(self.outdir, "txt2img-images") if save else None
+                refiner = self._resolve_refiner(p)
                 return process_txt2img(self.sd_model, p, outdir=outdir,
-                                       callback=self._batch_callback)
+                                       callback=self._batch_callback,
+                                       refiner_model=refiner)
             finally:
                 state.end()
+
+    def _resolve_refiner(self, p: GenerationParams):
+        """Secondary checkpoint residency (reference
+        reuse_model_from_already_loaded, modules/sd_models.py:878)."""
+        if not p.refiner_checkpoint or not (0 < p.refiner_switch_at < 1):
+            return None
+        if not hasattr(self, "_extra_models"):
+            self._extra_models = {}
+        if p.refiner_checkpoint in self._extra_models:
+            return self._extra_models[p.refiner_checkpoint]
+        info = self.registry.find(p.refiner_checkpoint)
+        if info is None:
+            raise ValueError(f"refiner checkpoint not found: {p.refiner_checkpoint}")
+        from sdwebui_tpu.loader.load import load_model
+
+        m = load_model(info.filename, title=info.name)
+        if len(self._extra_models) >= 2:
+            self._extra_models.clear()
+        self._extra_models[p.refiner_checkpoint] = m
+        return m
 
     def img2img(self, p: GenerationParams, save: bool = False):
         from sdwebui_tpu.pipeline.img2img import process_img2img

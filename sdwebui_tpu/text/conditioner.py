@@ -191,12 +191,15 @@ class TextConditioner:
 
 def build_cond_schedule(encode_fn: Callable, prompt: str, negative_prompt: str,
                         steps: int, cond_scale: float = 7.5,
-                        skip_uncond_steps=None) -> CondSchedule:
+                        skip_uncond_steps=None,
+                        vector_maker: Callable | None = None) -> CondSchedule:
     """Parse prompt-edit/AND syntax, encode every unique schedule text once,
     assemble device banks + per-step index tables.
 
-    encode_fn(list_of_texts, target_chunks) -> (B, S, D) cond array
-    (a closure over TextConditioner.encode or the SDXL dual-encoder).
+    encode_fn(list_of_texts) -> (B, S, D) cond array, or (cond, pooled) when
+    the model produces pooled embeddings (SDXL dual-encoder).
+    vector_maker(pooled (N,Dp), is_uncond_row (N,) bool) -> (N, D_adm)
+    builds the SDXL y vectors (pooled + size/crop sinusoid embeds).
     """
     subprompts = prompt_parser.split_multicond(prompt)
     k = len(subprompts)
@@ -206,7 +209,11 @@ def build_cond_schedule(encode_fn: Callable, prompt: str, negative_prompt: str,
 
     # encode all texts in one batch so chunk counts match everywhere
     texts = [t for sched in pos_scheds for _, t in sched] + [t for _, t in neg_sched]
-    conds = encode_fn(texts)          # (total, S, D) — stays on device
+    enc = encode_fn(texts)
+    pooled = None
+    if isinstance(enc, tuple):
+        enc, pooled = enc
+    conds = enc                       # (total, S, D) — stays on device
 
     # bank assembly = one device gather (no per-row host fetches)
     max_sched = max(max(len(s) for s in pos_scheds), 1)
@@ -234,8 +241,19 @@ def build_cond_schedule(encode_fn: Callable, prompt: str, negative_prompt: str,
             si += 1
         uncond_idx[step - 1] = si
 
+    vector_bank = vector_uncond_bank = None
+    if pooled is not None and vector_maker is not None:
+        n_total = pooled.shape[0]
+        is_uncond = np.zeros((n_total,), bool)
+        is_uncond[ptr:] = True
+        vectors = vector_maker(pooled, jnp.asarray(is_uncond))   # (total, D_adm)
+        vector_bank = vectors[jnp.asarray(row_ids)]              # (K, max_sched, D)
+        vector_uncond_bank = vectors[ptr: ptr + n_u]
+
     return CondSchedule(
         cond_bank=cond_bank,
+        vector_bank=vector_bank,
+        vector_uncond_bank=vector_uncond_bank,
         cond_idx=jnp.asarray(cond_idx),
         cond_weights=jnp.asarray([sp.weight for sp in subprompts], jnp.float32),
         uncond_bank=uncond_bank,

@@ -1,0 +1,78 @@
+"""SDXL path tests: dual-encoder conds, adm vector banks, refiner switch."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sdwebui_tpu.pipeline.params import GenerationParams
+from sdwebui_tpu.pipeline.processing import process_txt2img
+from sdwebui_tpu.pipeline.sd_model import create_tiny_sd, create_tiny_sdxl, sdxl_vector_maker
+
+
+@pytest.fixture(scope="module")
+def model():
+    return create_tiny_sdxl()
+
+
+def test_encode_texts_returns_pooled(model):
+    cond, pooled = model.encode_texts(["a cat", "a dog"])
+    assert cond.shape[-1] == 32 + 64      # CLIP-L ⊕ bigG widths
+    assert pooled.shape == (2, 64)        # bigG projection_dim
+
+
+def test_vector_maker_base_shapes(model):
+    maker = sdxl_vector_maker(model, width=64, height=64)
+    pooled = jnp.ones((3, 64))
+    vec = maker(pooled, jnp.asarray([False, False, True]))
+    assert vec.shape == (3, 64 + 6 * 256)
+
+
+def test_vector_maker_refiner_aesthetic():
+    import dataclasses
+
+    model = create_tiny_sdxl()
+    refiner_like = dataclasses.replace(model, kind="sdxl-refiner")
+    maker = sdxl_vector_maker(refiner_like, 64, 64)
+    pooled = jnp.zeros((2, 64))
+    vec = maker(pooled, jnp.asarray([False, True]))
+    assert vec.shape == (2, 64 + 5 * 256)
+    # aesthetic-score slice differs between cond and uncond rows
+    assert not np.allclose(np.asarray(vec[0, -256:]), np.asarray(vec[1, -256:]))
+    np.testing.assert_allclose(np.asarray(vec[0, :64]), 0.0)
+
+
+def test_sdxl_txt2img_end_to_end(model):
+    p = GenerationParams(prompt="a cat", negative_prompt="bad", seed=3,
+                         steps=3, width=64, height=64)
+    res = process_txt2img(model, p)
+    assert len(res.images) == 1
+    assert res.images[0].size == (64, 64)
+
+
+def test_sdxl_prompt_editing_with_vectors(model):
+    """Scheduled prompts produce per-entry pooled vectors (bank gather)."""
+    p = GenerationParams(prompt="a [cat:dog:0.5]", seed=3, steps=4,
+                         width=64, height=64)
+    res = process_txt2img(model, p)
+    assert len(res.images) == 1
+
+
+def test_refiner_switch(model):
+    """Base → refiner handoff mid-schedule (both tiny models share VAE
+    geometry)."""
+    refiner = create_tiny_sdxl(seed=9)
+    p = GenerationParams(prompt="a cat", seed=3, steps=4, width=64, height=64,
+                         refiner_switch_at=0.5)
+    base_only = process_txt2img(model, p)
+    p2 = GenerationParams(prompt="a cat", seed=3, steps=4, width=64, height=64,
+                          refiner_switch_at=0.5)
+    with_refiner = process_txt2img(model, p2, refiner_model=refiner)
+    assert not np.array_equal(np.asarray(base_only.images[0]),
+                              np.asarray(with_refiner.images[0]))
+
+
+def test_sd1_unaffected_by_vector_path():
+    m = create_tiny_sd()
+    p = GenerationParams(prompt="a cat", seed=3, steps=2, width=64, height=64)
+    res = process_txt2img(m, p)
+    assert len(res.images) == 1
