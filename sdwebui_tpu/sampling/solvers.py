@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -286,6 +287,59 @@ def lms_coefficients(sigmas: np.ndarray, order: int = 4) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# timestep ("CompVis") samplers in VE sigma space
+# --------------------------------------------------------------------------
+# VP ↔ VE: a = 1/(1+σ²); x_vp = x_ve·√a.  The reference's alphas-domain DDIM
+# (modules/sd_samplers_timesteps_impl.py:12) maps exactly to:
+#   x0 = x − σ·ε;  x' = x0 + √((1−a')/a' − s_vp²/a')·ε + (s_vp/√a')·noise
+# with s_vp = η·√((1−a')/(1−a)·(1−a/a')).  At η=0 this is x0 + σ'·ε.
+
+def ddim_step(model, x, i, sigmas, noise, state, extra):
+    s, s_next = sigmas[i], sigmas[i + 1]
+    eta = extra.get("eta", 0.0)
+    a = 1.0 / (1.0 + s ** 2)
+    a_prev = 1.0 / (1.0 + s_next ** 2)
+    denoised = model(x, s, i)
+    eps = _to_d(x, s, denoised)
+    s_vp = eta * jnp.sqrt(jnp.maximum(
+        (1 - a_prev) / jnp.maximum(1 - a, _EPS) * (1 - a / a_prev), 0.0))
+    dir_coeff = jnp.sqrt(jnp.maximum((1 - a_prev) / a_prev - s_vp ** 2 / a_prev, 0.0))
+    x = denoised + dir_coeff * eps
+    x = x + (s_vp / jnp.sqrt(a_prev)) * noise[0] * extra.get("s_noise", 1.0)
+    return x, state
+
+
+def plms_step(model, x, i, sigmas, noise, state, extra):
+    """Pseudo linear multistep (reference sd_samplers_timesteps_impl.py:84):
+    Adams-Bashforth on ε with an RK2 priming step at i==0."""
+    s, s_next = sigmas[i], sigmas[i + 1]
+    denoised = model(x, s, i)
+    e_t = _to_d(x, s, denoised)
+
+    def x_prev_for(e):
+        return (x - s * e) + s_next * e
+
+    old = state["eps_hist"]  # (3, ...) newest first
+
+    def first_step(_):
+        x_1 = x_prev_for(e_t)
+        den2 = model(x_1, jnp.maximum(s_next, _EPS), i)
+        e_2 = _to_d(x_1, jnp.maximum(s_next, _EPS), den2)
+        return (e_t + e_2) / 2
+
+    def multistep(_):
+        ep1 = (3 * e_t - old[0]) / 2
+        ep2 = (23 * e_t - 16 * old[0] + 5 * old[1]) / 12
+        ep3 = (55 * e_t - 59 * old[0] + 37 * old[1] - 9 * old[2]) / 24
+        return jnp.where(i == 1, ep1, jnp.where(i == 2, ep2, ep3))
+
+    e_prime = jax.lax.cond(i == 0, first_step, multistep, None)
+    x = x_prev_for(e_prime)
+    state = {**state, "eps_hist": jnp.concatenate([e_t[None], old[:-1]], axis=0)}
+    return x, state
+
+
+# --------------------------------------------------------------------------
 # LCM
 # --------------------------------------------------------------------------
 
@@ -311,6 +365,7 @@ class SolverSpec:
     needs_old_denoised: bool = False
     order3_state: bool = False
     uses_lms_coeffs: bool = False
+    eps_history: bool = False
     default_eta: float = 1.0
 
     def init_state(self, x):
@@ -322,6 +377,8 @@ class SolverSpec:
                          h_1=jnp.zeros((), jnp.float32), h_2=jnp.zeros((), jnp.float32))
         if self.uses_lms_coeffs:
             state["ds"] = jnp.zeros((4, *x.shape), x.dtype)
+        if self.eps_history:
+            state["eps_hist"] = jnp.zeros((3, *x.shape), x.dtype)
         return state
 
 
@@ -343,4 +400,7 @@ SOLVERS = {
                                order3_state=True),
     "lms": SolverSpec("lms", lms_step, uses_lms_coeffs=True),
     "lcm": SolverSpec("lcm", lcm_step, noises_per_step=1),
+    "ddim": SolverSpec("ddim", ddim_step, noises_per_step=1, default_eta=0.0),
+    "plms": SolverSpec("plms", plms_step, eps_history=True,
+                       model_calls_per_step=2),
 }

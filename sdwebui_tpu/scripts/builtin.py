@@ -1,0 +1,277 @@
+"""Built-in selectable scripts (reference scripts/ dir, SURVEY.md §2.3):
+X/Y/Z plot, Prompt matrix, Prompts from file, Loopback, SD upscale."""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from itertools import permutations
+
+import numpy as np
+from PIL import Image
+
+from sdwebui_tpu.pipeline.params import GenerationParams, Processed
+from sdwebui_tpu.scripts.framework import Script, register_script
+from sdwebui_tpu.utils import images as images_util
+
+
+def _clone(p: GenerationParams) -> GenerationParams:
+    q = copy.copy(p)
+    q.all_prompts, q.all_negative_prompts = [], []
+    q.all_seeds, q.all_subseeds = [], []
+    return q
+
+
+# ==========================================================================
+# X/Y/Z plot (reference scripts/xyz_grid.py — core axis set)
+# ==========================================================================
+
+def _apply_field(field):
+    def fn(p, v):
+        setattr(p, field, type(getattr(p, field, v))(v) if getattr(p, field, None) is not None else v)
+    return fn
+
+
+AXIS_OPTIONS = {
+    "Nothing": None,
+    "Seed": _apply_field("seed"),
+    "Var. seed": _apply_field("subseed"),
+    "Var. strength": _apply_field("subseed_strength"),
+    "Steps": _apply_field("steps"),
+    "CFG Scale": _apply_field("cfg_scale"),
+    "Sampler": _apply_field("sampler_name"),
+    "Schedule type": _apply_field("scheduler"),
+    "Denoising": _apply_field("denoising_strength"),
+    "Clip skip": _apply_field("clip_skip"),
+    "Width": _apply_field("width"),
+    "Height": _apply_field("height"),
+    "Eta": _apply_field("eta"),
+    "Prompt S/R": "prompt_sr",   # search/replace: first value is the token
+}
+
+
+def parse_axis_values(axis: str, values) -> list:
+    if axis == "Nothing" or not values:
+        return [None]
+    if isinstance(values, (list, tuple)):
+        return list(values)
+    vals = [v.strip() for v in str(values).split(",") if v.strip() != ""]
+    out = []
+    for v in vals:
+        # integer ranges "1-5" and "1-5 [3]" counts
+        import re
+
+        m = re.fullmatch(r"(-?\d+)\s*-\s*(-?\d+)", v)
+        if m and axis in ("Seed", "Steps", "Clip skip", "Width", "Height"):
+            out.extend(range(int(m.group(1)), int(m.group(2)) + 1))
+        else:
+            out.append(v)
+    return out
+
+
+@register_script
+class XYZPlot(Script):
+    name = "X/Y/Z plot"
+
+    def run(self, engine, p: GenerationParams,
+            x_axis="Nothing", x_values="", y_axis="Nothing", y_values="",
+            z_axis="Nothing", z_values="", draw_legend=True,
+            include_sub_grids=False, *rest):
+        xs = parse_axis_values(x_axis, x_values)
+        ys = parse_axis_values(y_axis, y_values)
+        zs = parse_axis_values(z_axis, z_values)
+        axis_values = {x_axis: xs, y_axis: ys, z_axis: zs}
+
+        def apply(q, axis, val):
+            fn = AXIS_OPTIONS.get(axis)
+            if fn is None or val is None:
+                return
+            if fn == "prompt_sr":
+                token = str(axis_values[axis][0])
+                q.prompt = q.prompt.replace(token, str(val))
+                q.negative_prompt = q.negative_prompt.replace(token, str(val))
+            else:
+                fn(q, val)
+
+        all_images, infotexts = [], []
+        cell_rows = []
+        first = None
+        for zi, zv in enumerate(zs):
+            rows = []
+            for yi, yv in enumerate(ys):
+                row_imgs = []
+                for xi, xv in enumerate(xs):
+                    q = _clone(p)
+                    for axis, val in ((x_axis, xv), (y_axis, yv), (z_axis, zv)):
+                        apply(q, axis, val)
+                    res = engine.txt2img_inner(q)
+                    if first is None:
+                        first = res
+                    row_imgs.extend(res.images)
+                    all_images.extend(res.images)
+                    infotexts.extend(res.infotexts)
+                rows.append(row_imgs)
+            cell_rows.append(rows)
+
+        # grid assembly: one big grid per z
+        grids = []
+        for rows in cell_rows:
+            flat = [im for row in rows for im in row]
+            if flat:
+                grids.append(images_util.image_grid(flat, rows=len(rows)))
+        result_images = grids + all_images
+        return Processed(
+            images=result_images, params=p,
+            seed=first.seed if first else p.seed,
+            subseed=first.subseed if first else p.subseed,
+            infotexts=([infotexts[0]] * len(grids) + infotexts) if infotexts else [],
+            all_seeds=first.all_seeds if first else [],
+            all_subseeds=first.all_subseeds if first else [],
+            all_prompts=first.all_prompts if first else [],
+            width=p.width, height=p.height)
+
+
+# ==========================================================================
+# Prompt matrix (reference scripts/prompt_matrix.py)
+# ==========================================================================
+
+@register_script
+class PromptMatrix(Script):
+    name = "Prompt matrix"
+
+    def run(self, engine, p: GenerationParams, put_at_start=False, *rest):
+        parts = [s.strip() for s in p.prompt.split("|")]
+        base, variable = parts[0], parts[1:]
+        combos = []
+        for n in range(2 ** len(variable)):
+            selected = [variable[i] for i in range(len(variable)) if n & (1 << i)]
+            combos.append(", ".join(([*selected, base] if put_at_start
+                                     else [base, *selected])))
+        all_images, infotexts = [], []
+        first = None
+        for prompt in combos:
+            q = _clone(p)
+            q.prompt = prompt
+            res = engine.txt2img_inner(q)
+            if first is None:
+                first = res
+            all_images.extend(res.images)
+            infotexts.extend(res.infotexts)
+        grid = images_util.image_grid(all_images, rows=1 << (len(variable) // 2))
+        return Processed(images=[grid] + all_images, params=p,
+                         seed=first.seed, subseed=first.subseed,
+                         infotexts=infotexts[:1] + infotexts,
+                         all_seeds=first.all_seeds, all_subseeds=first.all_subseeds,
+                         all_prompts=combos, width=p.width, height=p.height)
+
+
+# ==========================================================================
+# Prompts from file (reference scripts/prompts_from_file.py)
+# ==========================================================================
+
+@register_script
+class PromptsFromFile(Script):
+    name = "Prompts from file or textbox"
+
+    def run(self, engine, p: GenerationParams, checkbox_iterate=False,
+            checkbox_iterate_batch=False, prompt_txt="", *rest):
+        lines = [l.strip() for l in str(prompt_txt).splitlines() if l.strip()]
+        all_images, infotexts = [], []
+        first = None
+        for line in lines:
+            q = _clone(p)
+            q.prompt = line
+            res = engine.txt2img_inner(q)
+            if first is None:
+                first = res
+            if checkbox_iterate:
+                p.seed = res.all_seeds[-1] + 1 if res.all_seeds else p.seed
+            all_images.extend(res.images)
+            infotexts.extend(res.infotexts)
+        return Processed(images=all_images, params=p,
+                         seed=first.seed if first else p.seed,
+                         subseed=first.subseed if first else p.subseed,
+                         infotexts=infotexts,
+                         all_seeds=first.all_seeds if first else [],
+                         all_subseeds=first.all_subseeds if first else [],
+                         all_prompts=lines, width=p.width, height=p.height)
+
+
+# ==========================================================================
+# Loopback (reference scripts/loopback.py)
+# ==========================================================================
+
+@register_script
+class Loopback(Script):
+    name = "Loopback"
+
+    def run(self, engine, p: GenerationParams, loops=4,
+            final_denoising_strength=0.5, denoising_curve="Linear", *rest):
+        loops = int(loops)
+        strength = p.denoising_strength or 0.75
+        final = float(final_denoising_strength)
+        images = []
+        infotexts = []
+        first = None
+        current = p.init_images
+        for i in range(loops):
+            q = _clone(p)
+            q.init_images = current
+            ratio = (i + 1) / loops if loops > 1 else 1.0
+            if denoising_curve == "Aggressive":
+                ratio = np.sin(ratio * np.pi / 2)
+            elif denoising_curve == "Lazy":
+                ratio = 1 - np.cos(ratio * np.pi / 2)
+            q.denoising_strength = strength + (final - strength) * ratio
+            res = engine.img2img_inner(q)
+            if first is None:
+                first = res
+            current = [res.images[0]]
+            images.append(res.images[0])
+            infotexts.extend(res.infotexts)
+        return Processed(images=images, params=p, seed=first.seed,
+                         subseed=first.subseed, infotexts=infotexts,
+                         all_seeds=first.all_seeds, all_subseeds=first.all_subseeds,
+                         all_prompts=first.all_prompts,
+                         width=p.width, height=p.height)
+
+
+# ==========================================================================
+# SD upscale (reference scripts/sd_upscale.py — tiled img2img over an
+# upscaled image)
+# ==========================================================================
+
+@register_script
+class SDUpscale(Script):
+    name = "SD upscale"
+
+    def run(self, engine, p: GenerationParams, tile_overlap=64,
+            upscaler_name="Lanczos", scale_factor=2.0, *rest):
+        from sdwebui_tpu.postprocessing.upscalers import upscale
+
+        assert p.init_images, "SD upscale needs an init image"
+        init = p.init_images[0]
+        if not isinstance(init, Image.Image):
+            init = Image.fromarray(np.asarray(init))
+        upscaled = upscale(upscaler_name, init.convert("RGB"), float(scale_factor))
+
+        grid = images_util.split_grid(upscaled, p.width, p.height,
+                                      int(tile_overlap))
+        first = None
+        infotexts = []
+        for y, h, row in grid.tiles:
+            for idx, (x, w, tile) in enumerate(row):
+                q = _clone(p)
+                q.init_images = [tile]
+                q.width, q.height = tile.width, tile.height
+                res = engine.img2img_inner(q)
+                if first is None:
+                    first = res
+                row[idx] = [x, w, res.images[0]]
+                infotexts.extend(res.infotexts)
+        combined = images_util.combine_grid(grid)
+        return Processed(images=[combined], params=p, seed=first.seed,
+                         subseed=first.subseed, infotexts=infotexts[:1],
+                         all_seeds=first.all_seeds, all_subseeds=first.all_subseeds,
+                         all_prompts=first.all_prompts,
+                         width=combined.width, height=combined.height)

@@ -105,7 +105,10 @@ class Api:
     def txt2img(self, body: dict):
         req = schema.Txt2ImgRequest(**body)
         p = GenerationParams(**_fields_from_request(req))
-        res = self.engine.txt2img(p, save=req.save_images)
+        if req.script_name:
+            res = self.engine.run_script(req.script_name, p, req.script_args)
+        else:
+            res = self.engine.txt2img(p, save=req.save_images)
         images = [encode_pil_to_base64(img, info=res.infotexts[i] if i < len(res.infotexts) else None)
                   for i, img in enumerate(res.images)] if req.send_images else None
         return schema.ImageResponse(
@@ -123,7 +126,10 @@ class Api:
         if req.mask_blur is not None:
             fields["mask_blur"] = req.mask_blur
         p = GenerationParams(**fields)
-        res = self.engine.img2img(p, save=req.save_images)
+        if req.script_name:
+            res = self.engine.run_script(req.script_name, p, req.script_args)
+        else:
+            res = self.engine.img2img(p, save=req.save_images)
         images = [encode_pil_to_base64(img, info=res.infotexts[i] if i < len(res.infotexts) else None)
                   for i, img in enumerate(res.images)] if req.send_images else None
         return schema.ImageResponse(
@@ -273,7 +279,9 @@ class Api:
         return []
 
     def prompt_styles(self, body=None):
-        return []
+        return [{"name": s.name, "prompt": s.prompt,
+                 "negative_prompt": s.negative_prompt}
+                for s in self.engine.styles.styles.values()]
 
     def embeddings(self, body=None):
         db = getattr(self.engine.sd_model.conditioner, "embedding_db", None)
@@ -318,10 +326,18 @@ class Api:
             ram=mem, cuda={"system": dev, "events": {}}).model_dump()
 
     def scripts(self, body=None):
-        return {"txt2img": [], "img2img": []}
+        import sdwebui_tpu.scripts.builtin  # noqa: F401
+        from sdwebui_tpu.scripts.framework import list_selectable_scripts
+
+        names = list_selectable_scripts()
+        return {"txt2img": names, "img2img": names}
 
     def script_info(self, body=None):
-        return []
+        import sdwebui_tpu.scripts.builtin  # noqa: F401
+        from sdwebui_tpu.scripts.framework import list_selectable_scripts
+
+        return [{"name": n, "is_alwayson": False, "is_img2img": True,
+                 "args": []} for n in list_selectable_scripts()]
 
     def extensions(self, body=None):
         return []

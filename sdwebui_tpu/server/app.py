@@ -35,6 +35,14 @@ class Engine:
         self._model_lock = threading.Lock()
         self._requested_ckpt = ckpt
         self._test_model = test_model
+        from sdwebui_tpu.text.styles import StyleDatabase
+
+        self.styles = StyleDatabase()
+
+    def apply_styles(self, p: GenerationParams):
+        if p.styles:
+            p.prompt, p.negative_prompt = self.styles.apply(
+                p.prompt, p.negative_prompt, p.styles)
 
     # ---- model lifecycle ----------------------------------------------
 
@@ -91,6 +99,7 @@ class Engine:
     def txt2img(self, p: GenerationParams, save: bool = False):
         from sdwebui_tpu.pipeline.processing import process_txt2img
 
+        self.apply_styles(p)
         with self.queue_lock:
             state.begin("txt2img")
             state.job_count = p.n_iter
@@ -126,6 +135,7 @@ class Engine:
     def img2img(self, p: GenerationParams, save: bool = False):
         from sdwebui_tpu.pipeline.img2img import process_img2img
 
+        self.apply_styles(p)
         with self.queue_lock:
             state.begin("img2img")
             state.job_count = p.n_iter
@@ -133,6 +143,33 @@ class Engine:
                 outdir = os.path.join(self.outdir, "img2img-images") if save else None
                 return process_img2img(self.sd_model, p, outdir=outdir,
                                        callback=self._batch_callback)
+            finally:
+                state.end()
+
+    # inner entry points for scripts (no queue-lock re-entry, no state reset)
+    def txt2img_inner(self, p: GenerationParams):
+        from sdwebui_tpu.pipeline.processing import process_txt2img
+
+        return process_txt2img(self.sd_model, p,
+                               refiner_model=self._resolve_refiner(p))
+
+    def img2img_inner(self, p: GenerationParams):
+        from sdwebui_tpu.pipeline.img2img import process_img2img
+
+        return process_img2img(self.sd_model, p)
+
+    def run_script(self, script_name: str, p: GenerationParams,
+                   script_args: list):
+        import sdwebui_tpu.scripts.builtin  # noqa: F401  (registers scripts)
+        from sdwebui_tpu.scripts.framework import get_script
+
+        script = get_script(script_name)
+        if script is None:
+            raise ValueError(f"unknown script {script_name!r}")
+        with self.queue_lock:
+            state.begin(f"script:{script_name}")
+            try:
+                return script.run(self, p, *script_args)
             finally:
                 state.end()
 

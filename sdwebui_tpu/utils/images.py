@@ -95,6 +95,72 @@ def image_grid(imgs: list, batch_size: int = 1, rows: int | None = None) -> Imag
     return grid
 
 
+class Grid:
+    def __init__(self, tiles, tile_w, tile_h, image_w, image_h, overlap):
+        self.tiles = tiles      # rows: [y, h, [[x, w, tile_image], ...]]
+        self.tile_w = tile_w
+        self.tile_h = tile_h
+        self.image_w = image_w
+        self.image_h = image_h
+        self.overlap = overlap
+
+
+def split_grid(image: Image.Image, tile_w=512, tile_h=512, overlap=64) -> Grid:
+    """Overlapping tile split (reference modules/images.py:78)."""
+    w, h = image.size
+    non_overlap_width = tile_w - overlap
+    non_overlap_height = tile_h - overlap
+    cols = max((w - overlap + non_overlap_width - 1) // non_overlap_width, 1)
+    rows = max((h - overlap + non_overlap_height - 1) // non_overlap_height, 1)
+    dx = (w - tile_w) / (cols - 1) if cols > 1 else 0
+    dy = (h - tile_h) / (rows - 1) if rows > 1 else 0
+
+    grid = Grid([], tile_w, tile_h, w, h, overlap)
+    for row in range(rows):
+        row_images = []
+        y = min(int(row * dy), h - tile_h) if h >= tile_h else 0
+        for col in range(cols):
+            x = min(int(col * dx), w - tile_w) if w >= tile_w else 0
+            tile = image.crop((x, y, x + tile_w, y + tile_h))
+            row_images.append([x, tile_w, tile])
+        grid.tiles.append([y, tile_h, row_images])
+    return grid
+
+
+def combine_grid(grid: Grid) -> Image.Image:
+    """Feathered overlap re-assembly (reference modules/images.py:114)."""
+    def make_mask_image(r):
+        r = r * 255 / grid.overlap
+        return Image.fromarray(np.clip(r, 0, 255).astype(np.uint8), "L")
+
+    mask_w = make_mask_image(
+        np.arange(grid.overlap, dtype=np.float32).reshape((1, grid.overlap))
+        .repeat(grid.tile_h, axis=0))
+    mask_h = make_mask_image(
+        np.arange(grid.overlap, dtype=np.float32).reshape((grid.overlap, 1))
+        .repeat(grid.image_w, axis=1))
+
+    combined_image = Image.new("RGB", (grid.image_w, grid.image_h))
+    for y, h, row in grid.tiles:
+        combined_row = Image.new("RGB", (grid.image_w, h))
+        for x, w, tile in row:
+            if x == 0:
+                combined_row.paste(tile, (0, 0))
+                continue
+            combined_row.paste(tile.crop((0, 0, grid.overlap, h)), (x, 0), mask=mask_w)
+            combined_row.paste(tile.crop((grid.overlap, 0, w, h)), (x + grid.overlap, 0))
+        if y == 0:
+            combined_image.paste(combined_row, (0, 0))
+            continue
+        combined_image.paste(
+            combined_row.crop((0, 0, combined_row.width, grid.overlap)),
+            (0, y), mask=mask_h)
+        combined_image.paste(
+            combined_row.crop((0, grid.overlap, combined_row.width, h)),
+            (0, y + grid.overlap))
+    return combined_image
+
+
 def resize_image(resize_mode: int, im: Image.Image, width: int, height: int) -> Image.Image:
     """Modes (reference modules/images.py:252): 0=stretch, 1=crop-to-fill,
     2=pad-to-fit, 3 treated as 0 here (latent upscale handled upstream)."""

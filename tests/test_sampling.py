@@ -223,3 +223,59 @@ def test_sampler_registry_names():
     assert get_sampler("DPM++ 2M SDE Heun").extra == (("solver_type", "heun"),)
     with pytest.raises(ValueError):
         get_sampler("nonexistent")
+
+
+# --------------------------------------------------------------------------
+# timestep samplers (DDIM / PLMS)
+# --------------------------------------------------------------------------
+
+def test_ddim_eta0_equals_euler():
+    """DDIM with η=0 is exactly Euler in VE space on the same schedule."""
+    a = 0.4
+    model = lambda xc, s, i: a * xc
+    x0 = jnp.full((1, 2, 2, 1), 1.3, jnp.float32)
+    sig = jnp.asarray(np.geomspace(10, 0.05, 12).tolist() + [0.0], jnp.float32)
+    o_ddim = sample(model, x0, sig, solver="ddim",
+                    noise=jnp.zeros((12, 1, 1, 2, 2, 1)), extra={"eta": 0.0})
+    o_euler = sample(model, x0, sig, solver="euler",
+                     noise=jnp.zeros((12, 1, 1, 2, 2, 1)))
+    np.testing.assert_allclose(np.asarray(o_ddim), np.asarray(o_euler), rtol=1e-5)
+
+
+def test_ddim_eta_nonzero_differs():
+    model = lambda xc, s, i: 0.4 * xc
+    x0 = jnp.full((1, 2, 2, 1), 1.3, jnp.float32)
+    sig = jnp.asarray(np.geomspace(10, 0.05, 8).tolist() + [0.0], jnp.float32)
+    rng = np.random.default_rng(0)
+    noise = jnp.asarray(rng.standard_normal((8, 1, 1, 2, 2, 1)), jnp.float32)
+    o0 = sample(model, x0, sig, solver="ddim", noise=noise, extra={"eta": 0.0})
+    o1 = sample(model, x0, sig, solver="ddim", noise=noise, extra={"eta": 1.0})
+    assert not np.allclose(np.asarray(o0), np.asarray(o1))
+
+
+def test_plms_perfect_denoiser():
+    target = jnp.full((1, 4, 4, 2), 2.5, jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 4, 2)),
+                    jnp.float32) * SIGMAS[0]
+    out = sample(lambda xc, s, i: target, x, SIGMAS, solver="plms",
+                 noise=jnp.zeros((len(SIGMAS) - 1, 1, 1, 4, 4, 2)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
+
+
+def test_plms_higher_order_than_euler():
+    a = 0.5
+    sig = np.concatenate([np.geomspace(10.0, 0.5, 40), [0.4]])
+    x0 = jnp.full((1, 2, 2, 1), 1.7, jnp.float32)
+    model = lambda xc, s, i: a * xc
+    exact = 1.7 * (sig[-1] / sig[0]) ** (1 - a)
+    zeros = jnp.zeros((len(sig) - 1, 1, 1, 2, 2, 1))
+    e_plms = abs(float(np.asarray(sample(model, x0, jnp.asarray(sig, jnp.float32),
+                                         solver="plms", noise=zeros)).ravel()[0]) - exact)
+    e_euler = abs(float(np.asarray(sample(model, x0, jnp.asarray(sig, jnp.float32),
+                                          solver="euler", noise=zeros)).ravel()[0]) - exact)
+    assert e_plms < e_euler
+
+
+def test_ddim_plms_in_registry():
+    assert get_sampler("DDIM").solver == "ddim"
+    assert get_sampler("PLMS").scheduler_override == "ddim"

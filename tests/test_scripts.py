@@ -1,0 +1,166 @@
+"""Styles, tiling helpers, and built-in script tests."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import sdwebui_tpu.scripts.builtin  # noqa: F401 — registers scripts
+from sdwebui_tpu.pipeline.params import GenerationParams
+from sdwebui_tpu.scripts.builtin import parse_axis_values
+from sdwebui_tpu.scripts.framework import get_script, list_selectable_scripts
+from sdwebui_tpu.server.app import Engine
+from sdwebui_tpu.text.styles import (
+    StyleDatabase, apply_styles_to_prompt, extract_original_prompt, merge_prompts,
+)
+from sdwebui_tpu.utils.images import combine_grid, image_grid, split_grid
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return Engine(test_model=True)
+
+
+# --------------------------------------------------------------------------
+# styles
+# --------------------------------------------------------------------------
+
+def test_merge_prompts():
+    assert merge_prompts("by artist", "a cat") == "a cat, by artist"
+    assert merge_prompts("photo of {prompt}, hd", "a cat") == "photo of a cat, hd"
+    assert merge_prompts("solo style", "") == "solo style"
+
+
+def test_extract_original_prompt():
+    assert extract_original_prompt("by artist", "a cat, by artist") == ("a cat", True)
+    assert extract_original_prompt("photo of {prompt}, hd", "photo of a cat, hd") == ("a cat", True)
+    assert extract_original_prompt("by artist", "a cat") == ("a cat", False)
+
+
+def test_style_database_roundtrip(tmp_path):
+    path = str(tmp_path / "styles.csv")
+    db = StyleDatabase(path)
+    from sdwebui_tpu.text.styles import PromptStyle
+
+    db.styles["anime"] = PromptStyle("anime", "anime style", "photo")
+    db.save()
+    db2 = StyleDatabase(path)
+    assert db2.styles["anime"].prompt == "anime style"
+    pos, neg = db2.apply("a cat", "ugly", ["anime"])
+    assert pos == "a cat, anime style" and neg == "ugly, photo"
+
+
+# --------------------------------------------------------------------------
+# tiling
+# --------------------------------------------------------------------------
+
+def test_split_combine_grid_roundtrip():
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (200, 300, 3), dtype=np.uint8))
+    grid = split_grid(img, tile_w=128, tile_h=128, overlap=32)
+    out = combine_grid(grid)
+    assert out.size == img.size
+    # feathered reassembly of untouched tiles reproduces the image closely
+    diff = np.abs(np.asarray(out, int) - np.asarray(img, int))
+    assert diff.mean() < 3
+
+
+def test_split_grid_small_image():
+    img = Image.new("RGB", (64, 64))
+    grid = split_grid(img, tile_w=128, tile_h=128, overlap=32)
+    assert len(grid.tiles) == 1 and len(grid.tiles[0][2]) == 1
+
+
+def test_image_grid_rows():
+    imgs = [Image.new("RGB", (8, 8)) for _ in range(6)]
+    g = image_grid(imgs, rows=2)
+    assert g.size == (24, 16)
+
+
+# --------------------------------------------------------------------------
+# built-in scripts
+# --------------------------------------------------------------------------
+
+def test_script_registry():
+    names = list_selectable_scripts()
+    for expected in ["x/y/z plot", "prompt matrix", "loopback", "sd upscale"]:
+        assert expected in names
+    assert get_script("X/Y/Z plot") is not None
+    assert get_script("missing") is None
+
+
+def test_parse_axis_values():
+    assert parse_axis_values("Seed", "1-3") == [1, 2, 3]
+    assert parse_axis_values("CFG Scale", "5, 7.5") == ["5", "7.5"]
+    assert parse_axis_values("Nothing", "anything") == [None]
+    assert parse_axis_values("Sampler", ["Euler", "Heun"]) == ["Euler", "Heun"]
+
+
+def test_xyz_plot_end_to_end(engine):
+    p = GenerationParams(prompt="a cat", seed=1, steps=1, width=64, height=64)
+    res = engine.run_script("X/Y/Z plot", p,
+                            ["Seed", "1-2", "CFG Scale", "3,7", "Nothing", ""])
+    # 1 grid + 4 cells
+    assert len(res.images) == 5
+    assert res.images[0].size == (128, 128)
+
+
+def test_xyz_prompt_sr(engine):
+    p = GenerationParams(prompt="a cat photo", seed=1, steps=1, width=64, height=64)
+    res = engine.run_script("X/Y/Z plot", p,
+                            ["Prompt S/R", "cat,dog", "Nothing", "", "Nothing", ""])
+    assert len(res.images) == 3  # grid + 2 cells
+    assert any("dog" in t for t in res.infotexts)
+
+
+def test_prompt_matrix(engine):
+    p = GenerationParams(prompt="a cat|red|blue", seed=1, steps=1,
+                         width=64, height=64)
+    res = engine.run_script("Prompt matrix", p, [])
+    assert len(res.images) == 5  # grid + 4 combos
+    assert "a cat, red, blue" in res.all_prompts
+
+
+def test_prompts_from_file(engine):
+    p = GenerationParams(seed=1, steps=1, width=64, height=64)
+    res = engine.run_script("Prompts from file or textbox", p,
+                            [False, False, "first prompt\n\nsecond prompt\n"])
+    assert len(res.images) == 2
+
+
+def test_loopback(engine):
+    src = Image.new("RGB", (64, 64), (90, 90, 90))
+    p = GenerationParams(prompt="x", seed=1, steps=2, width=64, height=64,
+                         denoising_strength=0.4, init_images=[src])
+    res = engine.run_script("Loopback", p, [3, 0.6])
+    assert len(res.images) == 3
+
+
+def test_sd_upscale(engine):
+    src = Image.new("RGB", (64, 64), (90, 90, 90))
+    p = GenerationParams(prompt="x", seed=1, steps=1, width=64, height=64,
+                         denoising_strength=0.3, init_images=[src])
+    res = engine.run_script("SD upscale", p, [16, "Lanczos", 2.0])
+    assert res.images[0].size == (128, 128)
+
+
+def test_api_script_dispatch(engine):
+    """script_name through the HTTP layer."""
+    import requests
+
+    from sdwebui_tpu.server.api import ApiServer
+
+    srv = ApiServer(engine, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        r = requests.post(
+            f"http://127.0.0.1:{srv.port}/sdapi/v1/txt2img",
+            json={"prompt": "a cat", "seed": 1, "steps": 1, "width": 64,
+                  "height": 64, "script_name": "X/Y/Z plot",
+                  "script_args": ["Seed", "1-2", "Nothing", "", "Nothing", ""]})
+        assert r.status_code == 200, r.text
+        assert len(r.json()["images"]) == 3
+        names = requests.get(
+            f"http://127.0.0.1:{srv.port}/sdapi/v1/scripts").json()
+        assert "x/y/z plot" in names["txt2img"]
+    finally:
+        srv.shutdown()
