@@ -38,6 +38,9 @@ class Engine:
         from sdwebui_tpu.text.styles import StyleDatabase
 
         self.styles = StyleDatabase()
+        from sdwebui_tpu.models.esrgan import register_esrgan_dir
+
+        register_esrgan_dir()  # models/ESRGAN, models/RealESRGAN
 
     def apply_styles(self, p: GenerationParams):
         if p.styles:

@@ -1,0 +1,140 @@
+"""ESRGAN port tests (incl. torch numeric parity) + preview decoders."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from sdwebui_tpu.models import esrgan
+from sdwebui_tpu.models.vae_approx import cheap_approximation, taesd_decode
+
+
+def test_esrgan_shapes():
+    params = esrgan.init_params(n_blocks=1, nf=16, gc=8)
+    x = jnp.ones((1, 16, 16, 3))
+    out = esrgan.apply(params, x, scale=4)
+    assert out.shape == (1, 64, 64, 3)
+    assert float(out.min()) >= 0 and float(out.max()) <= 1
+
+
+def test_esrgan_parity_vs_torch():
+    """Full RRDBNet vs a torch reference implementation on the same weights."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    nf, gc = 8, 4
+
+    class RDB(nn.Module):
+        def __init__(self):
+            super().__init__()
+            for i in range(5):
+                cout = gc if i < 4 else nf
+                setattr(self, f"conv{i+1}", nn.Conv2d(nf + i * gc, cout, 3, 1, 1))
+
+        def forward(self, x):
+            x1 = F.leaky_relu(self.conv1(x), 0.2)
+            x2 = F.leaky_relu(self.conv2(torch.cat([x, x1], 1)), 0.2)
+            x3 = F.leaky_relu(self.conv3(torch.cat([x, x1, x2], 1)), 0.2)
+            x4 = F.leaky_relu(self.conv4(torch.cat([x, x1, x2, x3], 1)), 0.2)
+            x5 = self.conv5(torch.cat([x, x1, x2, x3, x4], 1))
+            return x + 0.2 * x5
+
+    class RRDBNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_first = nn.Conv2d(3, nf, 3, 1, 1)
+            self.body = nn.ModuleList([nn.Module() for _ in range(1)])
+            self.body[0].rdb1, self.body[0].rdb2, self.body[0].rdb3 = RDB(), RDB(), RDB()
+            self.conv_body = nn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_up1 = nn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_up2 = nn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_hr = nn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_last = nn.Conv2d(nf, 3, 3, 1, 1)
+
+    torch.manual_seed(0)
+    net = RRDBNet().eval()
+
+    # convert state dict → our tree
+    from sdwebui_tpu.loader.convert import convert_leaf
+    from sdwebui_tpu.utils.pytree import unflatten
+
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    tree = unflatten({k: convert_leaf(k, v) for k, v in sd.items()})
+
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 8, 8, 3)).astype(np.float32)
+    ours = np.asarray(esrgan.apply(tree, jnp.asarray(x), scale=4))
+
+    # torch forward replicating the full arch (RRDB residual + upsample)
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        fea = net.conv_first(xt)
+        b = net.body[0]
+        # RRDB: x + 0.2 * rdb3(rdb2(rdb1(x)))
+        body = fea + 0.2 * b.rdb3(b.rdb2(b.rdb1(fea)))
+        fea2 = fea + net.conv_body(body)
+        up = F.leaky_relu(net.conv_up1(F.interpolate(fea2, scale_factor=2, mode="nearest")), 0.2)
+        up = F.leaky_relu(net.conv_up2(F.interpolate(up, scale_factor=2, mode="nearest")), 0.2)
+        ref = net.conv_last(F.leaky_relu(net.conv_hr(up), 0.2))
+        ref = torch.clamp(ref, 0, 1).permute(0, 2, 3, 1).numpy()
+
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_esrgan_old_key_translation():
+    sd = {
+        "model.0.weight": np.zeros((8, 3, 3, 3)),
+        "model.1.sub.0.RDB1.conv1.0.weight": np.zeros((4, 8, 3, 3)),
+        "model.1.sub.23.weight": np.zeros((8, 8, 3, 3)),
+        "model.3.weight": np.zeros((8, 8, 3, 3)),
+        "model.10.bias": np.zeros(3),
+    }
+    out = esrgan.normalize_keys(sd)
+    assert "conv_first.weight" in out
+    assert "body.0.rdb1.conv1.weight" in out
+    assert "conv_body.weight" in out
+    assert "conv_up1.weight" in out
+    assert "conv_last.bias" in out
+
+
+def test_tiled_upscale_matches_single(tmp_path):
+    """Tiled inference ≈ single-pass on a small image (feathering tolerance)."""
+    params = esrgan.init_params(n_blocks=1, nf=8, gc=4)
+    rng = np.random.default_rng(1)
+    img = Image.fromarray(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    single = esrgan.upscale_image(params, img, 4, tile=256, overlap=8)
+    tiled = esrgan.upscale_image(params, img, 4, tile=32, overlap=8)
+    assert single.size == tiled.size == (256, 192)
+    diff = np.abs(np.asarray(single, int) - np.asarray(tiled, int))
+    # conv halo effects at seams only; overall should be close
+    assert diff.mean() < 10
+
+
+def test_cheap_approximation_shapes():
+    lat = jnp.ones((2, 8, 8, 4))
+    rgb = cheap_approximation(lat, "sd1")
+    assert rgb.shape == (2, 8, 8, 3)
+    rgb16 = cheap_approximation(jnp.ones((1, 8, 8, 16)), "sd3")
+    assert rgb16.shape == (1, 8, 8, 3)
+
+
+def test_taesd_decoder_shapes():
+    """Synthetic TAESD-shaped params → 8x upsampling decode."""
+    from sdwebui_tpu.models.init_utils import HostInit
+
+    ini = HostInit(0)
+    conv = lambda cin, cout: ini.conv(3, 3, cin, cout, jnp.float32)
+
+    def block(c):
+        return {"conv": {"0": conv(c, c), "2": conv(c, c), "4": conv(c, c)}}
+
+    # sequential indices: 1 conv, 3/4/5 blocks, 7 conv(after up), 8/9/10,
+    # 12, 13/14/15, 17, 18 block, 19 final conv
+    params = {"1": conv(4, 16),
+              "3": block(16), "4": block(16), "5": block(16), "7": conv(16, 16),
+              "8": block(16), "9": block(16), "10": block(16), "12": conv(16, 16),
+              "13": block(16), "14": block(16), "15": block(16), "17": conv(16, 16),
+              "18": block(16), "19": conv(16, 3)}
+    out = taesd_decode(params, jnp.ones((1, 8, 8, 4)))
+    assert out.shape == (1, 64, 64, 3)
