@@ -99,10 +99,21 @@ def _resblock(p, x, emb):
     return x + h
 
 
-def _cross_attention(p, x, context, heads):
+def _cross_attention(p, x, context, heads, hypernet=None):
+    ctx_k = ctx_v = context
+    if hypernet is not None:
+        tree, (activation, multiplier, activate_output) = hypernet
+        hn = tree.get(str(context.shape[-1]))
+        if hn is not None:
+            from sdwebui_tpu.networks.hypernetwork import apply_hypernetwork_module
+
+            ctx_k = apply_hypernetwork_module(hn[0], context, activation,
+                                              multiplier, activate_output)
+            ctx_v = apply_hypernetwork_module(hn[1], context, activation,
+                                              multiplier, activate_output)
     q = linear(p["to_q"], x)
-    k = linear(p["to_k"], context)
-    v = linear(p["to_v"], context)
+    k = linear(p["to_k"], ctx_k)
+    v = linear(p["to_v"], ctx_v)
     out = attention(q, k, v, num_heads=heads)
     return linear(p["to_out"]["0"], out)
 
@@ -114,16 +125,17 @@ def _ff_geglu(p, x):
     return linear(p["net"]["2"], h)
 
 
-def _basic_block(p, x, context, heads):
+def _basic_block(p, x, context, heads, hypernet=None):
     h = layer_norm_p(p["norm1"], x)
-    x = x + _cross_attention(p["attn1"], h, h, heads)
+    x = x + _cross_attention(p["attn1"], h, h, heads, hypernet)
     h = layer_norm_p(p["norm2"], x)
-    x = x + _cross_attention(p["attn2"], h, context, heads)
+    x = x + _cross_attention(p["attn2"], h, context, heads, hypernet)
     x = x + _ff_geglu(p["ff"], layer_norm_p(p["norm3"], x))
     return x
 
 
-def _spatial_transformer(p, x, context, cfg: UNetConfig, depth: int):
+def _spatial_transformer(p, x, context, cfg: UNetConfig, depth: int,
+                         hypernet=None):
     b, h, w, c = x.shape
     heads = cfg.heads_for(c)
     residual = x
@@ -135,7 +147,8 @@ def _spatial_transformer(p, x, context, cfg: UNetConfig, depth: int):
         x = conv2d(p["proj_in"], x, padding=0)
         x = x.reshape(b, h * w, c)
     for d in range(depth):
-        x = _basic_block(p["transformer_blocks"][str(d)], x, context, heads)
+        x = _basic_block(p["transformer_blocks"][str(d)], x, context, heads,
+                         hypernet)
     if cfg.use_linear_in_transformer:
         x = linear(p["proj_out"], x)
         x = x.reshape(b, h, w, c)
@@ -145,7 +158,7 @@ def _spatial_transformer(p, x, context, cfg: UNetConfig, depth: int):
     return x + residual
 
 
-def _apply_layers(plan, p, x, emb, context, cfg):
+def _apply_layers(plan, p, x, emb, context, cfg, hypernet=None):
     for slot, layer in enumerate(plan):
         sp = p[str(slot)]
         kind = layer[0]
@@ -154,7 +167,7 @@ def _apply_layers(plan, p, x, emb, context, cfg):
         elif kind == "res":
             x = _resblock(sp, x, emb)
         elif kind == "attn":
-            x = _spatial_transformer(sp, x, context, cfg, layer[2])
+            x = _spatial_transformer(sp, x, context, cfg, layer[2], hypernet)
         elif kind == "down":
             x = conv2d(sp["op"], x, stride=2)
         elif kind == "up":
@@ -168,7 +181,8 @@ def _apply_layers(plan, p, x, emb, context, cfg):
 # forward
 # --------------------------------------------------------------------------
 
-def apply(params, cfg: UNetConfig, x, timesteps, context, y=None, control=None):
+def apply(params, cfg: UNetConfig, x, timesteps, context, y=None, control=None,
+          hypernet=None):
     """UNet forward.
 
     x: (B,H,W,C_in) latent; timesteps: (B,); context: (B,S,context_dim);
@@ -192,21 +206,23 @@ def apply(params, cfg: UNetConfig, x, timesteps, context, y=None, control=None):
     hs = []
     h = x
     for i, plan in enumerate(input_plan):
-        h = _apply_layers(plan, params["input_blocks"][str(i)], h, emb, context, cfg)
+        h = _apply_layers(plan, params["input_blocks"][str(i)], h, emb, context,
+                          cfg, hypernet)
         if control is not None and "input" in control:
             h = h + control["input"][i]
         hs.append(h)
 
     mp = params["middle_block"]
     h = _resblock(mp["0"], h, emb)
-    h = _spatial_transformer(mp["1"], h, context, cfg, middle_depth)
+    h = _spatial_transformer(mp["1"], h, context, cfg, middle_depth, hypernet)
     h = _resblock(mp["2"], h, emb)
     if control is not None and "middle" in control:
         h = h + control["middle"]
 
     for i, plan in enumerate(output_plan):
         h = jnp.concatenate([h, hs.pop()], axis=-1)
-        h = _apply_layers(plan, params["output_blocks"][str(i)], h, emb, context, cfg)
+        h = _apply_layers(plan, params["output_blocks"][str(i)], h, emb, context,
+                          cfg, hypernet)
 
     h = group_norm_p(params["out"]["0"], h, silu=True)
     return conv2d(params["out"]["2"], h)

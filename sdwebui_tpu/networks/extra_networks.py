@@ -99,24 +99,51 @@ def default_registry() -> LoraRegistry:
     return _default_registry
 
 
-def activate(model, prompt: str, registry: LoraRegistry | None = None):
-    """Parse tags, strip them, return (clean_prompt, model-with-networks).
+_hypernet_registry = None
 
-    Merged trees are cached per (model identity, network set) so repeated
+
+def hypernet_registry():
+    global _hypernet_registry
+    if _hypernet_registry is None:
+        from sdwebui_tpu.networks.hypernetwork import HypernetworkRegistry
+
+        _hypernet_registry = HypernetworkRegistry()
+    return _hypernet_registry
+
+
+def activate(model, prompt: str, registry: LoraRegistry | None = None):
+    """Parse tags, strip them, return (clean_prompt, model, hypernet).
+
+    hypernet: None or ((tree, meta)) ready for the jitted UNet.  Merged LoRA
+    trees are cached per (model identity, network set) so repeated
     generations with the same LoRAs skip the merge (the reference instead
     mutates weights and tracks 'loaded networks')."""
     clean, nets = parse_prompt(prompt)
-    nets = [n for n in nets if n.kind in ("lora", "lyco")]
-    if not nets:
-        return clean, model
-    key = (id(model), tuple((n.kind, tuple(n.items)) for n in nets))
+    lora_nets = [n for n in nets if n.kind in ("lora", "lyco")]
+    hn_nets = [n for n in nets if n.kind == "hypernet"]
+
+    hypernet = None
+    if hn_nets:
+        from sdwebui_tpu.networks.hypernetwork import load_hypernetwork
+
+        reg = hypernet_registry()
+        net = hn_nets[0]
+        path = reg.files.get(net.name)
+        if path is None:
+            raise FileNotFoundError(f"hypernetwork {net.name!r} not found")
+        tree, activation = load_hypernetwork(path)
+        hypernet = (tree, (activation, net.mult(1, 1.0), False))
+
+    if not lora_nets:
+        return clean, model, hypernet
+    key = (id(model), tuple((n.kind, tuple(n.items)) for n in lora_nets))
     if key in _merge_cache:
-        return clean, _merge_cache[key]
-    merged = apply_to_model(model, nets, registry or default_registry())
+        return clean, _merge_cache[key], hypernet
+    merged = apply_to_model(model, lora_nets, registry or default_registry())
     if len(_merge_cache) > 4:
         _merge_cache.clear()
     _merge_cache[key] = merged
-    return clean, merged
+    return clean, merged, hypernet
 
 
 def apply_to_model(model, nets: list, registry: LoraRegistry):

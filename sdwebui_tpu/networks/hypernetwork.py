@@ -1,0 +1,148 @@
+"""Hypernetworks: per-dimension MLP pairs applied to attention k/v context
+(reference modules/hypernetworks/hypernetwork.py — module structure,
+`apply_single_hypernetwork` :358).
+
+A hypernetwork file stores, per context dim (768/1024/320/640/1280…), a
+(k_module, v_module) pair of small MLPs; at runtime the cross-attention
+context is transformed: ctx' = ctx + multiplier·MLP(ctx).  Loading parses
+the reference .pt layout; params become plain trees consumed inside the
+jitted UNet (models/unet.py plumbs `hypernet` through)."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _act(name: str):
+    return {
+        "linear": lambda x: x, "relu": jax.nn.relu, "leakyrelu": lambda x: jax.nn.leaky_relu(x, 0.01),
+        "elu": jax.nn.elu, "swish": jax.nn.silu, "tanh": jnp.tanh,
+        "sigmoid": jax.nn.sigmoid, "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    }.get(name, lambda x: x)
+
+
+def apply_hypernetwork_module(layers, x, activation: str = "linear",
+                              multiplier: float = 1.0,
+                              activate_output: bool = False):
+    """layers: list/tuple of {"weight","bias"} array dicts (jit-safe pytree;
+    activation/multiplier are static metadata).  ctx' = ctx + mult·MLP(ctx)."""
+    h = x.astype(jnp.float32)
+    act = _act(activation)
+    n = len(layers)
+    for i, layer in enumerate(layers):
+        h = h @ layer["weight"].astype(jnp.float32)
+        if "bias" in layer:
+            h = h + layer["bias"].astype(jnp.float32)
+        if i < n - 1 or activate_output:
+            h = act(h)
+    return (x.astype(jnp.float32) + h * multiplier).astype(x.dtype)
+
+
+def init_module(dim: int, layer_structure=(1, 2, 1), seed: int = 0) -> list:
+    """Random-init MLP layer list (reference HypernetworkModule __init__)."""
+    rng = np.random.default_rng(seed)
+    dims = [int(dim * m) for m in layer_structure]
+    layers = []
+    for cin, cout in zip(dims[:-1], dims[1:]):
+        layers.append({
+            "weight": (rng.standard_normal((cin, cout)) * 0.01).astype(np.float32),
+            "bias": np.zeros((cout,), np.float32),
+        })
+    return layers
+
+
+def create_hypernetwork(dims=(768, 320, 640, 1280), layer_structure=(1, 2, 1),
+                        seed: int = 0) -> dict:
+    """{dim_str: (k_layers, v_layers)} — arrays-only pytree."""
+    out = {}
+    for i, d in enumerate(dims):
+        out[str(d)] = (init_module(d, layer_structure, seed + 2 * i),
+                       init_module(d, layer_structure, seed + 2 * i + 1))
+    return out
+
+
+# --------------------------------------------------------------------------
+# serialization (reference .pt layout: {dim: [k_sd, v_sd], 'layer_structure',
+# 'activation_func', 'name', 'step', ...})
+# --------------------------------------------------------------------------
+
+def save_hypernetwork(hn: dict, path: str, name: str = "", step: int = 0,
+                      layer_structure=(1, 2, 1), activation="linear"):
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+
+    tensors = {}
+    for dim, (k_mod, v_mod) in hn.items():
+        for tag, mod in (("k", k_mod), ("v", v_mod)):
+            for li, layer in enumerate(mod):
+                tensors[f"{dim}.{tag}.linear.{li}.weight"] = np.asarray(layer["weight"])
+                if "bias" in layer:
+                    tensors[f"{dim}.{tag}.linear.{li}.bias"] = np.asarray(layer["bias"])
+    write_safetensors(path, tensors, metadata={
+        "name": name, "step": str(step),
+        "layer_structure": ",".join(str(x) for x in layer_structure),
+        "activation_func": activation})
+
+
+def load_hypernetwork(path: str) -> dict:
+    """.safetensors (ours) or .pt (reference layout via restricted
+    unpickler)."""
+    if path.endswith(".safetensors"):
+        from sdwebui_tpu.loader.safetensors_io import SafetensorsFile
+
+        with SafetensorsFile(path) as f:
+            meta = f.metadata
+            activation = meta.get("activation_func", "linear")
+            out: dict = {}
+            for key in f.keys():
+                dim, tag, _, li, kind = key.split(".")
+                mods = out.setdefault(dim, ([], []))
+                mod = mods[0] if tag == "k" else mods[1]
+                li = int(li)
+                while len(mod) <= li:
+                    mod.append({})
+                mod[li][kind] = np.asarray(f.tensor(key))
+            return out, activation
+
+    from sdwebui_tpu.loader.torch_ckpt import load_torch_checkpoint
+
+    sd = load_torch_checkpoint(path)
+    # reference layout: keys like "768.0.linear.0.weight" after flattening?
+    # torch.save of the dict {768: [k_sd, v_sd]} → our unpickler flattens
+    # only tensor leaves; reconstruct by key pattern
+    out = {}
+    for key, v in sd.items():
+        parts = str(key).split(".")
+        if len(parts) < 4:
+            continue
+        dim = parts[0].lstrip("(").rstrip(",)")
+        tag_idx = parts[1]
+        mods = out.setdefault(dim, ([], []))
+        mod = mods[0] if tag_idx in ("0", "k") else mods[1]
+        li = int(parts[-2])
+        while len(mod) <= li:
+            mod.append({})
+        arr = np.asarray(v)
+        if parts[-1] == "weight":
+            arr = arr.T  # torch (out,in) → (in,out)
+        mod[li][parts[-1]] = arr
+    return out, "linear"
+
+
+class HypernetworkRegistry:
+    def __init__(self, dirs=("models/hypernetworks",)):
+        self.dirs = list(dirs)
+        self.files: dict[str, str] = {}
+        self.refresh()
+
+    def refresh(self):
+        self.files = {}
+        for d in self.dirs:
+            if not os.path.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                if fn.lower().endswith((".pt", ".safetensors")):
+                    self.files[os.path.splitext(fn)[0]] = os.path.join(d, fn)

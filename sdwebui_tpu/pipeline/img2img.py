@@ -104,7 +104,7 @@ def process_img2img(model: SDModel, p: GenerationParams,
     _resolve_seeds(p)
     from sdwebui_tpu.networks import extra_networks
 
-    clean_prompt, model = extra_networks.activate(model, p.prompt)
+    clean_prompt, model, hypernet = extra_networks.activate(model, p.prompt)
     sampler = get_sampler(p.sampler_name)
     scheduler = sampler.scheduler_override or p.scheduler
     spec = SOLVERS[sampler.solver]
@@ -177,7 +177,8 @@ def process_img2img(model: SDModel, p: GenerationParams,
         noise = prepare_noise(spec, len(sigma_sched) - 1, rng, (b, h, w, c))
         latents = sample_latents(model, sched, xi, sigma_sched, noise,
                                  sampler.solver, _solver_extra(p, sampler),
-                                 mask=mask, nmask=nmask, init_latent=init_latent)
+                                 mask=mask, nmask=nmask, init_latent=init_latent,
+                                 hypernet=hypernet)
         if mask is not None:
             latents = latents * nmask + init_latent * mask
 

@@ -41,10 +41,12 @@ MAX_SEED = 2 ** 32 - 1
 
 @functools.partial(
     jax.jit,
-    static_argnames=("solver", "unet_cfg", "prediction_type", "extra_items"))
+    static_argnames=("solver", "unet_cfg", "prediction_type", "extra_items",
+                     "hn_meta"))
 def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule,
-                  mask, nmask, init_latent, lms_coeffs,
-                  solver: str, unet_cfg, prediction_type: str, extra_items):
+                  mask, nmask, init_latent, lms_coeffs, hypernet_tree,
+                  solver: str, unet_cfg, prediction_type: str, extra_items,
+                  hn_meta=None):
     from sdwebui_tpu.utils import devices as _dv
 
     compute_dtype = _dv.get_policy().compute_dtype
@@ -61,8 +63,9 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
         x_in = (xb * c_in).astype(compute_dtype)
         if c_concat is not None:
             x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
+        hypernet = (hypernet_tree, hn_meta) if hypernet_tree is not None else None
         out = unet_model.apply(unet_params, unet_cfg, x_in, t, ctx,
-                               y=y).astype(jnp.float32)
+                               y=y, hypernet=hypernet).astype(jnp.float32)
         sig = sigma[:, None, None, None]
         if prediction_type == "v":
             return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
@@ -89,7 +92,7 @@ def _encode_fused(vae_params, vae_cfg, images):
 
 def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
                    solver: str, extra: dict | None = None,
-                   mask=None, nmask=None, init_latent=None):
+                   mask=None, nmask=None, init_latent=None, hypernet=None):
     extra_items = tuple(sorted((extra or {}).items()))
     lms_coeffs = None
     if solver == "lms":
@@ -97,11 +100,13 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
 
         lms_coeffs = jnp.asarray(
             lms_coefficients(np.asarray(sigmas, np.float64)), jnp.float32)
+    hn_tree, hn_meta = (hypernet if hypernet is not None else (None, None))
     return _sample_fused(
         model.unet_params, jnp.asarray(model.disc.log_sigmas, jnp.float32),
         x, jnp.asarray(np.asarray(sigmas), jnp.float32), noise, sched,
-        mask, nmask, init_latent, lms_coeffs,
-        solver, model.unet_cfg, model.disc.prediction_type, extra_items)
+        mask, nmask, init_latent, lms_coeffs, hn_tree,
+        solver, model.unet_cfg, model.disc.prediction_type, extra_items,
+        hn_meta=hn_meta)
 
 
 def decode_first_stage(model: SDModel, latents):
@@ -277,7 +282,7 @@ def process_txt2img(model: SDModel, p: GenerationParams,
     # extra networks: strip <lora:...> tags, swap in merged param trees
     from sdwebui_tpu.networks import extra_networks
 
-    clean_prompt, model = extra_networks.activate(model, p.prompt)
+    clean_prompt, model, hypernet = extra_networks.activate(model, p.prompt)
     sampler = get_sampler(p.sampler_name)
     scheduler = sampler.scheduler_override or p.scheduler
     h, w = p.latent_size()
@@ -316,14 +321,15 @@ def process_txt2img(model: SDModel, p: GenerationParams,
             s_idx = max(int(p.steps * p.refiner_switch_at), 1)
             latents = sample_latents(model, sched, x, sigmas[: s_idx + 1],
                                      noise[:s_idx], sampler.solver,
-                                     _solver_extra(p, sampler))
+                                     _solver_extra(p, sampler), hypernet=hypernet)
             r_sched = _build_conds(refiner_model, p, p.steps - s_idx)
             latents = sample_latents(refiner_model, r_sched, latents,
                                      sigmas[s_idx:], noise[s_idx:],
                                      sampler.solver, _solver_extra(p, sampler))
         else:
             latents = sample_latents(model, sched, x, sigmas, noise,
-                                     sampler.solver, _solver_extra(p, sampler))
+                                     sampler.solver, _solver_extra(p, sampler),
+                                     hypernet=hypernet)
         if p.enable_hr:
             latents = _hires_pass(model, p, latents, seeds, subseeds)
         images = decode_first_stage(model, latents)

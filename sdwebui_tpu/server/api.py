@@ -89,6 +89,10 @@ class Api:
         r("GET", "/sdapi/v1/scripts", self.scripts)
         r("GET", "/sdapi/v1/script-info", self.script_info)
         r("GET", "/sdapi/v1/extensions", self.extensions)
+        r("POST", "/sdapi/v1/create/embedding", self.create_embedding)
+        r("POST", "/sdapi/v1/create/hypernetwork", self.create_hypernetwork)
+        r("POST", "/sdapi/v1/train/embedding", self.train_embedding)
+        r("POST", "/sdapi/v1/train/hypernetwork", self.train_hypernetwork)
         r("POST", "/sdapi/v1/server-kill", self.server_kill)
         r("POST", "/sdapi/v1/server-restart", self.server_restart)
         r("POST", "/sdapi/v1/server-stop", self.server_stop)
@@ -348,6 +352,115 @@ class Api:
         return {"version": f"sdwebui-tpu-{__version__}",
                 "jax": jax.__version__, "backend": jax.default_backend(),
                 "device_count": jax.device_count()}
+
+    # ---- training (reference modules/api/api.py train routes) ----------
+
+    def create_embedding(self, body: dict):
+        import os
+
+        import numpy as np
+
+        from sdwebui_tpu.loader.safetensors_io import write_safetensors
+
+        name = body.get("name", "embedding")
+        n_vectors = int(body.get("num_vectors_per_token", 1))
+        width = self.engine.sd_model.conditioner.cfg.width
+        os.makedirs("embeddings", exist_ok=True)
+        path = os.path.join("embeddings", f"{name}.safetensors")
+        vec = np.random.default_rng(0).standard_normal(
+            (n_vectors, width)).astype(np.float32) * 0.01
+        write_safetensors(path, {"emb_params": vec}, metadata={"name": name})
+        return {"info": f"create embedding filename: {path}"}
+
+    def create_hypernetwork(self, body: dict):
+        import os
+
+        from sdwebui_tpu.networks.hypernetwork import (
+            create_hypernetwork, save_hypernetwork,
+        )
+
+        name = body.get("name", "hypernetwork")
+        dims = tuple(int(x) for x in body.get("enable_sizes", [768, 320, 640, 1280]))
+        os.makedirs("models/hypernetworks", exist_ok=True)
+        path = os.path.join("models/hypernetworks", f"{name}.safetensors")
+        save_hypernetwork(create_hypernetwork(dims=dims), path, name=name)
+        return {"info": f"create hypernetwork filename: {path}"}
+
+    def train_embedding(self, body: dict):
+        """Trains on images in `data_dir` (VAE-encoded at request time)."""
+        import os
+
+        import numpy as np
+        from PIL import Image as PILImage
+
+        from sdwebui_tpu.pipeline.processing import encode_first_stage
+        from sdwebui_tpu.training.textual_inversion import train_embedding as _train
+
+        name = body.get("embedding_name", "embedding")
+        data_dir = body.get("data_root", "")
+        if not os.path.isdir(data_dir):
+            raise ApiError(404, f"data_root not found: {data_dir}")
+        imgs = []
+        model = self.engine.sd_model
+        size = int(body.get("training_width", 512))
+        for fn in sorted(os.listdir(data_dir))[:64]:
+            if fn.lower().endswith((".png", ".jpg", ".jpeg", ".webp")):
+                im = PILImage.open(os.path.join(data_dir, fn)).convert("RGB")
+                imgs.append(np.asarray(im.resize((size, size)), np.float32) / 255.0)
+        if not imgs:
+            raise ApiError(404, f"no images in {data_dir}")
+        os.makedirs("embeddings", exist_ok=True)
+        with self.engine.queue_lock:
+            latents = np.asarray(encode_first_stage(model, np.stack(imgs)))
+            emb, losses = _train(
+                model, name, latents,
+                n_vectors=int(body.get("num_vectors_per_token", 1)),
+                steps=int(body.get("steps", 100)),
+                lr=float(str(body.get("learn_rate", "0.005")).split(":")[0]),
+                batch_size=int(body.get("batch_size", 1)),
+                save_path=os.path.join("embeddings", f"{name}.safetensors"))
+        # make the new embedding immediately usable in prompts
+        self.engine._attach_embeddings(model)
+        return {"info": f"train embedding complete: {len(losses)} steps, "
+                        f"final loss {losses[-1]:.4f}"}
+
+    def train_hypernetwork(self, body: dict):
+        import os
+
+        import numpy as np
+        from PIL import Image as PILImage
+
+        from sdwebui_tpu.pipeline.processing import encode_first_stage
+        from sdwebui_tpu.training.hypernetwork import train_hypernetwork as _train
+
+        name = body.get("hypernetwork_name", "hypernetwork")
+        data_dir = body.get("data_root", "")
+        if not os.path.isdir(data_dir):
+            raise ApiError(404, f"data_root not found: {data_dir}")
+        model = self.engine.sd_model
+        size = int(body.get("training_width", 512))
+        imgs, caps = [], []
+        for fn in sorted(os.listdir(data_dir))[:64]:
+            if fn.lower().endswith((".png", ".jpg", ".jpeg", ".webp")):
+                im = PILImage.open(os.path.join(data_dir, fn)).convert("RGB")
+                imgs.append(np.asarray(im.resize((size, size)), np.float32) / 255.0)
+                caps.append(os.path.splitext(fn)[0].replace("_", " "))
+        if not imgs:
+            raise ApiError(404, f"no images in {data_dir}")
+        with self.engine.queue_lock:
+            latents = np.asarray(encode_first_stage(model, np.stack(imgs)))
+            enc = model.encode_texts(caps)
+            conds = np.asarray(enc[0] if isinstance(enc, tuple) else enc)
+            os.makedirs("models/hypernetworks", exist_ok=True)
+            _, losses = _train(
+                model, name, latents, conds,
+                steps=int(body.get("steps", 100)),
+                lr=float(str(body.get("learn_rate", "0.0001")).split(":")[0]),
+                batch_size=int(body.get("batch_size", 1)),
+                save_path=os.path.join("models/hypernetworks",
+                                       f"{name}.safetensors"))
+        return {"info": f"train hypernetwork complete: {len(losses)} steps, "
+                        f"final loss {losses[-1]:.4f}"}
 
     # ---- server control ------------------------------------------------
 

@@ -1,0 +1,74 @@
+"""Hypernetwork training (reference modules/hypernetworks/hypernetwork.py:472
+train_hypernetwork): optimize the per-dim attention k/v MLPs on the
+eps-prediction loss, base model frozen."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sdwebui_tpu.models import unet as unet_model
+from sdwebui_tpu.networks.hypernetwork import create_hypernetwork, save_hypernetwork
+
+
+def make_hn_train_step(model, hn_meta=("linear", 1.0, False), lr: float = 1e-4):
+    optimizer = optax.adamw(lr)
+    ac = jnp.asarray(model.disc.alphas_cumprod, jnp.float32)
+    sqrt_ac, sqrt_1mac = jnp.sqrt(ac), jnp.sqrt(1.0 - ac)
+    unet_params = model.unet_params
+    unet_cfg = model.unet_cfg
+
+    def loss_fn(hn_tree, latents, noise, t, ctx):
+        a = sqrt_ac[t][:, None, None, None]
+        am = sqrt_1mac[t][:, None, None, None]
+        x_t = a * latents + am * noise
+        pred = unet_model.apply(unet_params, unet_cfg, x_t,
+                                t.astype(jnp.float32), ctx,
+                                hypernet=(hn_tree, hn_meta))
+        return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
+
+    @jax.jit
+    def step(hn_tree, opt_state, latents, noise, t, ctx):
+        loss, grads = jax.value_and_grad(loss_fn)(hn_tree, latents, noise, t, ctx)
+        updates, opt_state = optimizer.update(grads, opt_state, hn_tree)
+        hn_tree = optax.apply_updates(hn_tree, updates)
+        return hn_tree, opt_state, loss
+
+    return step, optimizer.init
+
+
+def train_hypernetwork(model, name: str, latents: np.ndarray, conds: np.ndarray,
+                       dims=None, layer_structure=(1, 2, 1), steps: int = 100,
+                       lr: float = 1e-4, batch_size: int = 1, seed: int = 0,
+                       save_path: str | None = None, callback=None):
+    """latents: (N,h,w,C); conds: (N,S,D) pre-encoded caption conds.
+
+    Returns (hn_tree, losses)."""
+    if dims is None:
+        dims = (model.unet_cfg.context_dim,)
+    hn = create_hypernetwork(dims=dims, layer_structure=layer_structure, seed=seed)
+    hn = jax.tree_util.tree_map(jnp.asarray, hn)
+    step_fn, init_fn = make_hn_train_step(model, lr=lr)
+    opt_state = init_fn(hn)
+
+    rng = np.random.default_rng(seed)
+    n = latents.shape[0]
+    losses = []
+    for i in range(steps):
+        idx = rng.integers(0, n, batch_size)
+        batch = jnp.asarray(latents[idx])
+        noise = jnp.asarray(rng.standard_normal(batch.shape), jnp.float32)
+        t = jnp.asarray(rng.integers(0, 1000, (batch_size,)), jnp.int32)
+        ctx = jnp.asarray(conds[idx])
+        hn, opt_state, loss = step_fn(hn, opt_state, batch, noise, t, ctx)
+        losses.append(float(loss))
+        if callback is not None and callback(i, losses[-1]) is False:
+            break
+
+    hn_host = jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), hn)
+    if save_path:
+        save_hypernetwork(hn_host, save_path, name=name, step=len(losses),
+                          layer_structure=layer_structure)
+    return hn_host, losses

@@ -206,3 +206,36 @@ def test_auth():
                             auth=("user", "pass")).status_code == 200
     finally:
         srv.shutdown()
+
+
+def test_train_embedding_via_api(server, tmp_path):
+    """Full training flow over HTTP: create images → train → embedding file."""
+    import os
+
+    from PIL import Image as PILImage
+
+    data = tmp_path / "train_data"
+    data.mkdir()
+    for i in range(2):
+        PILImage.new("RGB", (64, 64), (i * 40, 100, 150)).save(data / f"img_{i}.png")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        r = requests.post(f"{server}/sdapi/v1/train/embedding", json={
+            "embedding_name": "apitest", "data_root": str(data),
+            "steps": 3, "training_width": 64, "batch_size": 1})
+        assert r.status_code == 200, r.text
+        assert "complete" in r.json()["info"]
+        assert os.path.exists("embeddings/apitest.safetensors")
+        r2 = requests.post(f"{server}/sdapi/v1/create/hypernetwork", json={
+            "name": "hn1", "enable_sizes": [64]})
+        assert r2.status_code == 200
+        assert os.path.exists("models/hypernetworks/hn1.safetensors")
+    finally:
+        os.chdir(cwd)
+
+
+def test_train_embedding_bad_dir(server):
+    r = requests.post(f"{server}/sdapi/v1/train/embedding",
+                      json={"data_root": "/nonexistent"})
+    assert r.status_code == 404

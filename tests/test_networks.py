@@ -232,7 +232,7 @@ def test_lora_changes_generation(tmp_path, monkeypatch):
 
     # compare at the activation level (decoded images of a random-weight net
     # can saturate to black and hide differences)
-    clean, merged = extra_networks.activate(model, "a photo <lora:testlora:1.0>")
+    clean, merged, _hn = extra_networks.activate(model, "a photo <lora:testlora:1.0>")
     assert clean == "a photo "
     assert merged is not model
     w_base = np.asarray(flatten(model.unet_params)[
@@ -241,7 +241,7 @@ def test_lora_changes_generation(tmp_path, monkeypatch):
         "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"])
     assert not np.allclose(w_base, w_merged)
     # cache hit returns the same object
-    _, merged2 = extra_networks.activate(model, "a photo <lora:testlora:1.0>")
+    _, merged2, _ = extra_networks.activate(model, "a photo <lora:testlora:1.0>")
     assert merged2 is merged
     # and the merged model still generates end-to-end
     res = process_txt2img(merged, GenerationParams(prompt="a photo", seed=3,
