@@ -273,17 +273,35 @@ def convert_clip_openclip(sd: dict, prefix: str):
 
 
 def cast_tree(tree, dtype):
-    """Cast float leaves; ints (embedding ids etc.) untouched."""
+    """Cast float leaves; ints (embedding ids etc.) untouched.
+
+    Large leaves route through the multithreaded native converter
+    (sdwebui_tpu.native) — checkpoint loads convert GBs of fp16."""
     import jax
 
     from sdwebui_tpu.models.init_utils import np_dtype
 
     target = np_dtype(dtype)
+    target_name = "bfloat16" if "bfloat16" in str(target) else str(target)
+
+    try:
+        from sdwebui_tpu import native
+    except ImportError:  # pragma: no cover
+        native = None
 
     def cast(x):
-        if np.issubdtype(np.asarray(x).dtype, np.floating) or \
-                str(np.asarray(x).dtype) in ("bfloat16", "float8_e4m3fn", "float8_e5m2"):
-            return np.asarray(x).astype(target)
-        return np.asarray(x)
+        x = np.asarray(x)
+        kind = str(x.dtype)
+        is_float = np.issubdtype(x.dtype, np.floating) or \
+            kind in ("bfloat16", "float8_e4m3fn", "float8_e5m2")
+        if not is_float:
+            return x
+        if x.dtype == target:
+            return x
+        if native is not None and x.size > (1 << 20) and \
+                kind in ("float16", "float32", "bfloat16") and \
+                target_name in ("float32", "bfloat16"):
+            return native.convert(x, target_name)
+        return x.astype(target)
 
     return jax.tree_util.tree_map(cast, tree)

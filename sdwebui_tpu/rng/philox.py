@@ -68,9 +68,21 @@ def randn_at(seed: int, offsets: np.ndarray, n: int) -> np.ndarray:
 
     Stateless core — offset o, lane i maps to counter (o, 0, i_lo, i_hi),
     key = seed. `n` may exceed 2**32 via the counter[3] spill (the reference
-    caps at 2**32; we don't).
+    caps at 2**32; we don't).  Big contiguous-offset requests route through
+    the multithreaded C++ kernel (sdwebui_tpu.native, bit-exact verified).
     """
     offsets = np.asarray(offsets, dtype=np.uint32).reshape(-1)
+    if offsets.size * n > (1 << 18) and offsets.size > 0 and \
+            np.array_equal(offsets, offsets[0] + np.arange(offsets.size, dtype=np.uint32)):
+        try:
+            from sdwebui_tpu import native
+
+            if native.available():
+                return native.philox_randn(int(seed) & 0xFFFFFFFFFFFFFFFF,
+                                           int(offsets[0]), int(offsets.size),
+                                           int(n))
+        except ImportError:  # pragma: no cover
+            pass
     m = offsets.shape[0]
     lanes = np.arange(n, dtype=np.uint64)
     c2 = np.broadcast_to(lanes.astype(np.uint32), (m, n)).reshape(-1)
