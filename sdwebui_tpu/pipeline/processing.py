@@ -101,6 +101,18 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
         lms_coeffs = jnp.asarray(
             lms_coefficients(np.asarray(sigmas, np.float64)), jnp.float32)
     hn_tree, hn_meta = (hypernet if hypernet is not None else (None, None))
+
+    # data-parallel batch: shard latents/noise over the mesh's `data` axis
+    # (XLA partitions the whole fused program; conds/params ride replicated)
+    from sdwebui_tpu.parallel.mesh import get_runtime
+
+    rt = get_runtime()
+    if rt.data_size > 1 and x.shape[0] % rt.data_size == 0:
+        x = jax.device_put(x, rt.sharding("data"))
+        noise = jax.device_put(noise, rt.sharding(None, None, "data"))
+        if init_latent is not None:
+            init_latent = jax.device_put(init_latent, rt.sharding("data"))
+
     return _sample_fused(
         model.unet_params, jnp.asarray(model.disc.log_sigmas, jnp.float32),
         x, jnp.asarray(np.asarray(sigmas), jnp.float32), noise, sched,

@@ -68,6 +68,24 @@ class SDModel:
     def with_unet_params(self, params) -> "SDModel":
         return dataclasses.replace(self, unet_params=params)
 
+    def replicate(self, rt=None) -> "SDModel":
+        """Replicate params over the active mesh for data-parallel batches
+        (first-class TPU component; no reference counterpart, SURVEY §2.6)."""
+        from sdwebui_tpu.parallel.mesh import get_runtime
+
+        rt = rt or get_runtime()
+        if rt.n_devices <= 1:
+            return self
+        rep = rt.replicated
+        new = dataclasses.replace(
+            self,
+            unet_params=jax.device_put(self.unet_params, rep),
+            vae_params=jax.device_put(self.vae_params, rep))
+        new.conditioner.params = jax.device_put(self.conditioner.params, rep)
+        if new.conditioner2 is not None:
+            new.conditioner2.params = jax.device_put(self.conditioner2.params, rep)
+        return new
+
 
 def make_denoise_fn(model: SDModel):
     """Build denoise(x, sigma, ctx, y, c_concat) → denoised for the CFG
