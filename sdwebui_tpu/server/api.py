@@ -38,6 +38,14 @@ class ApiError(Exception):
         self.message = message
 
 
+class RawResponse:
+    """Non-JSON handler result (HTML page, binary)."""
+
+    def __init__(self, body, content_type: str):
+        self.body = body.encode("utf-8") if isinstance(body, str) else body
+        self.content_type = content_type
+
+
 def _fields_from_request(req: schema.Txt2ImgRequest) -> dict:
     d = req.model_dump(exclude_unset=False)
     sampler = d.pop("sampler_name", None) or d.pop("sampler_index", None) or "Euler a"
@@ -96,6 +104,7 @@ class Api:
         r("POST", "/sdapi/v1/server-kill", self.server_kill)
         r("POST", "/sdapi/v1/server-restart", self.server_restart)
         r("POST", "/sdapi/v1/server-stop", self.server_stop)
+        r("GET", "/", self.index_html)
         r("GET", "/internal/ping", lambda body: {})
         r("GET", "/internal/progress", self.internal_progress)
         r("POST", "/internal/progress", self.internal_progress)
@@ -462,6 +471,17 @@ class Api:
         return {"info": f"train hypernetwork complete: {len(losses)} steps, "
                         f"final loss {losses[-1]:.4f}"}
 
+    # ---- UI -------------------------------------------------------------
+
+    def index_html(self, body=None):
+        """Built-in single-page UI (the gradio stack isn't in this image;
+        the page drives the same /sdapi/v1 endpoints any client uses)."""
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "webui.html")
+        with open(path, encoding="utf-8") as f:
+            return RawResponse(f.read(), "text/html; charset=utf-8")
+
     # ---- server control ------------------------------------------------
 
     def server_kill(self, body=None):
@@ -528,6 +548,13 @@ def make_handler(api: Api, credentials: dict | None = None):
                     return
             try:
                 result = handler(body)
+                if isinstance(result, RawResponse):
+                    self.send_response(200)
+                    self.send_header("Content-Type", result.content_type)
+                    self.send_header("Content-Length", str(len(result.body)))
+                    self.end_headers()
+                    self.wfile.write(result.body)
+                    return
                 self._send(200, result)
             except ApiError as e:
                 self._send(e.status, {"error": type(e).__name__,
