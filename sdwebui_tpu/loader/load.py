@@ -40,6 +40,24 @@ def load_model(path: str, prediction_type: str | None = None,
         embedding_db=embedding_db)
 
 
+def load_external_vae(path: str, scale_factor: float = 0.18215):
+    """Standalone .vae.pt/.safetensors → (vae_tree, VAEConfig) — the
+    reference's VAE selection chain (modules/sd_vae.py:168 resolve_vae →
+    load_vae). Keys may carry the first_stage_model prefix or be bare."""
+    sd = read_checkpoint(path)
+    prefix = "first_stage_model." if any(
+        k.startswith("first_stage_model.") for k in sd) else ""
+    if prefix:
+        sd = {k: v for k, v in sd.items() if k.startswith(prefix)}
+    else:
+        sd = {"first_stage_model." + k: v for k, v in sd.items()
+              if k.startswith(("encoder.", "decoder.", "quant_conv.",
+                               "post_quant_conv."))}
+    tree, cfg = convert.convert_vae(sd, scale_factor=scale_factor)
+    policy = devices.get_policy()
+    return jax.device_put(convert.cast_tree(tree, policy.vae_dtype)), cfg
+
+
 def model_from_state_dict(sd: dict, prediction_type: str | None = None,
                           title: str = "checkpoint", sha256: str = "",
                           embedding_db=None) -> SDModel:

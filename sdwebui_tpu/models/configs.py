@@ -30,6 +30,7 @@ class UNetConfig:
     use_linear_in_transformer: bool = False
     adm_in_channels: int = 0      # SDXL: 2816 (pooled text + size/crop embeds)
     dropout: float = 0.0
+    tiling: bool = False          # circular conv padding (seamless textures)
 
     def heads_for(self, channels: int) -> int:
         if self.num_head_channels > 0:
@@ -51,6 +52,7 @@ class VAEConfig:
     in_channels: int = 3
     out_ch: int = 3
     scale_factor: float = 0.18215  # SDXL: 0.13025
+    tiling: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

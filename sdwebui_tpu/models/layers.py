@@ -22,12 +22,21 @@ from sdwebui_tpu.ops.norms import group_norm, layer_norm  # noqa: F401 (re-expor
 _CONV_DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
-def conv2d(p, x, stride: int = 1, padding: int = 1):
+def conv2d(p, x, stride: int = 1, padding: int = 1, circular: bool = False):
+    """circular=True: wrap padding for seamless/tiling generation (the
+    reference monkey-patches Conv2d padding_mode='circular',
+    modules/sd_hijack.py:311 apply_circular; here it is an argument)."""
     w = p["weight"]
+    if circular and padding > 0:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+                    mode="wrap")
+        pad_cfg = ((0, 0), (0, 0))
+    else:
+        pad_cfg = ((padding, padding), (padding, padding))
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
+        padding=pad_cfg,
         dimension_numbers=_CONV_DIMSPEC,
     )
     if "bias" in p:

@@ -87,13 +87,13 @@ def build_plan(cfg: UNetConfig):
 # layer applications
 # --------------------------------------------------------------------------
 
-def _resblock(p, x, emb):
+def _resblock(p, x, emb, circular=False):
     h = group_norm_p(p["in_layers"]["0"], x, silu=True)
-    h = conv2d(p["in_layers"]["2"], h)
+    h = conv2d(p["in_layers"]["2"], h, circular=circular)
     e = linear(p["emb_layers"]["1"], silu(emb)).astype(h.dtype)
     h = h + e[:, None, None, :]
     h = group_norm_p(p["out_layers"]["0"], h, silu=True)
-    h = conv2d(p["out_layers"]["3"], h)
+    h = conv2d(p["out_layers"]["3"], h, circular=circular)
     if "skip_connection" in p:
         x = conv2d(p["skip_connection"], x, padding=0)
     return x + h
@@ -163,15 +163,15 @@ def _apply_layers(plan, p, x, emb, context, cfg, hypernet=None):
         sp = p[str(slot)]
         kind = layer[0]
         if kind == "conv_in":
-            x = conv2d(sp, x)
+            x = conv2d(sp, x, circular=cfg.tiling)
         elif kind == "res":
-            x = _resblock(sp, x, emb)
+            x = _resblock(sp, x, emb, circular=cfg.tiling)
         elif kind == "attn":
             x = _spatial_transformer(sp, x, context, cfg, layer[2], hypernet)
         elif kind == "down":
-            x = conv2d(sp["op"], x, stride=2)
+            x = conv2d(sp["op"], x, stride=2, circular=cfg.tiling)
         elif kind == "up":
-            x = conv2d(sp["conv"], upsample_nearest_2x(x))
+            x = conv2d(sp["conv"], upsample_nearest_2x(x), circular=cfg.tiling)
         else:  # pragma: no cover
             raise ValueError(kind)
     return x
@@ -213,9 +213,9 @@ def apply(params, cfg: UNetConfig, x, timesteps, context, y=None, control=None,
         hs.append(h)
 
     mp = params["middle_block"]
-    h = _resblock(mp["0"], h, emb)
+    h = _resblock(mp["0"], h, emb, circular=cfg.tiling)
     h = _spatial_transformer(mp["1"], h, context, cfg, middle_depth, hypernet)
-    h = _resblock(mp["2"], h, emb)
+    h = _resblock(mp["2"], h, emb, circular=cfg.tiling)
     if control is not None and "middle" in control:
         h = h + control["middle"]
 
@@ -225,7 +225,7 @@ def apply(params, cfg: UNetConfig, x, timesteps, context, y=None, control=None,
                           cfg, hypernet)
 
     h = group_norm_p(params["out"]["0"], h, silu=True)
-    return conv2d(params["out"]["2"], h)
+    return conv2d(params["out"]["2"], h, circular=cfg.tiling)
 
 
 # --------------------------------------------------------------------------

@@ -25,11 +25,11 @@ from sdwebui_tpu.models.layers import conv2d, group_norm_p, upsample_nearest_2x
 from sdwebui_tpu.ops import attention
 
 
-def _resnet_block(p, x):
+def _resnet_block(p, x, circular=False):
     h = group_norm_p(p["norm1"], x, eps=1e-6, silu=True)
-    h = conv2d(p["conv1"], h)
+    h = conv2d(p["conv1"], h, circular=circular)
     h = group_norm_p(p["norm2"], h, eps=1e-6, silu=True)
-    h = conv2d(p["conv2"], h)
+    h = conv2d(p["conv2"], h, circular=circular)
     if "nin_shortcut" in p:
         x = conv2d(p["nin_shortcut"], x, padding=0)
     return x + h
@@ -86,21 +86,22 @@ def encode_mode(moments, cfg: VAEConfig):
 
 def decode(params, cfg: VAEConfig, z):
     """scaled latent (B,h,w,z) → image (B,8h,8w,3) in [-1,1]."""
+    circ = cfg.tiling
     z = z / cfg.scale_factor
     h = conv2d(params["post_quant_conv"], z, padding=0)
     p = params["decoder"]
-    h = conv2d(p["conv_in"], h)
-    h = _resnet_block(p["mid"]["block_1"], h)
+    h = conv2d(p["conv_in"], h, circular=circ)
+    h = _resnet_block(p["mid"]["block_1"], h, circ)
     h = _attn_block(p["mid"]["attn_1"], h)
-    h = _resnet_block(p["mid"]["block_2"], h)
+    h = _resnet_block(p["mid"]["block_2"], h, circ)
     for level in reversed(range(len(cfg.ch_mult))):
         lp = p["up"][str(level)]
         for i in range(cfg.num_res_blocks + 1):
-            h = _resnet_block(lp["block"][str(i)], h)
+            h = _resnet_block(lp["block"][str(i)], h, circ)
         if "upsample" in lp:
-            h = conv2d(lp["upsample"]["conv"], upsample_nearest_2x(h))
+            h = conv2d(lp["upsample"]["conv"], upsample_nearest_2x(h), circular=circ)
     h = group_norm_p(p["norm_out"], h, eps=1e-6, silu=True)
-    return conv2d(p["conv_out"], h)
+    return conv2d(p["conv_out"], h, circular=circ)
 
 
 # --------------------------------------------------------------------------

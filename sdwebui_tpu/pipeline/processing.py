@@ -295,6 +295,13 @@ def process_txt2img(model: SDModel, p: GenerationParams,
     from sdwebui_tpu.networks import extra_networks
 
     clean_prompt, model, hypernet = extra_networks.activate(model, p.prompt)
+    if p.tiling:
+        import dataclasses as _dc
+
+        model = _dc.replace(
+            model,
+            unet_cfg=_dc.replace(model.unet_cfg, tiling=True),
+            vae_cfg=_dc.replace(model.vae_cfg, tiling=True))
     sampler = get_sampler(p.sampler_name)
     scheduler = sampler.scheduler_override or p.scheduler
     h, w = p.latent_size()

@@ -71,6 +71,9 @@ class Api:
         r("POST", "/sdapi/v1/txt2img", self.txt2img)
         r("POST", "/sdapi/v1/img2img", self.img2img)
         r("POST", "/sdapi/v1/extra-single-image", self.extras_single)
+        r("POST", "/sdapi/v1/extra-batch-images", self.extras_batch)
+        r("POST", "/sdapi/v1/interrogate", self.interrogate)
+        r("POST", "/sdapi/v1/modelmerger", self.modelmerger)
         r("POST", "/sdapi/v1/png-info", self.png_info)
         r("GET", "/sdapi/v1/progress", self.progress)
         r("POST", "/sdapi/v1/interrupt", self.interrupt)
@@ -171,6 +174,45 @@ class Api:
         return schema.ExtrasSingleImageResponse(
             html_info=f"<p>Upscaled with {req.upscaler_1}</p>",
             image=encode_pil_to_base64(out)).model_dump()
+
+    def extras_batch(self, body: dict):
+        images = body.pop("imageList", []) or []
+        results = []
+        for item in images:
+            single = dict(body)
+            single["image"] = item.get("data", "")
+            results.append(self.extras_single(single)["image"])
+        return {"html_info": f"<p>{len(results)} images upscaled</p>",
+                "images": results}
+
+    def interrogate(self, body: dict):
+        """CLIP/DeepBooru interrogation requires BLIP/DeepDanbooru weights
+        (auto-downloaded by the reference; zero-egress here). The route
+        exists for API parity and reports the constraint clearly."""
+        req = schema.InterrogateRequest(**body)
+        if not req.image:
+            raise ApiError(404, "Image not found")
+        raise ApiError(
+            501, f"interrogate model {req.model!r} weights are not present "
+                 f"(no network access in this deployment); place BLIP/"
+                 f"DeepDanbooru weights under models/ to enable")
+
+    def modelmerger(self, body: dict):
+        from sdwebui_tpu.postprocessing.merger import run_modelmerger
+
+        with self.engine.queue_lock:
+            path = run_modelmerger(
+                primary_path=body["primary_model"],
+                secondary_path=body.get("secondary_model"),
+                tertiary_path=body.get("tertiary_model"),
+                method=body.get("interp_method", "Weighted sum"),
+                multiplier=float(body.get("multiplier", 0.5)),
+                save_as_half=bool(body.get("save_as_half", False)),
+                output_name=body.get("custom_name", "merged"),
+                bake_in_vae_path=body.get("bake_in_vae"),
+                discard_weights=body.get("discard_weights", ""))
+        self.engine.registry.refresh()
+        return {"info": f"merged checkpoint saved to {path}"}
 
     def png_info(self, body: dict):
         req = schema.PNGInfoRequest(**body)
@@ -280,7 +322,16 @@ class Api:
                 for c in self.engine.registry.list()]
 
     def sd_vaes(self, body=None):
-        return []
+        import glob
+        import os
+
+        out = []
+        for d in ("models/VAE",):
+            for p in sorted(glob.glob(os.path.join(d, "*"))):
+                if p.lower().endswith((".pt", ".ckpt", ".safetensors")):
+                    out.append({"model_name": os.path.splitext(
+                        os.path.basename(p))[0], "filename": p})
+        return out
 
     def hypernetworks(self, body=None):
         return []

@@ -239,3 +239,19 @@ def test_train_embedding_bad_dir(server):
     r = requests.post(f"{server}/sdapi/v1/train/embedding",
                       json={"data_root": "/nonexistent"})
     assert r.status_code == 404
+
+
+def test_extras_batch(server):
+    body = {"imageList": [{"data": _b64_image(size=(32, 32)), "name": "a"},
+                          {"data": _b64_image(size=(32, 32)), "name": "b"}],
+            "upscaling_resize": 2.0, "upscaler_1": "Lanczos"}
+    r = requests.post(f"{server}/sdapi/v1/extra-batch-images", json=body)
+    assert r.status_code == 200
+    assert len(r.json()["images"]) == 2
+
+
+def test_interrogate_graceful(server):
+    r = requests.post(f"{server}/sdapi/v1/interrogate",
+                      json={"image": _b64_image(), "model": "clip"})
+    assert r.status_code == 501
+    assert "weights" in r.json()["detail"]
