@@ -195,6 +195,11 @@ def convert_clip_hf(sd: dict, prefix: str):
         if sub == "embeddings.position_ids":
             continue
         flat[sub] = convert_leaf(sub, v)
+    # HF stores text_projection as a Linear (out,in) — it must transpose,
+    # unlike open_clip's plain (in,out) parameter (convert_leaf skips it)
+    if "text_projection.weight" in flat:
+        flat["text_projection.weight"] = np.ascontiguousarray(
+            flat["text_projection.weight"].T)
     tree = unflatten(flat)
     width = tree["embeddings"]["token_embedding"]["weight"].shape[1]
     layers = len(tree["encoder"]["layers"])
@@ -202,7 +207,9 @@ def convert_clip_hf(sd: dict, prefix: str):
         vocab_size=tree["embeddings"]["token_embedding"]["weight"].shape[0],
         width=width, layers=layers, heads=_clip_heads(width),
         max_length=tree["embeddings"]["position_embedding"]["weight"].shape[0],
-        activation="quick_gelu")
+        activation="quick_gelu",
+        projection_dim=flat["text_projection.weight"].shape[1]
+        if "text_projection.weight" in flat else 0)
     return tree, cfg
 
 
@@ -305,3 +312,25 @@ def cast_tree(tree, dtype):
         return x.astype(target)
 
     return jax.tree_util.tree_map(cast, tree)
+
+
+# --------------------------------------------------------------------------
+# SD3 MMDiT
+# --------------------------------------------------------------------------
+
+def convert_mmdit(sd: dict, prefix: str = "model.diffusion_model."):
+    from sdwebui_tpu.models.mmdit import MMDiTConfig
+
+    tree = _subtree(sd, prefix)
+    depth = len(tree["joint_blocks"])
+    ctx_dim = int(sd[prefix + "context_embedder.weight"].shape[1])
+    pooled = int(sd[prefix + "y_embedder.mlp.0.weight"].shape[1]) \
+        if prefix + "y_embedder.mlp.0.weight" in sd else 2048
+    pos = tree["pos_embed"]
+    max_size = int(np.sqrt(pos.shape[-2]))
+    qk_norm = any(k.endswith("ln_q.weight") for k in sd)
+    cfg = MMDiTConfig(
+        in_channels=int(sd[prefix + "x_embedder.proj.weight"].shape[1]),
+        depth=depth, context_dim=ctx_dim, pooled_dim=pooled,
+        pos_embed_max_size=max_size, qk_norm=qk_norm)
+    return tree, cfg

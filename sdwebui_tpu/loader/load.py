@@ -65,11 +65,19 @@ def model_from_state_dict(sd: dict, prediction_type: str | None = None,
     policy = devices.get_policy()
     tok = get_tokenizer()
 
-    unet_tree, unet_cfg = convert.convert_unet(sd)
+    if info.family == "sd3":
+        unet_tree, unet_cfg = convert.convert_mmdit(sd)
+    else:
+        unet_tree, unet_cfg = convert.convert_unet(sd)
     unet_tree = jax.device_put(convert.cast_tree(unet_tree, policy.param_dtype))
 
-    scale = 0.13025 if info.family.startswith("sdxl") else 0.18215
+    scale = 0.13025 if info.family.startswith("sdxl") else \
+        (1.5305 if info.family == "sd3" else 0.18215)
     vae_tree, vae_cfg = convert.convert_vae(sd, scale_factor=scale)
+    if info.family == "sd3":
+        import dataclasses as _dc
+
+        vae_cfg = _dc.replace(vae_cfg, shift_factor=0.0609)
     vae_tree = jax.device_put(convert.cast_tree(vae_tree, policy.vae_dtype))
 
     cond2 = None
@@ -101,12 +109,30 @@ def model_from_state_dict(sd: dict, prediction_type: str | None = None,
         cond = TextConditioner(convert.cast_tree(tree2, jnp.float32), ccfg2, tok,
                                clip_skip=2, apply_final_norm=False,
                                embedding_db=embedding_db)
+    elif info.family == "sd3":
+        # bundled encoders (text_encoders.clip_l / clip_g); T5 optional and
+        # skipped (reference default: sd3_enable_t5=False)
+        tree1, ccfg1 = convert.convert_clip_hf(
+            sd, "text_encoders.clip_l.transformer.text_model.")
+        tree2, ccfg2 = convert.convert_clip_openclip(
+            sd, "text_encoders.clip_g.model.")
+        cond = TextConditioner(convert.cast_tree(tree1, jnp.float32), ccfg1, tok,
+                               clip_skip=2, apply_final_norm=False,
+                               embedding_db=embedding_db)
+        cond2 = TextConditioner(convert.cast_tree(tree2, jnp.float32), ccfg2, tok,
+                                clip_skip=2, apply_final_norm=False,
+                                embedding_db=embedding_db)
     else:
         raise NotImplementedError(f"family {info.family} not yet supported")
 
     pred = prediction_type or info.prediction_type
-    # ldm betas live in the checkpoint for some models; default schedule else
-    disc = Discretization(make_alphas_cumprod(), prediction_type=pred)
+    if info.family == "sd3":
+        from sdwebui_tpu.sampling.discretization import FlowDiscretization
+
+        disc = FlowDiscretization(shift=3.0)
+    else:
+        # ldm betas live in the checkpoint for some models; default else
+        disc = Discretization(make_alphas_cumprod(), prediction_type=pred)
 
     return SDModel(kind=info.family, unet_params=unet_tree, unet_cfg=unet_cfg,
                    vae_params=vae_tree, vae_cfg=vae_cfg, disc=disc,

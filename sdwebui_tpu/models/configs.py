@@ -51,7 +51,8 @@ class VAEConfig:
     num_res_blocks: int = 2
     in_channels: int = 3
     out_ch: int = 3
-    scale_factor: float = 0.18215  # SDXL: 0.13025
+    scale_factor: float = 0.18215  # SDXL: 0.13025; SD3: 1.5305
+    shift_factor: float = 0.0      # SD3: 0.0609
     tiling: bool = False
 
 

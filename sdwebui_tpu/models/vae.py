@@ -75,19 +75,19 @@ def sample_latent(moments, noise, cfg: VAEConfig):
     mean, logvar = jnp.split(moments, 2, axis=-1)
     logvar = jnp.clip(logvar, -30.0, 20.0)
     z = mean + jnp.exp(0.5 * logvar) * noise
-    return z * cfg.scale_factor
+    return (z - cfg.shift_factor) * cfg.scale_factor
 
 
 def encode_mode(moments, cfg: VAEConfig):
     """Deterministic encode (the reference's img2img path uses the mean)."""
     mean, _ = jnp.split(moments, 2, axis=-1)
-    return mean * cfg.scale_factor
+    return (mean - cfg.shift_factor) * cfg.scale_factor
 
 
 def decode(params, cfg: VAEConfig, z):
     """scaled latent (B,h,w,z) → image (B,8h,8w,3) in [-1,1]."""
     circ = cfg.tiling
-    z = z / cfg.scale_factor
+    z = z / cfg.scale_factor + cfg.shift_factor
     h = conv2d(params["post_quant_conv"], z, padding=0)
     p = params["decoder"]
     h = conv2d(p["conv_in"], h, circular=circ)

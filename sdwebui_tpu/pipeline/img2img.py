@@ -179,7 +179,12 @@ def process_img2img(model: SDModel, p: GenerationParams,
         x = jnp.asarray(rng.first(), jnp.float32)
         if p.initial_noise_multiplier != 1.0:
             x = x * p.initial_noise_multiplier
-        xi = init_latent + x * float(sigma_sched[0])
+        if model.disc.prediction_type == "flow":
+            # rectified flow: x_t = σ·noise + (1−σ)·x0 (sd3_impls noise_scaling)
+            s0 = float(sigma_sched[0])
+            xi = s0 * x + (1.0 - s0) * init_latent
+        else:
+            xi = init_latent + x * float(sigma_sched[0])
 
         noise = prepare_noise(spec, len(sigma_sched) - 1, rng, (b, h, w, c))
         latents = sample_latents(model, sched, xi, sigma_sched, noise,

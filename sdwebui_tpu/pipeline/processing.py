@@ -56,6 +56,15 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
 
     def denoise(xb, sigma, ctx, y=None, c_concat=None):
         sigma = sigma.astype(jnp.float32)
+        sig = sigma[:, None, None, None]
+        if prediction_type == "flow":
+            # rectified flow (SD3): raw input, timestep = σ·1000, velocity out
+            from sdwebui_tpu.models import mmdit as mmdit_model
+
+            out = mmdit_model.apply(unet_params, unet_cfg,
+                                    xb.astype(compute_dtype), sigma * 1000.0,
+                                    ctx, y).astype(jnp.float32)
+            return xb - out * sig
         t = jnp.argmin(
             jnp.abs(jnp.log(jnp.maximum(sigma, 1e-12))[:, None] - log_sigmas[None, :]),
             axis=-1).astype(jnp.float32)
@@ -66,7 +75,6 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
         hypernet = (hypernet_tree, hn_meta) if hypernet_tree is not None else None
         out = unet_model.apply(unet_params, unet_cfg, x_in, t, ctx,
                                y=y, hypernet=hypernet).astype(jnp.float32)
-        sig = sigma[:, None, None, None]
         if prediction_type == "v":
             return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
         return xb - out * sig
@@ -204,7 +212,11 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
     rng = ImageRNG((c, th, tw), seeds, subseeds=subseeds,
                    subseed_strength=p.subseed_strength)
     noise0 = jnp.asarray(rng.first(), jnp.float32)
-    xi = up + noise0 * float(sigma_sched[0])
+    if model.disc.prediction_type == "flow":
+        s0 = float(sigma_sched[0])
+        xi = s0 * noise0 + (1.0 - s0) * up
+    else:
+        xi = up + noise0 * float(sigma_sched[0])
     noise = prepare_noise(spec, len(sigma_sched) - 1, rng, (b, th, tw, c))
     return sample_latents(model, cond, xi, sigma_sched, noise,
                           sampler.solver, _solver_extra(p, sampler))
@@ -266,6 +278,8 @@ def _build_conds(model: SDModel, p: GenerationParams, steps: int,
 
         vector_maker = sdxl_vector_maker(model, width or p.width,
                                          height or p.height)
+    elif model.is_sd3:
+        vector_maker = lambda pooled, is_uncond: pooled.astype(jnp.float32)
     return build_cond_schedule(
         encode_fn,
         prompt if prompt is not None else p.prompt,

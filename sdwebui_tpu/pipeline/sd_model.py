@@ -44,13 +44,28 @@ class SDModel:
         return self.kind.startswith("sdxl")
 
     @property
+    def is_sd3(self) -> bool:
+        return self.kind == "sd3"
+
+    @property
     def latent_channels(self) -> int:
         return self.vae_cfg.embed_dim
 
     # ---- conditioning -------------------------------------------------
 
     def encode_texts(self, texts, target_chunks=None):
-        """texts → (N, S, D) crossattn conds, or (conds, pooled) for SDXL."""
+        """texts → (N, S, D) crossattn conds, or (conds, pooled) when the
+        family uses pooled vectors (SDXL, SD3)."""
+        if self.kind == "sd3":
+            # CLIP-L(768) ⊕ bigG(1280) on features → zero-pad to 4096 (the
+            # T5 channel slot; T5 disabled by default as in the reference);
+            # pooled = l_pooled(768) ⊕ g_pooled(1280) = 2048
+            c1, p1 = self.conditioner.encode(texts, target_chunks=target_chunks)
+            c2, p2 = self.conditioner2.encode(texts, target_chunks=target_chunks)
+            lg = jnp.concatenate([c1, c2], axis=-1)
+            lg = jnp.pad(lg, ((0, 0), (0, 0),
+                              (0, self.unet_cfg.context_dim - lg.shape[-1])))
+            return lg, jnp.concatenate([p1, p2], axis=-1)
         if self.kind == "sdxl":
             # CLIP-L (no final LN, penultimate) ⊕ bigG (penultimate),
             # concatenated on features; pooled comes from bigG
@@ -223,6 +238,37 @@ def create_tiny_sdxl(seed: int = 0) -> SDModel:
         conditioner=cond1,
         conditioner2=cond2,
         title="tiny-sdxl-test [0000000000]",
+    )
+
+
+def create_tiny_sd3(seed: int = 0) -> SDModel:
+    """Miniature SD3-shaped model: MMDiT + 16ch VAE + dual CLIP, flow sigmas."""
+    from sdwebui_tpu.models import mmdit as mmdit_model
+    from sdwebui_tpu.models.mmdit import MMDiTConfig
+    from sdwebui_tpu.sampling.discretization import FlowDiscretization
+
+    cfg = MMDiTConfig(depth=2, in_channels=16, context_dim=96, pooled_dim=96,
+                      pos_embed_max_size=16)
+    vae_cfg = VAEConfig(embed_dim=16, z_channels=16, ch=32, ch_mult=(1, 2, 2, 2),
+                        num_res_blocks=1, scale_factor=1.5305,
+                        shift_factor=0.0609)
+    cfg_l = CLIPTextConfig(width=32, layers=2, heads=2)
+    cfg_g = CLIPTextConfig(width=64, layers=2, heads=2, projection_dim=64)
+    tok = get_tokenizer()
+    cond1 = TextConditioner(clip_model.init_params(cfg_l, seed + 1), cfg_l, tok,
+                            clip_skip=2, apply_final_norm=False)
+    cond2 = TextConditioner(clip_model.init_params(cfg_g, seed + 3), cfg_g, tok,
+                            clip_skip=2, apply_final_norm=False)
+    return SDModel(
+        kind="sd3",
+        unet_params=jax.device_put(mmdit_model.init_params(cfg, seed)),
+        unet_cfg=cfg,
+        vae_params=jax.device_put(vae_model.init_params(vae_cfg, seed + 2)),
+        vae_cfg=vae_cfg,
+        disc=FlowDiscretization(shift=3.0),
+        conditioner=cond1,
+        conditioner2=cond2,
+        title="tiny-sd3-test [0000000000]",
     )
 
 

@@ -92,3 +92,29 @@ class Discretization:
             c_skip = 1.0 / (sigma ** 2 + 1.0)
             return c_in, c_out, c_skip
         raise ValueError(self.prediction_type)
+
+
+class FlowDiscretization(Discretization):
+    """Rectified-flow (SD3) sigma table: σ(t) = shift·t / (1 + (shift−1)·t),
+    t ∈ (0,1]; model timestep = σ·1000 (reference
+    modules/models/sd3/sd3_impls.py ModelSamplingDiscreteFlow).  x_t is a
+    LERP (σ·noise + (1−σ)·x0), not variance-exploding — the pipeline
+    branches on prediction_type == 'flow'."""
+
+    def __init__(self, shift: float = 3.0, timesteps: int = 1000):
+        self.shift = shift
+        t = np.arange(1, timesteps + 1, dtype=np.float64) / timesteps
+        self.prediction_type = "flow"
+        self.quantize = False
+        self.alphas_cumprod = None
+        self.sigmas = self.shift * t / (1 + (self.shift - 1) * t)
+        self.log_sigmas = np.log(self.sigmas)
+
+    def __post_init__(self):  # pragma: no cover - dataclass hook unused
+        pass
+
+    def noise_scaling(self, sigma, noise, latent):
+        return sigma * noise + (1.0 - sigma) * latent
+
+    def scalings(self, sigma):
+        return 1.0, -sigma, 1.0
