@@ -52,7 +52,11 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
     compute_dtype = _dv.get_policy().compute_dtype
     extra = dict(extra_items)
     if lms_coeffs is not None:
-        extra["lms_coeffs"] = lms_coeffs
+        # traced aux channel: LMS coefficients or the restart (pairs, scale)
+        if solver == "restart":
+            extra["restart_pairs"], extra["restart_noise_scale"] = lms_coeffs
+        else:
+            extra["lms_coeffs"] = lms_coeffs
 
     def denoise(xb, sigma, ctx, y=None, c_concat=None):
         sigma = sigma.astype(jnp.float32)
@@ -108,6 +112,18 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
 
         lms_coeffs = jnp.asarray(
             lms_coefficients(np.asarray(sigmas, np.float64)), jnp.float32)
+    elif solver == "restart":
+        from sdwebui_tpu.sampling.solvers import build_restart_plan
+
+        pairs, nscale = build_restart_plan(np.asarray(sigmas, np.float64))
+        lms_coeffs = (jnp.asarray(pairs), jnp.asarray(nscale))
+        # noise/steps follow the (longer) restart plan
+        n = len(pairs)
+        if noise.shape[0] != n:
+            b = x.shape[0]
+            reps = int(np.ceil(n / max(noise.shape[0], 1)))
+            noise = jnp.tile(noise, (reps, 1, 1, 1, 1))[:n]
+        sigmas = np.concatenate([pairs[:, 0], pairs[-1:, 1]])
     hn_tree, hn_meta = (hypernet if hypernet is not None else (None, None))
 
     # data-parallel batch: shard latents/noise over the mesh's `data` axis

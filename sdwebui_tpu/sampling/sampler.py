@@ -46,6 +46,14 @@ def sample(model: Callable, x, sigmas, solver: str = "euler",
         noise = jnp.zeros((n, max(spec.noises_per_step, 1), *x.shape), jnp.float32)
     noise = jnp.asarray(noise, x.dtype)
     extra = dict(extra or {})
+    if solver == "restart" and "restart_pairs" not in extra:
+        from sdwebui_tpu.sampling.solvers import build_restart_plan
+
+        pairs, nscale = build_restart_plan(np.asarray(jax.device_get(sigmas)))
+        extra["restart_pairs"] = jnp.asarray(pairs)
+        extra["restart_noise_scale"] = jnp.asarray(nscale)
+        n = len(pairs)
+        noise = jnp.zeros((n, 1, *x.shape), x.dtype) if noise.shape[0] != n else noise
     if spec.uses_lms_coeffs and "lms_coeffs" not in extra:
         # needs scipy quadrature — only possible with concrete sigmas; under
         # jit the caller must precompute (pipeline does)

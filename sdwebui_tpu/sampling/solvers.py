@@ -340,6 +340,74 @@ def plms_step(model, x, i, sigmas, noise, state, extra):
 
 
 # --------------------------------------------------------------------------
+# Restart sampling (Xu et al. 2023; reference modules/sd_samplers_extra.py:7)
+# --------------------------------------------------------------------------
+
+def restart_step(model, x, i, sigmas, noise, state, extra):
+    """Heun over a precomputed (old, new) sigma pair list with noise
+    re-injection at upward sigma jumps (build_restart_plan)."""
+    pairs = extra["restart_pairs"]          # (n, 2)
+    nscale = extra["restart_noise_scale"]   # (n,)
+    s, s_next = pairs[i, 0], pairs[i, 1]
+    x = x + noise[0] * nscale[i] * extra.get("s_noise", 1.0)
+    denoised = model(x, s, i)
+    d = _to_d(x, s, denoised)
+    dt = s_next - s
+    x_euler = x + d * dt
+    denoised_2 = model(x_euler, jnp.maximum(s_next, _EPS), i)
+    d_2 = _to_d(x_euler, s_next, denoised_2)
+    x_heun = x + (d + d_2) / 2 * dt
+    return jnp.where(s_next > 0, x_heun, x_euler), state
+
+
+def build_restart_plan(sigmas: np.ndarray, restart_list: dict | None = None):
+    """(pairs (n,2), noise_scale (n,)) replicating the reference's automatic
+    restart segment construction (incl. the karras re-schedule for ≥20
+    steps)."""
+    from sdwebui_tpu.sampling.schedulers import karras as karras_schedule
+
+    sigmas = np.asarray(sigmas, np.float64)
+    steps = len(sigmas) - 1
+    if restart_list is None:
+        if steps >= 20:
+            restart_steps = 9
+            restart_times = 1
+            if steps >= 36:
+                restart_steps = steps // 4
+                restart_times = 2
+            sigmas = karras_schedule(steps - restart_steps * restart_times,
+                                     float(sigmas[-2]), float(sigmas[0]))
+            restart_list = {0.1: [restart_steps + 1, restart_times, 2]}
+        else:
+            restart_list = {}
+
+    restart_idx = {int(np.argmin(np.abs(sigmas - key))): value
+                   for key, value in restart_list.items()}
+
+    step_list = []
+    for i in range(len(sigmas) - 1):
+        step_list.append((sigmas[i], sigmas[i + 1]))
+        if i + 1 in restart_idx:
+            r_steps, r_times, r_max = restart_idx[i + 1]
+            min_idx = i + 1
+            max_idx = int(np.argmin(np.abs(sigmas - r_max)))
+            if max_idx < min_idx:
+                sigma_restart = karras_schedule(
+                    r_steps, float(sigmas[min_idx]), float(sigmas[max_idx]))[:-1]
+                for _ in range(r_times):
+                    step_list.extend(zip(sigma_restart[:-1], sigma_restart[1:]))
+
+    pairs = np.asarray(step_list, np.float64)
+    noise_scale = np.zeros(len(pairs))
+    last = None
+    for j, (old, new) in enumerate(pairs):
+        if last is not None and last < old:
+            noise_scale[j] = np.sqrt(old ** 2 - last ** 2)
+        last = new
+    return pairs.astype(np.float32), noise_scale.astype(np.float32)
+
+
+# --------------------------------------------------------------------------
 # LCM
 # --------------------------------------------------------------------------
 
@@ -401,6 +469,8 @@ SOLVERS = {
     "lms": SolverSpec("lms", lms_step, uses_lms_coeffs=True),
     "lcm": SolverSpec("lcm", lcm_step, noises_per_step=1),
     "ddim": SolverSpec("ddim", ddim_step, noises_per_step=1, default_eta=0.0),
+    "restart": SolverSpec("restart", restart_step, noises_per_step=1,
+                          model_calls_per_step=2),
     "plms": SolverSpec("plms", plms_step, eps_history=True,
                        model_calls_per_step=2),
 }

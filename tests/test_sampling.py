@@ -279,3 +279,42 @@ def test_plms_higher_order_than_euler():
 def test_ddim_plms_in_registry():
     assert get_sampler("DDIM").solver == "ddim"
     assert get_sampler("PLMS").scheduler_override == "ddim"
+
+
+# --------------------------------------------------------------------------
+# Restart sampler
+# --------------------------------------------------------------------------
+
+def test_restart_plan_structure():
+    from sdwebui_tpu.sampling.solvers import build_restart_plan
+
+    sig = get_schedule("karras", 30, DISC)
+    pairs, nscale = build_restart_plan(sig)
+    # 30 steps ≥ 20 → karras re-schedule of 21 + a 10-step restart segment
+    assert len(pairs) > 21
+    # at least one upward jump with noise injection
+    assert (nscale > 0).any()
+    # pairs are contiguous within segments
+    assert pairs[0, 0] == pytest.approx(DISC.sigma_max, rel=1e-4)
+    assert pairs[-1, 1] == 0.0
+
+
+def test_restart_small_steps_plain_heun():
+    from sdwebui_tpu.sampling.solvers import build_restart_plan
+
+    sig = get_schedule("karras", 8, DISC)
+    pairs, nscale = build_restart_plan(sig)
+    assert len(pairs) == 8
+    assert (nscale == 0).all()
+
+
+def test_restart_perfect_denoiser():
+    target = jnp.full((1, 4, 4, 2), 1.5, jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 4, 2)),
+                    jnp.float32) * SIGMAS[0]
+    out = sample(lambda xc, s, i: target, x, SIGMAS, solver="restart")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
+
+
+def test_restart_in_registry():
+    assert get_sampler("Restart").solver == "restart"
