@@ -147,8 +147,13 @@ def process_img2img(model: SDModel, p: GenerationParams,
     sigmas_full = get_schedule(scheduler, steps, model.disc, is_sdxl=model.is_sdxl)
     sigma_sched = sigmas_full[steps - t_enc - 1:]
 
-    # inpainting-model image conditioning (9-channel UNet)
+    # instruct-pix2pix (8-channel UNet): unscaled init-latent conditioning
     c_concat = None
+    edit_mode = model.unet_cfg.in_channels == 8
+    if edit_mode:
+        c_concat = init_latent / model.vae_cfg.scale_factor
+
+    # inpainting-model image conditioning (9-channel UNet)
     if model.unet_cfg.in_channels == 9:
         if nmask is not None:
             mask_full = np.around(np.asarray(
@@ -173,6 +178,9 @@ def process_img2img(model: SDModel, p: GenerationParams,
         sched = _build_conds(model, p, t_enc + 1, prompt=clean_prompt)
         if c_concat is not None:
             sched.c_concat = c_concat
+        if edit_mode and p.image_cfg_scale not in (None, 1.0):
+            sched.image_cfg_scale = jnp.asarray(float(p.image_cfg_scale),
+                                                jnp.float32)
 
         rng = ImageRNG((c, h, w), seeds, subseeds=subseeds,
                        subseed_strength=p.subseed_strength)

@@ -45,6 +45,8 @@ class CondSchedule:
     vector_uncond_bank: Any = None   # (n_sched_u, D_adm)
     # inpainting-model image conditioning, concatenated on channels
     c_concat: Any = None             # (B,H,W,Cc)
+    # instruct-pix2pix 3-way CFG (reference combine_denoised_for_edit_model)
+    image_cfg_scale: Any = None      # scalar or None
 
     def tree_flatten(self):
         # cond_scale is a traced child (users sweep CFG per request; it must
@@ -52,15 +54,17 @@ class CondSchedule:
         children = (self.cond_bank, self.cond_idx, self.cond_weights,
                     self.uncond_bank, self.uncond_idx, self.skip_uncond,
                     self.vector_bank, self.vector_uncond_bank, self.c_concat,
+                    self.image_cfg_scale,
                     jnp.asarray(self.cond_scale, jnp.float32))
         return children, ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (cb, ci, cw, ub, ui, su, vb, vub, cc, scale) = children
+        (cb, ci, cw, ub, ui, su, vb, vub, cc, ics, scale) = children
         return cls(cond_bank=cb, cond_idx=ci, cond_weights=cw, uncond_bank=ub,
                    uncond_idx=ui, cond_scale=scale, skip_uncond=su,
-                   vector_bank=vb, vector_uncond_bank=vub, c_concat=cc)
+                   vector_bank=vb, vector_uncond_bank=vub, c_concat=cc,
+                   image_cfg_scale=ics)
 
     @staticmethod
     def simple(cond, uncond, cond_scale=7.5, n_steps=1, **kw):
@@ -98,6 +102,10 @@ def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
     sd_samplers_timesteps.py:54).
     """
     k = sched.cond_bank.shape[0]
+
+    if sched.image_cfg_scale is not None:
+        return _make_edit_denoiser(denoise_fn, sched, mask, nmask, init_latent,
+                                   mask_before_denoising)
 
     def model(x, sigma, i):
         if mask is not None and mask_before_denoising:
@@ -149,6 +157,42 @@ def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
         if mask is not None and not mask_before_denoising:
             cfg = cfg * nmask + init_latent * mask
 
+        return cfg
+
+    return model
+
+
+def _make_edit_denoiser(denoise_fn, sched: CondSchedule, mask, nmask,
+                        init_latent, mask_before_denoising):
+    """instruct-pix2pix 3-way CFG (reference
+    combine_denoised_for_edit_model, sd_samplers_cfg_denoiser.py:84):
+
+        rows = [text-cond + img, text-uncond + img, text-uncond + zero-img]
+        out  = uncond + s_txt·(cond − img_cond) + s_img·(img_cond − uncond)
+    AND composition is unsupported for edit models (reference assert)."""
+
+    def model(x, sigma, i):
+        if mask is not None and mask_before_denoising:
+            x = init_latent * mask + nmask * x
+        b = x.shape[0]
+        cond = sched.cond_bank[0, sched.cond_idx[0, i]]
+        uncond = sched.uncond_bank[sched.uncond_idx[i]]
+        ctx = jnp.concatenate([
+            jnp.repeat(cond[None], b, axis=0),
+            jnp.repeat(uncond[None], b, axis=0),
+            jnp.repeat(uncond[None], b, axis=0)], axis=0)
+        x_in = jnp.tile(x, (3, 1, 1, 1))
+        sigma_in = jnp.broadcast_to(sigma, (x_in.shape[0],))
+        cc = sched.c_concat
+        c_concat = jnp.concatenate([cc, cc, jnp.zeros_like(cc)], axis=0)
+        out = denoise_fn(x_in, sigma_in, ctx, None, c_concat)
+        out = out.reshape(3, b, *out.shape[1:])
+        out_cond, out_img, out_uncond = out[0], out[1], out[2]
+        cfg = out_uncond \
+            + sched.cond_scale * (out_cond - out_img) \
+            + sched.image_cfg_scale * (out_img - out_uncond)
+        if mask is not None and not mask_before_denoising:
+            cfg = cfg * nmask + init_latent * mask
         return cfg
 
     return model

@@ -162,3 +162,55 @@ def test_hires_different_sampler_and_prompt(model):
                          hr_sampler_name="DPM++ 2M", hr_prompt="different")
     res = process_txt2img(model, p)
     assert res.images[0].size == (128, 128)
+
+
+def test_instruct_pix2pix_edit_model():
+    """8-channel edit model: 3-way CFG with image conditioning."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.models import unet as unet_model
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+
+    base = create_tiny_sd()
+    cfg8 = dataclasses.replace(base.unet_cfg, in_channels=8)
+    edit = dataclasses.replace(
+        base, unet_cfg=cfg8,
+        unet_params=jax.device_put(unet_model.init_params(cfg8, 7, dtype=jnp.float32)))
+
+    src = _img((90, 90, 90))
+    p = GenerationParams(prompt="make it red", seed=3, steps=3, width=64,
+                         height=64, denoising_strength=0.9,
+                         init_images=[src], image_cfg_scale=1.5)
+    res = process_img2img(edit, p)
+    assert len(res.images) == 1
+    # image_cfg_scale changes the output
+    p2 = GenerationParams(prompt="make it red", seed=3, steps=3, width=64,
+                          height=64, denoising_strength=0.9,
+                          init_images=[src], image_cfg_scale=3.0)
+    res2 = process_img2img(edit, p2)
+    assert not np.array_equal(np.asarray(res.images[0]), np.asarray(res2.images[0]))
+
+
+def test_edit_cfg_combine_formula():
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.sampling.cfg import CondSchedule, make_cfg_denoiser
+
+    def denoise_fn(x, sigma, ctx, y, c_concat):
+        # rows keyed by (ctx mean, concat mean): cond=2+img, uncond rows vary
+        m = jnp.mean(ctx, axis=(1, 2)) + jnp.mean(c_concat, axis=(1, 2, 3))
+        return jnp.ones_like(x) * m[:, None, None, None]
+
+    sched = CondSchedule.simple(np.full((7, 3), 2.0, np.float32),
+                                np.full((7, 3), 1.0, np.float32),
+                                cond_scale=2.0, n_steps=1)
+    sched.c_concat = jnp.full((1, 4, 4, 4), 0.5)
+    sched.image_cfg_scale = jnp.asarray(1.5)
+    model = make_cfg_denoiser(lambda *a: denoise_fn(*a), sched)
+    out = model(jnp.zeros((1, 4, 4, 3)), jnp.asarray(1.0), 0)
+    # rows: cond=2+0.5=2.5, img=1+0.5=1.5, uncond=1+0=1
+    expect = 1 + 2.0 * (2.5 - 1.5) + 1.5 * (1.5 - 1)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
