@@ -46,6 +46,38 @@ class RawResponse:
         self.content_type = content_type
 
 
+_INFOTEXT_FIELD_MAP = {
+    "Prompt": "prompt", "Negative prompt": "negative_prompt",
+    "Steps": ("steps", int), "Sampler": "sampler_name",
+    "Schedule type": "scheduler", "CFG scale": ("cfg_scale", float),
+    "Seed": ("seed", int), "Size-1": ("width", int), "Size-2": ("height", int),
+    "Denoising strength": ("denoising_strength", float),
+    "Variation seed": ("subseed", int),
+    "Variation seed strength": ("subseed_strength", float),
+    "Clip skip": ("clip_skip", int),
+}
+
+
+def _apply_infotext(body: dict) -> dict:
+    """Fill request fields from an `infotext` string for fields the client
+    did not set (reference modules/api/api.py:363 apply_infotext)."""
+    text = body.get("infotext")
+    if not text:
+        return body
+    parsed = infotext_util.parse(text)
+    for key, spec in _INFOTEXT_FIELD_MAP.items():
+        if key not in parsed:
+            continue
+        field, cast = spec if isinstance(spec, tuple) else (spec, str)
+        if field in body and body[field] not in (None, "", -1):
+            continue
+        try:
+            body[field] = cast(parsed[key])
+        except (ValueError, TypeError):
+            pass
+    return body
+
+
 def _fields_from_request(req: schema.Txt2ImgRequest) -> dict:
     d = req.model_dump(exclude_unset=False)
     sampler = d.pop("sampler_name", None) or d.pop("sampler_index", None) or "Euler a"
@@ -119,6 +151,7 @@ class Api:
     # ---- generation ----------------------------------------------------
 
     def txt2img(self, body: dict):
+        body = _apply_infotext(dict(body))
         req = schema.Txt2ImgRequest(**body)
         p = GenerationParams(**_fields_from_request(req))
         if req.script_name:

@@ -47,6 +47,22 @@ class Engine:
             p.prompt, p.negative_prompt = self.styles.apply(
                 p.prompt, p.negative_prompt, p.styles)
 
+    def _apply_runtime_opts(self):
+        """Push live settings into the loaded model's conditioners / ops
+        (the reference reads shared.opts inside the hijacks; we apply
+        explicitly per generation)."""
+        from sdwebui_tpu.ops.attention import set_attention_impl
+
+        model = self.sd_model
+        for cond in (model.conditioner, model.conditioner2):
+            if cond is None:
+                continue
+            cond.emphasis = opts.get("emphasis_mode", "Original") \
+                if opts.get("enable_emphasis", True) else "None"
+            cond.comma_padding_backtrack = opts.get("comma_padding_backtrack", 20)
+        impl = opts.get("cross_attention_optimization", "Automatic")
+        set_attention_impl(None if impl == "Automatic" else impl)
+
     # ---- model lifecycle ----------------------------------------------
 
     @property
@@ -103,6 +119,7 @@ class Engine:
         from sdwebui_tpu.pipeline.processing import process_txt2img
 
         self.apply_styles(p)
+        self._apply_runtime_opts()
         with self.queue_lock:
             state.begin("txt2img")
             state.job_count = p.n_iter

@@ -255,3 +255,32 @@ def test_interrogate_graceful(server):
                       json={"image": _b64_image(), "model": "clip"})
     assert r.status_code == 501
     assert "weights" in r.json()["detail"]
+
+
+def test_infotext_fills_request(server, url_txt2img):
+    """The `infotext` field supplies params the client omitted
+    (reference apply_infotext)."""
+    info = ("a neat prompt\nNegative prompt: bad stuff\n"
+            "Steps: 3, Sampler: Euler, CFG scale: 4.5, Seed: 77, Size: 64x64")
+    r = requests.post(url_txt2img, json={"infotext": info})
+    assert r.status_code == 200, r.text
+    import json as _json
+
+    meta = _json.loads(r.json()["info"])
+    assert meta["seed"] == 77
+    assert meta["steps"] == 3
+    assert meta["sampler_name"] == "Euler"
+    assert meta["prompt"] == "a neat prompt"
+    # explicit field wins over infotext
+    r2 = requests.post(url_txt2img, json={"infotext": info, "seed": 99,
+                                          "steps": 2, "width": 64, "height": 64})
+    assert _json.loads(r2.json()["info"])["seed"] == 99
+
+
+def test_emphasis_option_changes_output(server, url_txt2img):
+    body = dict(SIMPLE_TXT2IMG, prompt="a (strong:1.9) cat")
+    a = requests.post(url_txt2img, json=body).json()["images"][0]
+    requests.post(f"{server}/sdapi/v1/options", json={"emphasis_mode": "No norm"})
+    b = requests.post(url_txt2img, json=body).json()["images"][0]
+    requests.post(f"{server}/sdapi/v1/options", json={"emphasis_mode": "Original"})
+    assert a != b

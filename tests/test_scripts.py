@@ -164,3 +164,29 @@ def test_api_script_dispatch(engine):
         assert "x/y/z plot" in names["txt2img"]
     finally:
         srv.shutdown()
+
+
+def test_timer():
+    from sdwebui_tpu.utils.timer import Timer
+
+    t = Timer()
+    t.record("step1")
+    with t.subcategory("sub"):
+        t.record("inner")
+    assert "step1" in t.records and "inner" in t.records
+    assert isinstance(t.summary(), str)
+
+
+def test_memory_monitor():
+    from sdwebui_tpu.utils.profiling import memory_monitor
+
+    r = memory_monitor.read()
+    assert set(r) == {"used", "peak", "total", "free"}
+    assert "HBM" in memory_monitor.summary()
+
+
+def test_profile_context(tmp_path):
+    from sdwebui_tpu.utils.profiling import profile
+
+    with profile(enable=False) as p:
+        assert p is None
