@@ -52,9 +52,11 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
     compute_dtype = _dv.get_policy().compute_dtype
     extra = dict(extra_items)
     if lms_coeffs is not None:
-        # traced aux channel: LMS coefficients or the restart (pairs, scale)
+        # traced aux channel: LMS / restart / UniPC host-precomputed arrays
         if solver == "restart":
             extra["restart_pairs"], extra["restart_noise_scale"] = lms_coeffs
+        elif solver == "unipc":
+            extra.update(lms_coeffs)
         else:
             extra["lms_coeffs"] = lms_coeffs
 
@@ -112,6 +114,11 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
 
         lms_coeffs = jnp.asarray(
             lms_coefficients(np.asarray(sigmas, np.float64)), jnp.float32)
+    elif solver == "unipc":
+        from sdwebui_tpu.sampling.solvers import unipc_coefficients
+
+        coeffs = unipc_coefficients(np.asarray(sigmas, np.float64))
+        lms_coeffs = {k: jnp.asarray(v) for k, v in coeffs.items()}
     elif solver == "restart":
         from sdwebui_tpu.sampling.solvers import build_restart_plan
 

@@ -44,6 +44,8 @@ SAMPLERS = [
        uses_ensd=True, second_order=True),
     # timestep ("CompVis") samplers — integer-timestep schedules
     _S("DDIM", "ddim", ("ddim",), scheduler_override="ddim", uses_ensd=True),
+    _S("UniPC", "unipc", ("unipc",), scheduler_override="ddim",
+       second_order=True),
     _S("PLMS", "plms", ("plms",), scheduler_override="ddim", second_order=True),
     # scheduler-suffix aliases kept for infotext back-compat
     _S("LMS Karras", "lms", ("k_lms_ka",), scheduler_override="karras"),

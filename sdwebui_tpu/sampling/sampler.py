@@ -54,6 +54,14 @@ def sample(model: Callable, x, sigmas, solver: str = "euler",
         extra["restart_noise_scale"] = jnp.asarray(nscale)
         n = len(pairs)
         noise = jnp.zeros((n, 1, *x.shape), x.dtype) if noise.shape[0] != n else noise
+    if spec.uses_unipc and "unipc_ratio" not in extra:
+        from sdwebui_tpu.sampling.solvers import unipc_coefficients
+
+        coeffs = unipc_coefficients(
+            np.asarray(jax.device_get(sigmas), np.float64),
+            order=int(extra.pop("unipc_order_setting", 3)),
+            variant=extra.pop("unipc_variant", "bh1"))
+        extra.update({k: jnp.asarray(v) for k, v in coeffs.items()})
     if spec.uses_lms_coeffs and "lms_coeffs" not in extra:
         # needs scipy quadrature — only possible with concrete sigmas; under
         # jit the caller must precompute (pipeline does)

@@ -408,6 +408,125 @@ def build_restart_plan(sigmas: np.ndarray, restart_list: dict | None = None):
 
 
 # --------------------------------------------------------------------------
+# UniPC (Zhao et al. 2023; reference modules/models/diffusion/uni_pc)
+# --------------------------------------------------------------------------
+# Multistep predictor-corrector in λ = −log σ space (data prediction).  All
+# step coefficients depend only on the σ schedule, so they are precomputed
+# host-side (unipc_coefficients) and the scan body is pure arithmetic plus
+# the corrector's single model call (whose output doubles as the next
+# step's model value — one call per step, like the reference).
+
+def unipc_coefficients(sigmas: np.ndarray, order: int = 3,
+                       variant: str = "bh1", lower_order_final: bool = True):
+    """Per-step arrays: ratio, h_phi_1, B_h, rks (n,2), rhos_p (n,2),
+    rhos_c (n,3), order (n,)."""
+    sigmas = np.asarray(sigmas, np.float64)
+    n = len(sigmas) - 1
+    lam = -np.log(np.maximum(sigmas, 1e-12))
+
+    ratio = np.zeros(n)
+    h_phi_1 = np.zeros(n)
+    B_h = np.zeros(n)
+    rks_arr = np.zeros((n, 2))
+    rhos_p = np.zeros((n, 2))
+    rhos_c = np.zeros((n, 3))
+    orders = np.zeros(n, np.int32)
+
+    for i in range(n):
+        cur_order = min(i + 1, order)
+        if lower_order_final:
+            cur_order = min(cur_order, n - i)
+        cur_order = max(cur_order, 1)
+        orders[i] = cur_order
+
+        if sigmas[i + 1] <= 0:
+            # terminal step: x_t = m0 exactly
+            ratio[i] = 0.0
+            h_phi_1[i] = -1.0
+            B_h[i] = 0.0
+            continue
+
+        h = lam[i + 1] - lam[i]
+        hh = -h
+        ratio[i] = sigmas[i + 1] / sigmas[i]
+        h_phi_1[i] = np.expm1(hh)
+        B_h[i] = hh if variant == "bh1" else np.expm1(hh)
+
+        rks = []
+        for k in range(1, cur_order):
+            rks.append((lam[i - k] - lam[i]) / h)
+        rks_full = rks + [1.0]
+        rks_arr[i, :len(rks)] = rks
+
+        # b_k = h_phi_k · k! / B_h with the phi recursion
+        b = []
+        h_phi_k = h_phi_1[i] / hh - 1
+        fact = 1
+        for k in range(1, cur_order + 1):
+            b.append(h_phi_k * fact / B_h[i])
+            fact *= (k + 1)
+            h_phi_k = h_phi_k / hh - 1 / fact
+        b = np.asarray(b)
+        R = np.stack([np.asarray(rks_full) ** k for k in range(cur_order)])
+
+        if cur_order >= 2:
+            if cur_order == 2:
+                rhos_p[i, 0] = 0.5
+            else:
+                sol = np.linalg.solve(R[:-1, :-1], b[:-1])
+                rhos_p[i, :len(sol)] = sol
+        if cur_order == 1:
+            rhos_c[i, 0] = 0.5
+        else:
+            sol = np.linalg.solve(R, b)
+            rhos_c[i, :len(sol)] = sol
+
+    return {"unipc_ratio": ratio.astype(np.float32),
+            "unipc_h_phi_1": h_phi_1.astype(np.float32),
+            "unipc_B_h": B_h.astype(np.float32),
+            "unipc_rks": rks_arr.astype(np.float32),
+            "unipc_rhos_p": rhos_p.astype(np.float32),
+            "unipc_rhos_c": rhos_c.astype(np.float32),
+            "unipc_order": orders}
+
+
+def unipc_step(model, x, i, sigmas, noise, state, extra):
+    s, s_next = sigmas[i], sigmas[i + 1]
+    ratio = extra["unipc_ratio"][i]
+    h_phi_1 = extra["unipc_h_phi_1"][i]
+    B_h = extra["unipc_B_h"][i]
+    rks = extra["unipc_rks"][i]
+    rhos_p = extra["unipc_rhos_p"][i]
+    rhos_c = extra["unipc_rhos_c"][i]
+    cur_order = extra["unipc_order"][i]
+
+    # model value at (x, σ_i): evaluated fresh on the first step, reused
+    # from the previous corrector afterwards
+    m0 = jax.lax.cond(i == 0,
+                      lambda _: model(x, s, i),
+                      lambda _: state["m0"], None)
+
+    d1_1 = (state["m1"] - m0) / jnp.where(rks[0] == 0, 1.0, rks[0])
+    d1_2 = (state["m2"] - m0) / jnp.where(rks[1] == 0, 1.0, rks[1])
+
+    x_t_ = ratio * x - h_phi_1 * m0
+    pred_res = rhos_p[0] * d1_1 + rhos_p[1] * d1_2
+    x_pred = x_t_ - B_h * pred_res
+
+    # corrector (also produces next step's m0)
+    m_t = model(x_pred, jnp.maximum(s_next, _EPS), i)
+    corr = jnp.where(cur_order >= 3, rhos_c[0] * d1_1 + rhos_c[1] * d1_2,
+                     jnp.where(cur_order == 2, rhos_c[0] * d1_1, 0.0))
+    rho_last = jnp.where(cur_order >= 3, rhos_c[2],
+                         jnp.where(cur_order == 2, rhos_c[1], rhos_c[0]))
+    x_corr = x_t_ - B_h * (corr + rho_last * (m_t - m0))
+    x = jnp.where(s_next > 0, x_corr, x_pred)
+
+    state = {**state, "m2": state["m1"], "m1": m0, "m0": m_t}
+    return x, state
+
+
+# --------------------------------------------------------------------------
 # LCM
 # --------------------------------------------------------------------------
 
@@ -434,6 +553,7 @@ class SolverSpec:
     order3_state: bool = False
     uses_lms_coeffs: bool = False
     eps_history: bool = False
+    uses_unipc: bool = False
     default_eta: float = 1.0
 
     def init_state(self, x):
@@ -447,6 +567,9 @@ class SolverSpec:
             state["ds"] = jnp.zeros((4, *x.shape), x.dtype)
         if self.eps_history:
             state["eps_hist"] = jnp.zeros((3, *x.shape), x.dtype)
+        if self.uses_unipc:
+            state.update(m0=jnp.zeros_like(x), m1=jnp.zeros_like(x),
+                         m2=jnp.zeros_like(x))
         return state
 
 
@@ -471,6 +594,9 @@ SOLVERS = {
     "ddim": SolverSpec("ddim", ddim_step, noises_per_step=1, default_eta=0.0),
     "restart": SolverSpec("restart", restart_step, noises_per_step=1,
                           model_calls_per_step=2),
+    "unipc": SolverSpec("unipc", unipc_step, model_calls_per_step=2,
+                        order3_state=False, eps_history=False,
+                        uses_unipc=True),
     "plms": SolverSpec("plms", plms_step, eps_history=True,
                        model_calls_per_step=2),
 }

@@ -124,6 +124,8 @@ class Api:
         r("GET", "/sdapi/v1/realesrgan-models", self.realesrgan_models)
         r("GET", "/sdapi/v1/prompt-styles", self.prompt_styles)
         r("GET", "/sdapi/v1/embeddings", self.embeddings)
+        r("GET", "/sdapi/v1/loras", self.loras)
+        r("POST", "/sdapi/v1/refresh-loras", self.refresh_loras)
         r("POST", "/sdapi/v1/refresh-checkpoints", self.refresh_checkpoints)
         r("POST", "/sdapi/v1/refresh-vae", self.refresh_vae)
         r("POST", "/sdapi/v1/reload-checkpoint", self.reload_checkpoint)
@@ -389,6 +391,19 @@ class Api:
                              "shape": int(e.vec.shape[-1]), "vectors": e.vectors}
                       for name, e in getattr(db, "embeddings", {}).items()}
         return {"loaded": loaded, "skipped": {}}
+
+    def loras(self, body=None):
+        """Lora extension API parity (extensions-builtin/Lora api)."""
+        from sdwebui_tpu.networks.extra_networks import default_registry
+
+        return [{"name": name, "alias": name, "path": path, "metadata": {}}
+                for name, path in default_registry().files.items()]
+
+    def refresh_loras(self, body=None):
+        from sdwebui_tpu.networks.extra_networks import default_registry
+
+        default_registry().refresh()
+        return {}
 
     def refresh_checkpoints(self, body=None):
         self.engine.registry.refresh()

@@ -318,3 +318,46 @@ def test_restart_perfect_denoiser():
 
 def test_restart_in_registry():
     assert get_sampler("Restart").solver == "restart"
+
+
+# --------------------------------------------------------------------------
+# UniPC
+# --------------------------------------------------------------------------
+
+def test_unipc_perfect_denoiser():
+    target = jnp.full((1, 4, 4, 2), 2.0, jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 4, 2)),
+                    jnp.float32) * SIGMAS[0]
+    out = sample(lambda xc, s, i: target, x, SIGMAS, solver="unipc")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
+
+
+def test_unipc_higher_order_than_euler():
+    a = 0.5
+    sig = np.concatenate([np.geomspace(10.0, 0.5, 14), [0.4]])
+    x0 = jnp.full((1, 2, 2, 1), 1.7, jnp.float32)
+    model = lambda xc, s, i: a * xc
+    exact = 1.7 * (sig[-1] / sig[0]) ** (1 - a)
+    sigj = jnp.asarray(sig, jnp.float32)
+    e_unipc = abs(float(np.asarray(sample(model, x0, sigj, solver="unipc")).ravel()[0]) - exact)
+    e_euler = abs(float(np.asarray(sample(model, x0, sigj, solver="euler")).ravel()[0]) - exact)
+    e_2m = abs(float(np.asarray(sample(model, x0, sigj, solver="dpmpp_2m")).ravel()[0]) - exact)
+    assert e_unipc < e_euler
+    assert e_unipc < e_2m * 2  # at least comparable to 2nd order
+
+
+def test_unipc_coefficients_terminal_step():
+    from sdwebui_tpu.sampling.solvers import unipc_coefficients
+
+    sig = np.array([10.0, 5.0, 1.0, 0.0])
+    c = unipc_coefficients(sig)
+    # terminal: x = m0 exactly (ratio 0, h_phi_1 = -1, B_h = 0)
+    assert c["unipc_ratio"][-1] == 0.0
+    assert c["unipc_h_phi_1"][-1] == -1.0
+    assert c["unipc_B_h"][-1] == 0.0
+    # lower_order_final caps the tail orders
+    assert c["unipc_order"][-1] == 1
+
+
+def test_unipc_in_registry():
+    assert get_sampler("UniPC").solver == "unipc"
