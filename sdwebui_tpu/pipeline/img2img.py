@@ -130,7 +130,8 @@ def process_img2img(model: SDModel, p: GenerationParams,
     if mask_info["mask"] is not None:
         latmask_img = mask_info["mask"].convert("L").resize((w, h))
         latmask = np.asarray(latmask_img, np.float32) / 255.0
-        latmask = np.around(latmask)
+        if not p.soft_inpainting:   # soft inpainting keeps continuous masks
+            latmask = np.around(latmask)
         nmask = jnp.asarray(latmask)[None, :, :, None]
         mask = 1.0 - nmask
 
@@ -195,11 +196,16 @@ def process_img2img(model: SDModel, p: GenerationParams,
             xi = init_latent + x * float(sigma_sched[0])
 
         noise = prepare_noise(spec, len(sigma_sched) - 1, rng, (b, h, w, c))
+        extra = _solver_extra(p, sampler)
+        if p.soft_inpainting and nmask is not None:
+            extra["soft_inpainting"] = (float(p.mask_blend_power),
+                                        float(p.mask_blend_scale),
+                                        float(p.inpaint_detail_preservation))
         latents = sample_latents(model, sched, xi, sigma_sched, noise,
-                                 sampler.solver, _solver_extra(p, sampler),
+                                 sampler.solver, extra,
                                  mask=mask, nmask=nmask, init_latent=init_latent,
                                  hypernet=hypernet)
-        if mask is not None:
+        if mask is not None and not p.soft_inpainting:
             latents = latents * nmask + init_latent * mask
 
         images = decode_first_stage(model, latents)

@@ -70,6 +70,11 @@ class GenerationParams:
     inpainting_mask_invert: int = 0
     initial_noise_multiplier: float = 1.0
     include_init_images: bool = False
+    # soft inpainting (builtin extension parity)
+    soft_inpainting: bool = False
+    mask_blend_power: float = 1.0
+    mask_blend_scale: float = 0.5
+    inpaint_detail_preservation: float = 4.0
 
     # populated during processing
     all_prompts: List[str] = dataclasses.field(default_factory=list)

@@ -85,8 +85,10 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
             return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
         return xb - out * sig
 
+    soft = extra.pop("soft_inpainting", None)
     model_fn = make_cfg_denoiser(denoise, sched, mask=mask, nmask=nmask,
-                                 init_latent=init_latent)
+                                 init_latent=init_latent,
+                                 soft_inpainting=soft)
     return sample(model_fn, x, sigmas, solver=solver, noise=noise, extra=extra,
                   mode="scan")
 

@@ -88,9 +88,26 @@ jax.tree_util.register_pytree_node(
     CondSchedule, CondSchedule.tree_flatten, CondSchedule.tree_unflatten)
 
 
+def soft_latent_blend(a, b, t, detail_preservation: float = 4.0):
+    """Magnitude-corrected lerp (soft-inpainting latent_blend,
+    extensions-builtin/soft-inpainting/scripts/soft_inpainting.py:50):
+    directions lerp linearly; magnitudes lerp in a power-`detail` space,
+    biasing toward the stronger of the two. Channel dim is last (NHWC)."""
+    interp = (a * (1 - t) + b * t).astype(jnp.float32)
+    cur_mag = jnp.linalg.norm(interp, axis=-1, keepdims=True) + 1e-5
+    a_mag = jnp.linalg.norm(a.astype(jnp.float32), axis=-1,
+                            keepdims=True) ** detail_preservation
+    b_mag = jnp.linalg.norm(b.astype(jnp.float32), axis=-1,
+                            keepdims=True) ** detail_preservation
+    t1 = t[..., :1].astype(jnp.float32)
+    desired = (a_mag * (1 - t1) + b_mag * t1) ** (1 / detail_preservation)
+    return (interp * desired / cur_mag).astype(a.dtype)
+
+
 def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
                       mask=None, nmask=None, init_latent=None,
-                      mask_before_denoising: bool = False) -> Callable:
+                      mask_before_denoising: bool = False,
+                      soft_inpainting: tuple | None = None) -> Callable:
     """Build model(x, sigma, i) -> denoised for the solver loop.
 
     denoise_fn(x, sigma, context, y, c_concat) -> denoised, where x is
@@ -108,7 +125,14 @@ def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
                                    mask_before_denoising)
 
     def model(x, sigma, i):
-        if mask is not None and mask_before_denoising:
+        if soft_inpainting is not None and nmask is not None:
+            # σ-scheduled soft mask: t = nmask^(σ^power · scale), blended
+            # with detail preservation BEFORE denoising (reference
+            # soft_inpainting get_modified_nmask + latent_blend)
+            power, scale, detail = soft_inpainting
+            t = jnp.power(nmask, (sigma ** power) * scale)
+            x = soft_latent_blend(init_latent, x, t, detail)
+        elif mask is not None and mask_before_denoising:
             x = init_latent * mask + nmask * x
         b = x.shape[0]
 
@@ -154,7 +178,8 @@ def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
             cond_mean = jnp.sum(w * out_conds, axis=0) / wsum.astype(out.dtype)
             cfg = jnp.where(sched.skip_uncond[i], cond_mean, cfg)
 
-        if mask is not None and not mask_before_denoising:
+        if soft_inpainting is None and mask is not None \
+                and not mask_before_denoising:
             cfg = cfg * nmask + init_latent * mask
 
         return cfg

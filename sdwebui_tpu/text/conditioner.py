@@ -44,7 +44,10 @@ def apply_emphasis(z, multipliers, mode: str = "Original"):
     original_mean = jnp.mean(z.astype(jnp.float32))
     zm = z.astype(jnp.float32) * m
     new_mean = jnp.mean(zm)
-    return (zm * (original_mean / new_mean)).astype(z.dtype)
+    # the reference divides unguarded (sd_emphasis.py:40); a near-zero global
+    # mean (exact for layer-normed outputs) would poison the run with NaN
+    ratio = jnp.where(jnp.abs(new_mean) > 1e-9, original_mean / new_mean, 1.0)
+    return (zm * ratio).astype(z.dtype)
 
 
 class TextConditioner:

@@ -214,3 +214,50 @@ def test_edit_cfg_combine_formula():
     # rows: cond=2+0.5=2.5, img=1+0.5=1.5, uncond=1+0=1
     expect = 1 + 2.0 * (2.5 - 1.5) + 1.5 * (1.5 - 1)
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+
+
+def test_soft_inpainting(model):
+    """Continuous-mask soft inpainting: e2e smoke + latent-level divergence
+    from hard blending (decoded random-weight images saturate, so compare
+    sampled latents via a spy)."""
+    import sdwebui_tpu.pipeline.img2img as i2i
+
+    src = _img((50, 100, 150))
+    # cfg_scale=1 keeps the random-weight model finite over the steps
+    mk = lambda soft: GenerationParams(
+        prompt="a dog", seed=7, steps=3, width=64, height=64, cfg_scale=1.0,
+        denoising_strength=0.9, init_images=[src], mask=_mask(), mask_blur=8,
+        inpainting_fill=1, soft_inpainting=soft)
+    captured = []
+    orig = i2i.sample_latents
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        captured.append(np.nan_to_num(np.asarray(out)))
+        return out
+
+    i2i.sample_latents = spy
+    try:
+        hard = process_img2img(model, mk(False))
+        soft = process_img2img(model, mk(True))
+    finally:
+        i2i.sample_latents = orig
+    assert len(hard.images) == len(soft.images) == 1
+    assert not np.array_equal(captured[0], captured[1])
+
+
+def test_soft_latent_blend_math():
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.sampling.cfg import soft_latent_blend
+
+    a = jnp.zeros((1, 1, 1, 4)).at[..., 0].set(2.0)   # (2,0,0,0)
+    b = jnp.zeros((1, 1, 1, 4)).at[..., 1].set(2.0)   # (0,2,0,0)
+    # t=0 → a exactly; t=1 → b exactly
+    np.testing.assert_allclose(np.asarray(soft_latent_blend(a, b, jnp.zeros((1, 1, 1, 4)))),
+                               np.asarray(a), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(soft_latent_blend(a, b, jnp.ones((1, 1, 1, 4)))),
+                               np.asarray(b), rtol=1e-4, atol=1e-4)
+    # t=0.5, orthogonal: magnitude preserved near 2 (a plain lerp gives √2)
+    mid = np.asarray(soft_latent_blend(a, b, jnp.full((1, 1, 1, 4), 0.5)))
+    assert np.linalg.norm(mid[0, 0, 0]) > 1.9
