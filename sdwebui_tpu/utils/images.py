@@ -17,8 +17,10 @@ from PIL import Image, PngImagePlugin
 
 def tensor_to_pil(img) -> list:
     """(B,H,W,3) float [0,1] → list of PIL images."""
-    arr = np.nan_to_num(np.asarray(img, dtype=np.float32))
-    arr = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = np.nan_to_num(arr.astype(np.float32))
+        arr = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
     return [Image.fromarray(a) for a in arr]
 
 
