@@ -84,17 +84,24 @@ class SDModel:
         return dataclasses.replace(self, unet_params=params)
 
     def replicate(self, rt=None) -> "SDModel":
-        """Replicate params over the active mesh for data-parallel batches
-        (first-class TPU component; no reference counterpart, SURVEY §2.6)."""
+        """Place params on the active mesh for multi-device generation
+        (first-class TPU component; no reference counterpart, SURVEY §2.6):
+        replicated over `data`; when the mesh has a model axis >1, the UNet's
+        attention/MLP projections shard Megatron-style over `model`
+        (parallel/sharding.py) and GSPMD inserts the ICI collectives —
+        tensor parallelism for latency at small batch."""
         from sdwebui_tpu.parallel.mesh import get_runtime
+        from sdwebui_tpu.parallel.sharding import shard_params
 
         rt = rt or get_runtime()
         if rt.n_devices <= 1:
             return self
         rep = rt.replicated
+        unet_placed = shard_params(rt, self.unet_params) if rt.model_size > 1 \
+            else jax.device_put(self.unet_params, rep)
         new = dataclasses.replace(
             self,
-            unet_params=jax.device_put(self.unet_params, rep),
+            unet_params=unet_placed,
             vae_params=jax.device_put(self.vae_params, rep))
         new.conditioner.params = jax.device_put(self.conditioner.params, rep)
         if new.conditioner2 is not None:

@@ -46,3 +46,47 @@ def test_dp_indivisible_batch_falls_back(dp_runtime):
                          batch_size=3)  # 3 % 4 != 0 → unsharded path
     res = process_txt2img(model, p)
     assert len(res.images) == 3
+
+
+def test_tensor_parallel_matches_single_device():
+    """Megatron-sharded UNet projections over model=2 produce the same image
+    as the single-device run (GSPMD collectives)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 devices")
+    old = get_runtime()
+    rt = MeshRuntime.create(data=1, model=2, devices=jax.devices()[:2])
+    set_runtime(rt)
+    try:
+        model = create_tiny_sd()
+        p = lambda: GenerationParams(prompt="a cat", seed=7, steps=2,
+                                     width=64, height=64)
+        sharded = model.replicate(rt)
+        # verify something actually sharded
+        from sdwebui_tpu.utils.pytree import flatten
+
+        specs = {k: v.sharding.spec for k, v in flatten(sharded.unet_params).items()
+                 if hasattr(v, "sharding")}
+        assert any("model" in str(s) for s in specs.values())
+
+        # single-forward numeric parity (end-image comparison amplifies
+        # reduction-order noise chaotically over steps on random weights)
+        import jax.numpy as jnp
+
+        from sdwebui_tpu.models import unet as um
+
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 4)),
+                        jnp.float32)
+        t = jnp.array([500.0, 500.0])
+        ctx = jnp.ones((2, 77, 64))
+        base = np.asarray(um.apply(model.unet_params, model.unet_cfg, x, t, ctx))
+        with rt.mesh:
+            tp = np.asarray(jax.jit(
+                lambda pr, xx, tt, cc: um.apply(pr, model.unet_cfg, xx, tt, cc))(
+                sharded.unet_params, x, t, ctx))
+        np.testing.assert_allclose(tp, base, atol=1e-4)
+
+        # e2e smoke through the pipeline with the sharded tree
+        res_tp = process_txt2img(sharded, p())
+        assert len(res_tp.images) == 1
+    finally:
+        set_runtime(old)
