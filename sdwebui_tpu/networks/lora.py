@@ -8,7 +8,7 @@ base tree is untouched, so "restore" is dropping a reference and jit never
 retraces (params are arguments).
 
 Supported algebras (reference module_types, networks.py:27-36):
-  lora (incl. conv), hada, ia3, lokr, full, norm.  (glora/oft: next round.)
+  lora (incl. conv), hada, ia3, lokr, full, norm, glora, oft/coft.
 
 Key naming: kohya/compvis ``lora_unet_<path>_<with>_<underscores>`` and
 ``lora_te_text_model_...``; diffusers-style SDXL names are translated.
@@ -92,10 +92,43 @@ def _to_2d(w):
     return w.reshape(w.shape[0], -1)
 
 
-def _compute_delta_torch_layout(mods: dict, weight_shape_torch, mult: float):
+def _compute_delta_torch_layout(mods: dict, weight_shape_torch, mult: float,
+                                orig_torch_fn=None):
     """mods: suffix → np array (torch layout). Returns delta in torch layout
-    or ("ia3", vector) style special ops. None if unrecognized."""
+    or ("ia3", vector) style special ops. None if unrecognized.
+    orig_torch_fn: lazy () → original weight in torch layout (glora/oft)."""
     scale = 1.0
+
+    if all(k in mods for k in ("a1.weight", "a2.weight", "b1.weight", "b2.weight")):
+        # GLoRA (reference network_glora.py): ΔW = b2@b1 + (W@a2)@a1
+        w = np.asarray(orig_torch_fn(), np.float32).reshape(
+            weight_shape_torch[0], -1)
+        a1 = np.asarray(mods["a1.weight"], np.float32)
+        a2 = np.asarray(mods["a2.weight"], np.float32)
+        b1 = np.asarray(mods["b1.weight"], np.float32)
+        b2 = np.asarray(mods["b2.weight"], np.float32)
+        delta = (b2 @ b1) + (w @ a2) @ a1
+        return ("add", (delta * mult).reshape(weight_shape_torch))
+
+    if "oft_blocks" in mods:
+        # OFT/COFT (reference network_oft.py, kohya blocks variant):
+        # per-output-block Cayley rotation R=(I+Q)(I−Q)⁻¹ of skew Q
+        blocks = np.asarray(mods["oft_blocks"], np.float32)  # (k, b, b)
+        out_dim = weight_shape_torch[0]
+        num_blocks, block_size = blocks.shape[0], blocks.shape[-1]
+        q = blocks - np.swapaxes(blocks, -1, -2)
+        alpha = mods.get("alpha")
+        if alpha is not None and float(alpha) != 0:
+            constraint = float(alpha) * out_dim
+            norm_q = np.linalg.norm(q)
+            q = q * (min(norm_q, constraint) + 1e-8) / (norm_q + 1e-8)
+        eye = np.eye(block_size, dtype=np.float32)
+        r = np.stack([ (eye + qk) @ np.linalg.inv(eye - qk) for qk in q ])
+        w = np.asarray(orig_torch_fn(), np.float32)
+        merged = w.reshape(num_blocks, block_size, -1)
+        rotated = np.einsum("knm,kn...->km...", r, merged)
+        delta = (rotated.reshape(w.shape) - w) * mult
+        return ("add", delta.reshape(weight_shape_torch))
 
     if "lora_up.weight" in mods and "lora_down.weight" in mods:
         up = np.asarray(mods["lora_up.weight"], np.float32)
@@ -219,7 +252,17 @@ def apply_loras(params: dict, loras: list, prefix: str = "lora_unet_"):
                 continue
             wkey = path + ".weight"
             w = flat[wkey]
-            op = _compute_delta_torch_layout(mods, _torch_shape(w), mult)
+
+            def orig_torch(w=w):
+                arr = np.asarray(w, np.float32)
+                if arr.ndim == 4:      # HWIO → OIHW
+                    return np.transpose(arr, (3, 2, 0, 1))
+                if arr.ndim == 2:
+                    return arr.T
+                return arr
+
+            op = _compute_delta_torch_layout(mods, _torch_shape(w), mult,
+                                             orig_torch_fn=orig_torch)
             if op is None:
                 unmatched.append(module)
                 continue

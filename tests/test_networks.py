@@ -247,3 +247,44 @@ def test_lora_changes_generation(tmp_path, monkeypatch):
     res = process_txt2img(merged, GenerationParams(prompt="a photo", seed=3,
                                                    steps=2, width=64, height=64))
     assert len(res.images) == 1
+
+
+def test_glora_delta():
+    base_w = RNG.standard_normal((6, 4)).astype(np.float32)  # torch (out,in)
+    base = {"m": {"weight": jnp.asarray(base_w.T)}}          # jax (in,out)
+    a1 = RNG.standard_normal((2, 4)).astype(np.float32)
+    a2 = RNG.standard_normal((4, 2)).astype(np.float32)
+    b1 = RNG.standard_normal((2, 4)).astype(np.float32)
+    b2 = RNG.standard_normal((6, 2)).astype(np.float32)
+    sd = {"lora_unet_m.a1.weight": a1, "lora_unet_m.a2.weight": a2,
+          "lora_unet_m.b1.weight": b1, "lora_unet_m.b2.weight": b2,
+          "lora_unet_m.alpha": np.float32(2.0)}
+    new, n, _ = lora.apply_loras(base, [(sd, 0.5)])
+    assert n == 1
+    expected = base_w + ((b2 @ b1) + (base_w @ a2) @ a1) * 0.5
+    np.testing.assert_allclose(np.asarray(new["m"]["weight"]), expected.T,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_oft_identity_at_zero_blocks():
+    base_w = RNG.standard_normal((8, 4)).astype(np.float32)
+    base = {"m": {"weight": jnp.asarray(base_w.T)}}
+    sd = {"lora_unet_m.oft_blocks": np.zeros((2, 4, 4), np.float32)}
+    new, n, _ = lora.apply_loras(base, [(sd, 1.0)])
+    assert n == 1
+    np.testing.assert_allclose(np.asarray(new["m"]["weight"]), base_w.T, atol=1e-5)
+
+
+def test_oft_rotation_preserves_row_norms():
+    base_w = RNG.standard_normal((8, 4)).astype(np.float32)
+    base = {"m": {"weight": jnp.asarray(base_w.T)}}
+    blocks = RNG.standard_normal((2, 4, 4)).astype(np.float32) * 0.3
+    sd = {"lora_unet_m.oft_blocks": blocks}
+    new, n, _ = lora.apply_loras(base, [(sd, 1.0)])
+    w_new = np.asarray(new["m"]["weight"]).T  # torch layout (8,4)
+    # Cayley rotations are orthogonal: per-block output norms preserved
+    for k in range(2):
+        blk_old = base_w[k * 4:(k + 1) * 4]
+        blk_new = w_new[k * 4:(k + 1) * 4]
+        np.testing.assert_allclose(np.linalg.norm(blk_new),
+                                   np.linalg.norm(blk_old), rtol=1e-4)
