@@ -119,6 +119,15 @@ def process_img2img(model: SDModel, p: GenerationParams,
     c = model.latent_channels
 
     image_arr, mask_info = _prepare_images_and_mask(p)
+
+    color_corrections = None
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if _opts.get("img2img_color_correction", False):
+        from sdwebui_tpu.utils.color import setup_color_correction
+
+        color_corrections = [setup_color_correction(im)
+                             for im in mask_info["originals"]]
     b = p.batch_size
     if image_arr.shape[0] == 1 and b > 1:
         image_arr = np.repeat(image_arr, b, axis=0)
@@ -210,6 +219,12 @@ def process_img2img(model: SDModel, p: GenerationParams,
 
         images = decode_first_stage(model, latents)
         pils = images_util.tensor_to_pil(np.asarray(images))
+        if color_corrections is not None:
+            from sdwebui_tpu.utils.color import apply_color_correction
+
+            pils = [apply_color_correction(
+                        color_corrections[min(idx, len(color_corrections) - 1)], img)
+                    for idx, img in enumerate(pils)]
         pils = [apply_overlay(p, img, mask_info, idx) for idx, img in enumerate(pils)]
 
         for i, img in enumerate(pils):

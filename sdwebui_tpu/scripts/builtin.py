@@ -275,3 +275,87 @@ class SDUpscale(Script):
                          all_seeds=first.all_seeds, all_subseeds=first.all_subseeds,
                          all_prompts=first.all_prompts,
                          width=combined.width, height=combined.height)
+
+
+# ==========================================================================
+# Outpainting (reference scripts/outpainting_mk_2.py + poor_mans_outpainting)
+# ==========================================================================
+
+def _expand_canvas(image, pixels, directions):
+    """(expanded_image, mask) — new regions filled + masked for inpaint."""
+    from sdwebui_tpu.utils import masking
+
+    left = pixels if "left" in directions else 0
+    right = pixels if "right" in directions else 0
+    up = pixels if "up" in directions else 0
+    down = pixels if "down" in directions else 0
+
+    w, h = image.width + left + right, image.height + up + down
+    canvas = Image.new("RGB", (w, h))
+    canvas.paste(image, (left, up))
+    mask = Image.new("L", (w, h), 255)
+    mask.paste(Image.new("L", image.size, 0), (left, up))
+    # fill the new area with surrounding colors so the VAE sees coherent input
+    filled = masking.fill(canvas, mask)
+    canvas = Image.composite(filled, canvas, mask)
+    return canvas, mask, (left, up)
+
+
+@register_script
+class PoorMansOutpainting(Script):
+    name = "Poor man's outpainting"
+
+    def run(self, engine, p: GenerationParams, pixels=64, mask_blur=4,
+            inpainting_fill=1, direction=("left", "right", "up", "down"), *rest):
+        assert p.init_images, "outpainting needs an init image"
+        init = p.init_images[0]
+        if not isinstance(init, Image.Image):
+            init = Image.fromarray(np.asarray(init))
+        canvas, mask, _ = _expand_canvas(init.convert("RGB"), int(pixels),
+                                         direction)
+        q = _clone(p)
+        q.init_images = [canvas]
+        q.mask = mask
+        q.mask_blur = int(mask_blur)
+        q.inpainting_fill = int(inpainting_fill)
+        q.inpaint_full_res = False
+        q.width, q.height = canvas.width, canvas.height
+        q.denoising_strength = p.denoising_strength or 0.8
+        return engine.img2img_inner(q)
+
+
+@register_script
+class OutpaintingMk2(Script):
+    name = "Outpainting mk2"
+
+    def run(self, engine, p: GenerationParams, pixels=128, mask_blur=8,
+            direction=("left", "right", "up", "down"),
+            noise_q=1.0, color_variation=0.05, *rest):
+        """Noise-matched edge extension: new regions are filled with
+        source-statistics-matched noise before the inpainting pass
+        (simplified from the reference's spectral matching)."""
+        assert p.init_images, "outpainting needs an init image"
+        init = p.init_images[0]
+        if not isinstance(init, Image.Image):
+            init = Image.fromarray(np.asarray(init))
+        canvas, mask, _ = _expand_canvas(init.convert("RGB"), int(pixels),
+                                         direction)
+        src = np.asarray(init.convert("RGB"), np.float32)
+        rng = np.random.default_rng(int(p.seed) if p.seed not in (-1, None) else 0)
+        arr = np.asarray(canvas, np.float32)
+        m = np.asarray(mask, np.float32)[..., None] / 255.0
+        noise = rng.standard_normal(arr.shape).astype(np.float32)
+        noise = noise * src.std(axis=(0, 1)) * float(noise_q) \
+            + src.mean(axis=(0, 1)) * float(color_variation)
+        blended = arr * (1 - m * 0.5) + noise * (m * 0.5)
+        canvas = Image.fromarray(np.clip(blended, 0, 255).astype(np.uint8))
+
+        q = _clone(p)
+        q.init_images = [canvas]
+        q.mask = mask
+        q.mask_blur = int(mask_blur)
+        q.inpainting_fill = 1
+        q.inpaint_full_res = False
+        q.width, q.height = canvas.width, canvas.height
+        q.denoising_strength = p.denoising_strength or 0.8
+        return engine.img2img_inner(q)

@@ -190,3 +190,34 @@ def test_profile_context(tmp_path):
 
     with profile(enable=False) as p:
         assert p is None
+
+
+def test_outpainting_scripts(engine):
+    src = Image.new("RGB", (64, 64), (90, 120, 90))
+    for name in ("Poor man's outpainting", "Outpainting mk2"):
+        p = GenerationParams(prompt="x", seed=1, steps=2, width=64, height=64,
+                             denoising_strength=0.6, init_images=[src])
+        res = engine.run_script(name, p, [64, 4])
+        assert res.images[0].size == (192, 192), name  # +64 on each side
+
+
+def test_color_correction():
+    from sdwebui_tpu.utils.color import (
+        apply_color_correction, lab_to_rgb, rgb_to_lab, setup_color_correction,
+    )
+
+    rng = np.random.default_rng(0)
+    rgb = rng.random((16, 16, 3)).astype(np.float32)
+    lab = rgb_to_lab(rgb)
+    back = lab_to_rgb(lab)
+    np.testing.assert_allclose(back, rgb, atol=2e-3)
+
+    target = Image.fromarray((rng.random((16, 16, 3)) * 120 + 60).astype(np.uint8))
+    shifted = Image.fromarray((rng.random((16, 16, 3)) * 120 + 130).astype(np.uint8))
+    corr = setup_color_correction(target)
+    fixed = apply_color_correction(corr, shifted)
+    # matched image mean moves toward the target's mean
+    t_mean = np.asarray(target, np.float32).mean()
+    s_mean = np.asarray(shifted, np.float32).mean()
+    f_mean = np.asarray(fixed, np.float32).mean()
+    assert abs(f_mean - t_mean) < abs(s_mean - t_mean)
