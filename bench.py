@@ -35,7 +35,16 @@ def main():
                              width=512, height=512, batch_size=batch)
         return process_txt2img(model, p)
 
-    run(1)  # compile
+    # the axon compile tunnel occasionally returns a transient 500 —
+    # retry the warmup once before giving up
+    for attempt in range(2):
+        try:
+            run(1)  # compile
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            time.sleep(30)
     times = []
     for i in range(3):
         t0 = time.perf_counter()

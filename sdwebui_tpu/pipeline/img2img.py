@@ -128,6 +128,10 @@ def process_img2img(model: SDModel, p: GenerationParams,
 
         color_corrections = [setup_color_correction(im)
                              for im in mask_info["originals"]]
+    if image_arr.shape[0] > p.batch_size:
+        # multiple init images (API batch): batch matches the image count
+        p.batch_size = image_arr.shape[0]
+        _resolve_seeds(p)
     b = p.batch_size
     if image_arr.shape[0] == 1 and b > 1:
         image_arr = np.repeat(image_arr, b, axis=0)

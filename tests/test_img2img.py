@@ -261,3 +261,13 @@ def test_soft_latent_blend_math():
     # t=0.5, orthogonal: magnitude preserved near 2 (a plain lerp gives √2)
     mid = np.asarray(soft_latent_blend(a, b, jnp.full((1, 1, 1, 4), 0.5)))
     assert np.linalg.norm(mid[0, 0, 0]) > 1.9
+
+
+def test_img2img_multiple_init_images(model):
+    """Two different init images → two outputs (API batch)."""
+    p = GenerationParams(prompt="x", seed=3, steps=2, width=64, height=64,
+                         denoising_strength=0.6,
+                         init_images=[_img((200, 0, 0)), _img((0, 0, 200))])
+    res = process_img2img(model, p)
+    assert len(res.images) == 2
+    assert not np.array_equal(np.asarray(res.images[0]), np.asarray(res.images[1]))
