@@ -100,6 +100,16 @@ def _resblock(p, x, emb, circular=False):
 
 
 def _cross_attention(p, x, context, heads, hypernet=None):
+    if context is x and hypernet is None and "bias" not in p["to_q"]:
+        # self-attention: one fused qkv matmul (weights concatenated at
+        # trace time — XLA folds the concat; 3 gemms → 1 bigger gemm)
+        wq = p["to_q"]["weight"]
+        wk = p["to_k"]["weight"]
+        wv = p["to_v"]["weight"]
+        qkv = x @ jnp.concatenate([wq, wk, wv], axis=1).astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = attention(q, k, v, num_heads=heads)
+        return linear(p["to_out"]["0"], out)
     ctx_k = ctx_v = context
     if hypernet is not None:
         tree, (activation, multiplier, activate_output) = hypernet
