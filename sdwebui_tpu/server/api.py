@@ -146,6 +146,7 @@ class Api:
         r("GET", "/internal/progress", self.internal_progress)
         r("POST", "/internal/progress", self.internal_progress)
         r("GET", "/internal/sysinfo", self.sysinfo)
+        r("GET", "/internal/localization", self.localization)
 
     def add_route(self, method: str, path: str, handler: Callable):
         self.routes[(method, path)] = handler
@@ -452,7 +453,37 @@ class Api:
                  "args": []} for n in list_selectable_scripts()]
 
     def extensions(self, body=None):
-        return []
+        """Installed extensions listing (reference modules/extensions.py —
+        local dirs only; this deployment has no git/network access)."""
+        import os
+
+        out = []
+        for d in ("extensions", "extensions-builtin"):
+            if not os.path.isdir(d):
+                continue
+            for name in sorted(os.listdir(d)):
+                path = os.path.join(d, name)
+                if os.path.isdir(path):
+                    out.append({"name": name, "remote": None, "branch": None,
+                                "commit_hash": None, "version": "",
+                                "commit_date": None,
+                                "enabled": not name.startswith("disabled_")})
+        return out
+
+    def localization(self, body=None):
+        """Active localization dictionary (reference modules/localization.py:
+        json files in localizations/, selected by opts.localization)."""
+        import glob
+        import os
+
+        selected = opts.get("localization", "None")
+        if selected in (None, "None"):
+            return {}
+        for path in glob.glob(os.path.join("localizations", "*.json")):
+            if os.path.splitext(os.path.basename(path))[0] == selected:
+                with open(path, encoding="utf-8") as f:
+                    return json.load(f)
+        return {}
 
     def sysinfo(self, body=None):
         import jax

@@ -166,6 +166,10 @@ def make_default_templates() -> dict:
         "live_previews_enable": OptionInfo(True, "Show live previews"),
         "live_preview_content": OptionInfo("Prompt", "Live preview subject"),
     }))
+    t.update(options_section(("ui", "User interface"), {
+        "localization": OptionInfo("None", "Localization"),
+        "send_seed": OptionInfo(True, "Send seed when sending prompt or image to other interface"),
+    }))
     t.update(options_section(("api", "API"), {
         "api_enable_requests": OptionInfo(True, "Allow http:// and https:// URLs for input images", restrict_api=True),
         "api_forbid_local_requests": OptionInfo(True, "Forbid URLs to local resources", restrict_api=True),
