@@ -181,4 +181,16 @@ def apply_to_model(model, nets: list, registry: LoraRegistry):
         cond = copy.copy(model.conditioner)
         cond.params = clip_params
         model = dc.replace(model, conditioner=cond)
+
+    # SDXL second text encoder (kohya lora_te2_ prefix)
+    if model.conditioner2 is not None:
+        clip2_params, n3, _ = apply_loras(model.conditioner2.params, loras_te,
+                                          "lora_te2_")
+        if n3:
+            import dataclasses as dc
+            import copy
+
+            cond2 = copy.copy(model.conditioner2)
+            cond2.params = clip2_params
+            model = dc.replace(model, conditioner2=cond2)
     return model

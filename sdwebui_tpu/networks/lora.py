@@ -80,6 +80,9 @@ def resolve_module(key: str, lookup: dict) -> str | None:
     """lora module name (underscores) → dotted param-tree path."""
     if key in lookup:
         return lookup[key]
+    # kohya text-encoder keys carry the torch module root our trees omit
+    if key.startswith("text_model_") and key[len("text_model_"):] in lookup:
+        return lookup[key[len("text_model_"):]]
     k2 = normalize_unet_key(key)
     return lookup.get(k2)
 

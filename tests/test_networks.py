@@ -288,3 +288,24 @@ def test_oft_rotation_preserves_row_norms():
         blk_new = w_new[k * 4:(k + 1) * 4]
         np.testing.assert_allclose(np.linalg.norm(blk_new),
                                    np.linalg.norm(blk_old), rtol=1e-4)
+
+
+def test_sdxl_te2_lora_applies(tmp_path, monkeypatch):
+    """lora_te2_ weights reach the SDXL second text encoder."""
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sdxl
+
+    model = create_tiny_sdxl()
+    w = flatten(model.conditioner2.params)["encoder.layers.0.self_attn.q_proj.weight"]
+    cin, cout = np.asarray(w).shape
+    sd = {"lora_unet_placeholder.diff": np.zeros((1, 1), np.float32),
+          "lora_te2_text_model_encoder_layers_0_self_attn_q_proj.diff":
+              np.full((cout, cin), 0.5, np.float32)}
+    d = tmp_path / "Lora"; d.mkdir()
+    write_safetensors(str(d / "te2lora.safetensors"), sd)
+    reg = extra_networks.LoraRegistry(dirs=[str(d)])
+    monkeypatch.setattr(extra_networks, "_default_registry", reg)
+    extra_networks._merge_cache.clear()
+    _, merged, _ = extra_networks.activate(model, "x <lora:te2lora:1.0>")
+    w2 = flatten(merged.conditioner2.params)["encoder.layers.0.self_attn.q_proj.weight"]
+    np.testing.assert_allclose(np.asarray(w2) - np.asarray(w), 0.5, atol=1e-6)
