@@ -76,3 +76,24 @@ def test_sd1_unaffected_by_vector_path():
     p = GenerationParams(prompt="a cat", seed=3, steps=2, width=64, height=64)
     res = process_txt2img(m, p)
     assert len(res.images) == 1
+
+
+def test_sdxl_hires_fix(model):
+    """Hires second pass rebuilds vector conds at the hires resolution."""
+    p = GenerationParams(prompt="a cat", seed=3, steps=2, width=64, height=64,
+                         enable_hr=True, hr_scale=2.0, hr_upscaler="Latent",
+                         denoising_strength=0.6, hr_second_pass_steps=2)
+    res = process_txt2img(model, p)
+    assert res.images[0].size == (128, 128)
+
+
+def test_sdxl_img2img(model):
+    from PIL import Image
+
+    from sdwebui_tpu.pipeline.img2img import process_img2img
+
+    p = GenerationParams(prompt="a cat", seed=3, steps=2, width=64, height=64,
+                         denoising_strength=0.6,
+                         init_images=[Image.new("RGB", (64, 64), (90, 90, 90))])
+    res = process_img2img(model, p)
+    assert len(res.images) == 1
