@@ -93,6 +93,61 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
                   mode="scan")
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("solver", "unet_cfg", "prediction_type", "extra_items",
+                     "hn_meta"))
+def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
+                     noise_i, sched: CondSchedule, mask, nmask, init_latent,
+                     lms_coeffs, hypernet_tree,
+                     solver: str, unet_cfg, prediction_type: str, extra_items,
+                     hn_meta=None):
+    """One solver step (stepwise mode: live previews + mid-run interrupt).
+    `i` is traced so every step reuses one compiled program."""
+    from sdwebui_tpu.sampling.solvers import SOLVERS
+    from sdwebui_tpu.utils import devices as _dv
+
+    compute_dtype = _dv.get_policy().compute_dtype
+    extra = dict(extra_items)
+    if lms_coeffs is not None:
+        if solver == "restart":
+            extra["restart_pairs"], extra["restart_noise_scale"] = lms_coeffs
+        elif solver == "unipc":
+            extra.update(lms_coeffs)
+        else:
+            extra["lms_coeffs"] = lms_coeffs
+
+    def denoise(xb, sigma, ctx, y=None, c_concat=None):
+        sigma = sigma.astype(jnp.float32)
+        sig = sigma[:, None, None, None]
+        if prediction_type == "flow":
+            from sdwebui_tpu.models import mmdit as mmdit_model
+
+            out = mmdit_model.apply(unet_params, unet_cfg,
+                                    xb.astype(compute_dtype), sigma * 1000.0,
+                                    ctx, y).astype(jnp.float32)
+            return xb - out * sig
+        t = jnp.argmin(
+            jnp.abs(jnp.log(jnp.maximum(sigma, 1e-12))[:, None] - log_sigmas[None, :]),
+            axis=-1).astype(jnp.float32)
+        c_in = (1.0 / jnp.sqrt(sigma ** 2 + 1.0))[:, None, None, None]
+        x_in = (xb * c_in).astype(compute_dtype)
+        if c_concat is not None:
+            x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
+        hypernet = (hypernet_tree, hn_meta) if hypernet_tree is not None else None
+        out = unet_model.apply(unet_params, unet_cfg, x_in, t, ctx,
+                               y=y, hypernet=hypernet).astype(jnp.float32)
+        if prediction_type == "v":
+            return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
+        return xb - out * sig
+
+    soft = extra.pop("soft_inpainting", None)
+    model_fn = make_cfg_denoiser(denoise, sched, mask=mask, nmask=nmask,
+                                 init_latent=init_latent, soft_inpainting=soft)
+    spec = SOLVERS[solver]
+    return spec.step(model_fn, x, i, sigmas, noise_i, solver_state, extra)
+
+
 @functools.partial(jax.jit, static_argnames=("vae_cfg",))
 def _decode_fused(vae_params, vae_cfg, latents):
     img = vae_model.decode(vae_params, vae_cfg, latents.astype(jnp.float32))
@@ -117,7 +172,8 @@ def _encode_fused(vae_params, vae_cfg, images):
 
 def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
                    solver: str, extra: dict | None = None,
-                   mask=None, nmask=None, init_latent=None, hypernet=None):
+                   mask=None, nmask=None, init_latent=None, hypernet=None,
+                   step_callback=None):
     extra_items = tuple(sorted((extra or {}).items()))
     lms_coeffs = None
     if solver == "lms":
@@ -155,12 +211,32 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
         if init_latent is not None:
             init_latent = jax.device_put(init_latent, rt.sharding("data"))
 
-    return _sample_fused(
-        model.unet_params, jnp.asarray(model.disc.log_sigmas, jnp.float32),
-        x, jnp.asarray(np.asarray(sigmas), jnp.float32), noise, sched,
-        mask, nmask, init_latent, lms_coeffs, hn_tree,
-        solver, model.unet_cfg, model.disc.prediction_type, extra_items,
-        hn_meta=hn_meta)
+    if step_callback is None:
+        return _sample_fused(
+            model.unet_params, jnp.asarray(model.disc.log_sigmas, jnp.float32),
+            x, jnp.asarray(np.asarray(sigmas), jnp.float32), noise, sched,
+            mask, nmask, init_latent, lms_coeffs, hn_tree,
+            solver, model.unet_cfg, model.disc.prediction_type, extra_items,
+            hn_meta=hn_meta)
+
+    # stepwise: one jitted step per iteration → per-step previews/interrupt
+    from sdwebui_tpu.sampling.solvers import SOLVERS
+
+    spec = SOLVERS[solver]
+    sig_j = jnp.asarray(np.asarray(sigmas), jnp.float32)
+    log_sig = jnp.asarray(model.disc.log_sigmas, jnp.float32)
+    state = spec.init_state(jnp.asarray(x, jnp.float32))
+    n = sig_j.shape[0] - 1
+    noise = jnp.asarray(noise)
+    for i in range(n):
+        x, state = _sample_one_step(
+            model.unet_params, log_sig, x, state, jnp.asarray(i), sig_j,
+            noise[i], sched, mask, nmask, init_latent, lms_coeffs, hn_tree,
+            solver, model.unet_cfg, model.disc.prediction_type, extra_items,
+            hn_meta=hn_meta)
+        if step_callback(i, n, x) is False:
+            break
+    return x
 
 
 def decode_first_stage(model: SDModel, latents):
@@ -338,7 +414,8 @@ def _solver_extra(p: GenerationParams, sampler) -> dict:
 def process_txt2img(model: SDModel, p: GenerationParams,
                     outdir: str | None = None,
                     callback: Callable | None = None,
-                    refiner_model: SDModel | None = None) -> Processed:
+                    refiner_model: SDModel | None = None,
+                    step_callback: Callable | None = None) -> Processed:
     """txt2img batch loop (reference process_images_inner, trimmed to the
     first-slice feature set: batching, seeds/subseeds, prompt schedules,
     AND, all samplers/schedulers, infotext, saving)."""
@@ -400,7 +477,8 @@ def process_txt2img(model: SDModel, p: GenerationParams,
         else:
             latents = sample_latents(model, sched, x, sigmas, noise,
                                      sampler.solver, _solver_extra(p, sampler),
-                                     hypernet=hypernet)
+                                     hypernet=hypernet,
+                                     step_callback=step_callback)
         if p.enable_hr:
             latents = _hires_pass(model, p, latents, seeds, subseeds)
         images = decode_first_stage_u8(model, latents)

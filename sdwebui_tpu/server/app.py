@@ -128,7 +128,8 @@ class Engine:
                 refiner = self._resolve_refiner(p)
                 return process_txt2img(self.sd_model, p, outdir=outdir,
                                        callback=self._batch_callback,
-                                       refiner_model=refiner)
+                                       refiner_model=refiner,
+                                       step_callback=self._make_step_callback())
             finally:
                 state.end()
 
@@ -192,6 +193,37 @@ class Engine:
                 return script.run(self, p, *script_args)
             finally:
                 state.end()
+
+    def _make_step_callback(self):
+        """Per-step hook (stepwise sampling): progress numbers, mid-run
+        interrupt/skip, cheap live previews (reference store_latent +
+        shared.state flow). Returns None when previews are disabled so the
+        fused single-program scan path is used instead."""
+        if not opts.get("live_previews_enable", True):
+            return None
+        every = int(opts.get("show_progress_every_n_steps", 10))
+        model = self.sd_model
+        from sdwebui_tpu.models.vae_approx import cheap_approximation
+        from sdwebui_tpu.utils.images import tensor_to_pil
+
+        def cb(i, n, latents):
+            state.sampling_step = i + 1
+            state.sampling_steps = n
+            if state.interrupted or state.skipped:
+                state.skipped = False
+                return False
+            if every > 0 and (i + 1) % every == 0:
+                try:
+                    import numpy as _np
+
+                    rgb = cheap_approximation(
+                        latents / model.vae_cfg.scale_factor, model.kind)
+                    state.set_current_image(tensor_to_pil(_np.asarray(rgb))[0])
+                except Exception:
+                    pass
+            return True
+
+        return cb
 
     def _batch_callback(self, kind, n, images):
         if kind == "batch":

@@ -284,3 +284,29 @@ def test_emphasis_option_changes_output(server, url_txt2img):
     b = requests.post(url_txt2img, json=body).json()["images"][0]
     requests.post(f"{server}/sdapi/v1/options", json={"emphasis_mode": "Original"})
     assert a != b
+
+
+def test_live_preview_during_generation(server, url_txt2img):
+    """Stepwise mode produces per-step progress and preview images.
+
+    The tiny model completes faster than an HTTP poller can race, so the
+    per-step evidence is captured via the state hook; the HTTP progress
+    endpoint is verified to serve the final preview image afterwards."""
+    from sdwebui_tpu.runtime.state import state as _state
+
+    requests.post(f"{server}/sdapi/v1/options",
+                  json={"show_progress_every_n_steps": 1})
+    seen = []
+    orig = _state.set_current_image
+    _state.set_current_image = lambda img: (seen.append(_state.sampling_step),
+                                            orig(img))[-1]
+    try:
+        r = requests.post(url_txt2img, json=dict(SIMPLE_TXT2IMG, steps=6))
+    finally:
+        _state.set_current_image = orig
+    assert r.status_code == 200
+    assert seen and seen[0] == 1 and 6 in seen  # every-step previews fired
+    d = requests.get(f"{server}/sdapi/v1/progress").json()
+    assert d.get("current_image")  # last preview is served over HTTP
+    requests.post(f"{server}/sdapi/v1/options",
+                  json={"show_progress_every_n_steps": 10})
