@@ -96,14 +96,16 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
 @functools.partial(
     jax.jit,
     static_argnames=("solver", "unet_cfg", "prediction_type", "extra_items",
-                     "hn_meta"))
+                     "hn_meta", "n_steps"))
 def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
                      noise_i, sched: CondSchedule, mask, nmask, init_latent,
                      lms_coeffs, hypernet_tree,
                      solver: str, unet_cfg, prediction_type: str, extra_items,
-                     hn_meta=None):
-    """One solver step (stepwise mode: live previews + mid-run interrupt).
-    `i` is traced so every step reuses one compiled program."""
+                     hn_meta=None, n_steps: int = 1):
+    """A chunk of `n_steps` solver steps with carried state (stepwise mode:
+    live previews + interrupt between chunks). The start index `i` is traced
+    so chunks of equal length share one compiled program; noise_i carries
+    the chunk's noise (n_steps, per, B, ...)."""
     from sdwebui_tpu.sampling.solvers import SOLVERS
     from sdwebui_tpu.utils import devices as _dv
 
@@ -145,7 +147,16 @@ def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
     model_fn = make_cfg_denoiser(denoise, sched, mask=mask, nmask=nmask,
                                  init_latent=init_latent, soft_inpainting=soft)
     spec = SOLVERS[solver]
-    return spec.step(model_fn, x, i, sigmas, noise_i, solver_state, extra)
+
+    def body(carry, inp):
+        xc, st = carry
+        step_i, noise_step = inp
+        xc, st = spec.step(model_fn, xc, step_i, sigmas, noise_step, st, extra)
+        return (xc, st), None
+
+    (x, solver_state), _ = jax.lax.scan(
+        body, (x, solver_state), (i + jnp.arange(n_steps), noise_i))
+    return x, solver_state
 
 
 @functools.partial(jax.jit, static_argnames=("vae_cfg",))
@@ -219,22 +230,29 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
             solver, model.unet_cfg, model.disc.prediction_type, extra_items,
             hn_meta=hn_meta)
 
-    # stepwise: one jitted step per iteration → per-step previews/interrupt
+    # chunked stepwise: scan `chunk` steps per dispatch with carried solver
+    # state; previews/interrupt between chunks (tunnel dispatch costs ~10ms
+    # per call — per-step loops would add ~45% to a 20-step SD1.5 run)
     from sdwebui_tpu.sampling.solvers import SOLVERS
+    from sdwebui_tpu.utils.options import opts as _opts
 
+    chunk = max(int(_opts.get("show_progress_every_n_steps", 10)), 1)
     spec = SOLVERS[solver]
     sig_j = jnp.asarray(np.asarray(sigmas), jnp.float32)
     log_sig = jnp.asarray(model.disc.log_sigmas, jnp.float32)
     state = spec.init_state(jnp.asarray(x, jnp.float32))
     n = sig_j.shape[0] - 1
     noise = jnp.asarray(noise)
-    for i in range(n):
+    i = 0
+    while i < n:
+        k = min(chunk, n - i)
         x, state = _sample_one_step(
             model.unet_params, log_sig, x, state, jnp.asarray(i), sig_j,
-            noise[i], sched, mask, nmask, init_latent, lms_coeffs, hn_tree,
-            solver, model.unet_cfg, model.disc.prediction_type, extra_items,
-            hn_meta=hn_meta)
-        if step_callback(i, n, x) is False:
+            noise[i: i + k], sched, mask, nmask, init_latent, lms_coeffs,
+            hn_tree, solver, model.unet_cfg, model.disc.prediction_type,
+            extra_items, hn_meta=hn_meta, n_steps=k)
+        i += k
+        if step_callback(i - 1, n, x) is False:
             break
     return x
 
