@@ -97,7 +97,8 @@ def _prepare_images_and_mask(p: GenerationParams):
 
 
 def process_img2img(model: SDModel, p: GenerationParams,
-                    outdir: str | None = None, callback=None) -> Processed:
+                    outdir: str | None = None, callback=None,
+                    step_callback=None) -> Processed:
     assert p.init_images is not None, "img2img requires init_images"
     if p.denoising_strength is None:
         p.denoising_strength = 0.75
@@ -217,7 +218,7 @@ def process_img2img(model: SDModel, p: GenerationParams,
         latents = sample_latents(model, sched, xi, sigma_sched, noise,
                                  sampler.solver, extra,
                                  mask=mask, nmask=nmask, init_latent=init_latent,
-                                 hypernet=hypernet)
+                                 hypernet=hypernet, step_callback=step_callback)
         if mask is not None and not p.soft_inpainting:
             latents = latents * nmask + init_latent * mask
 

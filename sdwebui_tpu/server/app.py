@@ -157,13 +157,15 @@ class Engine:
         from sdwebui_tpu.pipeline.img2img import process_img2img
 
         self.apply_styles(p)
+        self._apply_runtime_opts()
         with self.queue_lock:
             state.begin("img2img")
             state.job_count = p.n_iter
             try:
                 outdir = os.path.join(self.outdir, "img2img-images") if save else None
                 return process_img2img(self.sd_model, p, outdir=outdir,
-                                       callback=self._batch_callback)
+                                       callback=self._batch_callback,
+                                       step_callback=self._make_step_callback())
             finally:
                 state.end()
 
