@@ -88,7 +88,8 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
     soft = extra.pop("soft_inpainting", None)
     model_fn = make_cfg_denoiser(denoise, sched, mask=mask, nmask=nmask,
                                  init_latent=init_latent,
-                                 soft_inpainting=soft)
+                                 soft_inpainting=soft,
+                                 return_uncond=(solver == "ddim_cfgpp"))
     return sample(model_fn, x, sigmas, solver=solver, noise=noise, extra=extra,
                   mode="scan")
 
@@ -145,7 +146,8 @@ def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
 
     soft = extra.pop("soft_inpainting", None)
     model_fn = make_cfg_denoiser(denoise, sched, mask=mask, nmask=nmask,
-                                 init_latent=init_latent, soft_inpainting=soft)
+                                 init_latent=init_latent, soft_inpainting=soft,
+                                 return_uncond=(solver == "ddim_cfgpp"))
     spec = SOLVERS[solver]
 
     def body(carry, inp):

@@ -107,7 +107,8 @@ def soft_latent_blend(a, b, t, detail_preservation: float = 4.0):
 def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
                       mask=None, nmask=None, init_latent=None,
                       mask_before_denoising: bool = False,
-                      soft_inpainting: tuple | None = None) -> Callable:
+                      soft_inpainting: tuple | None = None,
+                      return_uncond: bool = False) -> Callable:
     """Build model(x, sigma, i) -> denoised for the solver loop.
 
     denoise_fn(x, sigma, context, y, c_concat) -> denoised, where x is
@@ -182,6 +183,10 @@ def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
                 and not mask_before_denoising:
             cfg = cfg * nmask + init_latent * mask
 
+        if return_uncond:
+            # CFG++ solvers need the unconditional prediction for the noise
+            # direction (reference ddim_cfgpp, sd_samplers_timesteps_impl)
+            return jnp.stack([cfg, out_uncond], axis=0)
         return cfg
 
     return model

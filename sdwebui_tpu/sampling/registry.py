@@ -46,6 +46,8 @@ SAMPLERS = [
     _S("DDIM", "ddim", ("ddim",), scheduler_override="ddim", uses_ensd=True),
     _S("UniPC", "unipc", ("unipc",), scheduler_override="ddim",
        second_order=True),
+    _S("DDIM CFG++", "ddim_cfgpp", ("ddim_cfgpp",), scheduler_override="ddim",
+       uses_ensd=True),
     _S("PLMS", "plms", ("plms",), scheduler_override="ddim", second_order=True),
     # scheduler-suffix aliases kept for infotext back-compat
     _S("LMS Karras", "lms", ("k_lms_ka",), scheduler_override="karras"),

@@ -309,6 +309,26 @@ def ddim_step(model, x, i, sigmas, noise, state, extra):
     return x, state
 
 
+def ddim_cfgpp_step(model, x, i, sigmas, noise, state, extra):
+    """DDIM CFG++ (reference sd_samplers_timesteps_impl ddim_cfgpp): the
+    x0 prediction uses the CFG combine, but the noise *direction* uses the
+    unconditional eps. model must return stacked [cfg, uncond] (the
+    pipeline builds the denoiser with return_uncond=True)."""
+    s, s_next = sigmas[i], sigmas[i + 1]
+    eta = extra.get("eta", 0.0)
+    a = 1.0 / (1.0 + s ** 2)
+    a_prev = 1.0 / (1.0 + s_next ** 2)
+    both = model(x, s, i)
+    denoised, uncond = both[0], both[1]
+    eps_uncond = _to_d(x, s, uncond)
+    s_vp = eta * jnp.sqrt(jnp.maximum(
+        (1 - a_prev) / jnp.maximum(1 - a, _EPS) * (1 - a / a_prev), 0.0))
+    dir_coeff = jnp.sqrt(jnp.maximum((1 - a_prev) / a_prev - s_vp ** 2 / a_prev, 0.0))
+    x = denoised + dir_coeff * eps_uncond
+    x = x + (s_vp / jnp.sqrt(a_prev)) * noise[0] * extra.get("s_noise", 1.0)
+    return x, state
+
+
 def plms_step(model, x, i, sigmas, noise, state, extra):
     """Pseudo linear multistep (reference sd_samplers_timesteps_impl.py:84):
     Adams-Bashforth on ε with an RK2 priming step at i==0."""
@@ -592,6 +612,8 @@ SOLVERS = {
     "lms": SolverSpec("lms", lms_step, uses_lms_coeffs=True),
     "lcm": SolverSpec("lcm", lcm_step, noises_per_step=1),
     "ddim": SolverSpec("ddim", ddim_step, noises_per_step=1, default_eta=0.0),
+    "ddim_cfgpp": SolverSpec("ddim_cfgpp", ddim_cfgpp_step, noises_per_step=1,
+                             default_eta=0.0),
     "restart": SolverSpec("restart", restart_step, noises_per_step=1,
                           model_calls_per_step=2),
     "unipc": SolverSpec("unipc", unipc_step, model_calls_per_step=2,

@@ -149,3 +149,23 @@ def test_callback_interrupt(model):
     res = process_txt2img(model, p, callback=cb)
     assert len(res.images) == 0
     assert calls == ["batch"]
+
+
+def test_ddim_cfgpp_end_to_end(model):
+    """DDIM CFG++ needs the stacked [cfg, uncond] denoiser; exercise both
+    the fused scan path and the stepwise (live-preview) path."""
+    p = GenerationParams(prompt="a cat", negative_prompt="bad", seed=5,
+                         steps=3, width=64, height=64,
+                         sampler_name="DDIM CFG++")
+    res = process_txt2img(model, p)
+    assert len(res.images) == 1
+
+    seen = []
+    p2 = GenerationParams(prompt="a cat", negative_prompt="bad", seed=5,
+                          steps=3, width=64, height=64,
+                          sampler_name="DDIM CFG++")
+    res2 = process_txt2img(model, p2,
+                           step_callback=lambda i, n, lat: seen.append(i) or True)
+    assert seen and len(res2.images) == 1
+    np.testing.assert_allclose(np.asarray(res.images[0]),
+                               np.asarray(res2.images[0]), atol=1)

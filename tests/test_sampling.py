@@ -361,3 +361,31 @@ def test_unipc_coefficients_terminal_step():
 
 def test_unipc_in_registry():
     assert get_sampler("UniPC").solver == "unipc"
+
+
+def test_ddim_cfgpp():
+    """CFG++ uses the uncond eps for the direction: with cfg==uncond model
+    it must equal plain DDIM; with differing outputs it must differ."""
+    target = jnp.full((1, 4, 4, 2), 2.0, jnp.float32)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 4, 2)),
+                     jnp.float32) * SIGMAS[0]
+
+    same = lambda xc, s, i: jnp.stack([target * jnp.ones_like(xc),
+                                       target * jnp.ones_like(xc)])
+    out_pp = sample(same, x0, SIGMAS, solver="ddim_cfgpp",
+                    noise=jnp.zeros((len(SIGMAS) - 1, 1, 1, 4, 4, 2)))
+    out_ddim = sample(lambda xc, s, i: target * jnp.ones_like(xc), x0, SIGMAS,
+                      solver="ddim", noise=jnp.zeros((len(SIGMAS) - 1, 1, 1, 4, 4, 2)),
+                      extra={"eta": 0.0})
+    np.testing.assert_allclose(np.asarray(out_pp), np.asarray(out_ddim), rtol=1e-5)
+
+    diff = lambda xc, s, i: jnp.stack([target + 0.1 * xc,
+                                       0.5 * xc])
+    out_diff = sample(diff, x0, SIGMAS, solver="ddim_cfgpp",
+                      noise=jnp.zeros((len(SIGMAS) - 1, 1, 1, 4, 4, 2)))
+    out_diff_ddim = sample(lambda xc, s, i: target + 0.1 * xc, x0, SIGMAS,
+                           solver="ddim",
+                           noise=jnp.zeros((len(SIGMAS) - 1, 1, 1, 4, 4, 2)),
+                           extra={"eta": 0.0})
+    assert not np.allclose(np.asarray(out_diff), np.asarray(out_diff_ddim))
+    assert get_sampler("DDIM CFG++").solver == "ddim_cfgpp"
