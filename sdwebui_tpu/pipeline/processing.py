@@ -224,7 +224,11 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
         if init_latent is not None:
             init_latent = jax.device_put(init_latent, rt.sharding("data"))
 
-    if step_callback is None:
+    from sdwebui_tpu.sampling.solvers import SOLVERS as _SOLVERS
+
+    if step_callback is None or _SOLVERS[solver].custom_driver is not None:
+        # custom whole-run drivers (DPM fast/adaptive) have no per-step
+        # boundary to chunk on; they always run fused
         return _sample_fused(
             model.unet_params, jnp.asarray(model.disc.log_sigmas, jnp.float32),
             x, jnp.asarray(np.asarray(sigmas), jnp.float32), noise, sched,

@@ -40,6 +40,8 @@ SAMPLERS = [
     _S("DPM2", "dpm_2", ("k_dpm_2",), second_order=True),
     _S("DPM2 a", "dpm_2_ancestral", ("k_dpm_2_a",), uses_ensd=True, second_order=True),
     _S("LCM", "lcm", ("k_lcm",), uses_ensd=True),
+    _S("DPM fast", "dpm_fast", ("k_dpm_fast",), uses_ensd=True),
+    _S("DPM adaptive", "dpm_adaptive", ("k_dpm_ad",), uses_ensd=True),
     _S("Restart", "restart", ("restart",), scheduler_override="karras",
        uses_ensd=True, second_order=True),
     # timestep ("CompVis") samplers — integer-timestep schedules

@@ -71,6 +71,9 @@ def sample(model: Callable, x, sigmas, solver: str = "euler",
             lms_coefficients(np.asarray(jax.device_get(sigmas), np.float64)),
             jnp.float32)
 
+    if spec.custom_driver is not None:
+        return spec.custom_driver(model, x, sigmas, noise, extra)
+
     state = spec.init_state(x)
 
     if mode == "scan":

@@ -563,6 +563,176 @@ def lcm_step(model, x, i, sigmas, noise, state, extra):
 # registry
 # --------------------------------------------------------------------------
 
+
+
+# --------------------------------------------------------------------------
+# DPM-Solver fast / adaptive (reference k_diffusion/sampling.py DPMSolver
+# class via sd_samplers_kdiffusion "DPM fast"/"DPM adaptive"):  these do not
+# walk the sigma schedule index-by-index, so they ship as custom whole-run
+# drivers.  Everything is jnp (traceable) — fast unrolls its static order
+# plan in Python; adaptive is a lax.while_loop with a PID step controller.
+# --------------------------------------------------------------------------
+
+def dpm_fast_orders(n: int) -> list:
+    """k-diffusion dpm_solver_fast order plan for n model-eval budget."""
+    m = n // 3 + 1
+    if n % 3 == 0:
+        return [3] * (m - 2) + [2, 1]
+    return [3] * (m - 1) + [n % 3]
+
+
+def _dpm_eps(model, x, t, i):
+    """eps in t=-log sigma space: (x - denoised) / sigma."""
+    s = jnp.exp(-t)
+    return (x - model(x, s, i)) / jnp.maximum(s, _EPS)
+
+
+def _dpm_1_update(x, t, t_next, eps):
+    h = t_next - t
+    return x - jnp.exp(-t_next) * jnp.expm1(h) * eps
+
+
+def _dpm_2_update(x, t, t_next, eps, eps_r1, r1):
+    h = t_next - t
+    st = jnp.exp(-t_next)
+    return x - st * jnp.expm1(h) * eps \
+             - st / (2 * r1) * jnp.expm1(h) * (eps_r1 - eps)
+
+
+def _dpm_3_update(x, t, t_next, eps, eps_r1, eps_r2, r1, r2):
+    h = t_next - t
+    st = jnp.exp(-t_next)
+    return x - st * jnp.expm1(h) * eps \
+             - st / r2 * (jnp.expm1(h) / h - 1.0) * (eps_r2 - eps)
+
+
+def _dpm_u2(x, t, h, eps, eps_r1, r1, r2):
+    """intermediate u2 for the 3rd-order step."""
+    s2 = t + r2 * h
+    ss2 = jnp.exp(-s2)
+    return x - ss2 * jnp.expm1(r2 * h) * eps \
+             - ss2 * (r2 / r1) * (jnp.expm1(r2 * h) / (r2 * h) - 1.0) \
+               * (eps_r1 - eps)
+
+
+def sample_dpm_fast_driver(model, x, sigmas, noise, extra):
+    """DPM-Solver fast: uniform grid in t=-log sigma over
+    [sigma_max, sigma_min], orders 3,3,...,remainder; ancestral noise per
+    outer step when eta>0.  The order plan depends only on n (static), so
+    the loop unrolls at trace time and fuses into one XLA program."""
+    n = int(sigmas.shape[0]) - 1
+    orders = dpm_fast_orders(n)
+    m = len(orders)
+    eta = float(extra.get("eta", 1.0))
+    s_noise = extra.get("s_noise", 1.0)
+    t_start = -jnp.log(jnp.maximum(sigmas[0], _EPS))
+    t_end = -jnp.log(jnp.maximum(sigmas[-2], _EPS))   # last nonzero sigma
+    ts = t_start + (t_end - t_start) * jnp.arange(m + 1) / m
+
+    ev = 0   # model-eval counter -> prompt-editing schedule index (the
+             # reference CFGDenoiser advances its step per model call)
+    for k in range(m):
+        t, t_next = ts[k], ts[k + 1]
+        if eta > 0:
+            sd, _ = _ancestral(jnp.exp(-t), jnp.exp(-t_next), eta)
+            t_next_ = jnp.minimum(t_end, -jnp.log(jnp.maximum(sd, _EPS)))
+            su = jnp.sqrt(jnp.maximum(
+                jnp.exp(-t_next) ** 2 - jnp.exp(-t_next_) ** 2, 0.0))
+        else:
+            t_next_, su = t_next, jnp.asarray(0.0)
+        idx = lambda e: jnp.asarray(min(e, n - 1))
+        eps = _dpm_eps(model, x, t, idx(ev)); ev += 1
+        h = t_next_ - t
+        if orders[k] == 1:
+            x = _dpm_1_update(x, t, t_next_, eps)
+        elif orders[k] == 2:
+            r1 = 0.5
+            s1 = t + r1 * h
+            u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+            eps_r1 = _dpm_eps(model, u1, s1, idx(ev)); ev += 1
+            x = _dpm_2_update(x, t, t_next_, eps, eps_r1, r1)
+        else:
+            r1, r2 = 1.0 / 3.0, 2.0 / 3.0
+            s1 = t + r1 * h
+            u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+            eps_r1 = _dpm_eps(model, u1, s1, idx(ev)); ev += 1
+            u2 = _dpm_u2(x, t, h, eps, eps_r1, r1, r2)
+            eps_r2 = _dpm_eps(model, u2, t + r2 * h, idx(ev)); ev += 1
+            x = _dpm_3_update(x, t, t_next_, eps, eps_r1, eps_r2, r1, r2)
+        if eta > 0:
+            x = x + su * s_noise * noise[min(k, noise.shape[0] - 1), 0]
+    return x
+
+
+def sample_dpm_adaptive_driver(model, x, sigmas, noise, extra):
+    """DPM-Solver-12/23 adaptive: embedded lower-order error estimate with a
+    PID step-size controller (k-diffusion dpm_solver_adaptive defaults:
+    order 3, rtol .05, atol .0078, h_init .05, icoeff 1, accept_safety .81).
+    Runs as one lax.while_loop on device; iteration count is bounded by
+    max_steps (default 80) so the compiled program always terminates."""
+    eta = float(extra.get("eta", 1.0))
+    s_noise = extra.get("s_noise", 1.0)
+    rtol = float(extra.get("dpm_rtol", 0.05))
+    atol = float(extra.get("dpm_atol", 0.0078))
+    max_steps = int(extra.get("dpm_adaptive_max_steps", 80))
+    order = 3
+    pid_order = 1.5 if eta > 0 else order
+    b1 = 1.0 / pid_order            # pcoeff=0, icoeff=1, dcoeff=0
+    accept_safety = 0.81
+
+    t_start = -jnp.log(jnp.maximum(sigmas[0], _EPS))
+    t_end = -jnp.log(jnp.maximum(sigmas[-2], _EPS))
+    numel = float(np.prod(x.shape))
+    n_pool = noise.shape[0]
+    n_sched = int(sigmas.shape[0]) - 1
+
+    def cond(carry):
+        xc, x_prev, s, h, inv_prev, k = carry
+        return jnp.logical_and(s < t_end - 1e-5, k < max_steps)
+
+    def body(carry):
+        xc, x_prev, s, h, inv_prev, k = carry
+        t = jnp.minimum(t_end, s + h)
+        if eta > 0:
+            sd, _ = _ancestral(jnp.exp(-s), jnp.exp(-t), eta)
+            t_ = jnp.minimum(t_end, -jnp.log(jnp.maximum(sd, _EPS)))
+            su = jnp.sqrt(jnp.maximum(
+                jnp.exp(-t) ** 2 - jnp.exp(-t_) ** 2, 0.0))
+        else:
+            t_, su = t, jnp.asarray(0.0)
+        i = jnp.minimum(k, n_sched - 1)
+        hh = t_ - s
+        r1, r2 = 1.0 / 3.0, 2.0 / 3.0
+        eps = _dpm_eps(model, xc, s, i)
+        s1 = s + r1 * hh
+        u1 = xc - jnp.exp(-s1) * jnp.expm1(r1 * hh) * eps
+        eps_r1 = _dpm_eps(model, u1, s1, i)
+        x_low = _dpm_2_update(xc, s, t_, eps, eps_r1, r1)
+        u2 = _dpm_u2(xc, s, hh, eps, eps_r1, r1, r2)
+        eps_r2 = _dpm_eps(model, u2, s + r2 * hh, i)
+        x_high = _dpm_3_update(xc, s, t_, eps, eps_r1, eps_r2, r1, r2)
+
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low),
+                                                     jnp.abs(x_prev)))
+        error = jnp.sqrt(jnp.sum(((x_low - x_high) / delta) ** 2)) \
+            / jnp.sqrt(numel)
+        inv_err = 1.0 / (error + 1e-8)
+        factor = 1.0 + jnp.arctan(inv_err ** b1 - 1.0)   # PID limiter
+        accept = factor >= accept_safety
+        noise_k = noise[jnp.minimum(k, n_pool - 1), 0]
+        x_acc = x_high + su * s_noise * noise_k
+        xc = jnp.where(accept, x_acc, xc)
+        x_prev = jnp.where(accept, x_low, x_prev)
+        s = jnp.where(accept, t, s)
+        h = h * factor
+        return (xc, x_prev, s, h, inv_err, k + 1)
+
+    carry = (x, x, t_start, jnp.asarray(0.05, jnp.float32),
+             jnp.asarray(1.0, jnp.float32), jnp.asarray(0, jnp.int32))
+    xc, *_ = jax.lax.while_loop(cond, body, carry)
+    return xc
+
+
 @dataclasses.dataclass(frozen=True)
 class SolverSpec:
     name: str
@@ -575,6 +745,8 @@ class SolverSpec:
     eps_history: bool = False
     uses_unipc: bool = False
     default_eta: float = 1.0
+    custom_driver: object = None   # full-run driver (DPM fast/adaptive):
+                                   # (model, x, sigmas, noise, extra) -> x
 
     def init_state(self, x):
         state = {}
@@ -614,6 +786,10 @@ SOLVERS = {
     "ddim": SolverSpec("ddim", ddim_step, noises_per_step=1, default_eta=0.0),
     "ddim_cfgpp": SolverSpec("ddim_cfgpp", ddim_cfgpp_step, noises_per_step=1,
                              default_eta=0.0),
+    "dpm_fast": SolverSpec("dpm_fast", None, noises_per_step=1,
+                           custom_driver=sample_dpm_fast_driver),
+    "dpm_adaptive": SolverSpec("dpm_adaptive", None, noises_per_step=1,
+                               custom_driver=sample_dpm_adaptive_driver),
     "restart": SolverSpec("restart", restart_step, noises_per_step=1,
                           model_calls_per_step=2),
     "unipc": SolverSpec("unipc", unipc_step, model_calls_per_step=2,

@@ -169,3 +169,21 @@ def test_ddim_cfgpp_end_to_end(model):
     assert seen and len(res2.images) == 1
     np.testing.assert_allclose(np.asarray(res.images[0]),
                                np.asarray(res2.images[0]), atol=1)
+
+
+@pytest.mark.parametrize("name", ["DPM fast", "DPM adaptive"])
+def test_dpm_fast_adaptive_end_to_end(model, name):
+    """Custom-driver solvers through the full fused pipeline (and the
+    stepwise entry point, which must fall back to fused)."""
+    p = GenerationParams(prompt="a cat", seed=11, steps=6, width=64, height=64,
+                         sampler_name=name)
+    res = process_txt2img(model, p)
+    assert len(res.images) == 1
+    arr = np.asarray(res.images[0])
+    assert arr.std() > 1.0   # not saturated/black
+
+    p2 = GenerationParams(prompt="a cat", seed=11, steps=6, width=64,
+                          height=64, sampler_name=name)
+    res2 = process_txt2img(model, p2, step_callback=lambda i, n, lat: True)
+    np.testing.assert_array_equal(np.asarray(res.images[0]),
+                                  np.asarray(res2.images[0]))

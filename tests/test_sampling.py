@@ -97,11 +97,15 @@ def _run(solver, model, x0, sigmas=SIGMAS, mode="scan", seed=0):
     return sample(model, x0, sigmas, solver=solver, noise=noise, mode=mode)
 
 
-@pytest.mark.parametrize("solver", list(SOLVERS))
+@pytest.mark.parametrize(
+    "solver",
+    [s for s in SOLVERS if SOLVERS[s].custom_driver is None])
 def test_perfect_denoiser_recovers_target(solver):
     """With model(x,σ)=x_target, every solver must land exactly on x_target
     (deterministic ones) or within noise-scale of it (ancestral/sde with the
-    final σ=0 step killing the noise)."""
+    final σ=0 step killing the noise).  Custom-driver solvers (DPM
+    fast/adaptive) stop at σ_min like k-diffusion and are covered by
+    test_dpm_drivers_analytic instead."""
     target = jnp.full((1, 4, 4, 2), 3.25, jnp.float32)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 4, 2)),
                     jnp.float32) * SIGMAS[0]
@@ -389,3 +393,55 @@ def test_ddim_cfgpp():
                            extra={"eta": 0.0})
     assert not np.allclose(np.asarray(out_diff), np.asarray(out_diff_ddim))
     assert get_sampler("DDIM CFG++").solver == "ddim_cfgpp"
+
+
+def test_dpm_fast_order_plan():
+    from sdwebui_tpu.sampling.solvers import dpm_fast_orders
+
+    assert dpm_fast_orders(1) == [1]
+    assert dpm_fast_orders(2) == [2]
+    assert dpm_fast_orders(3) == [2, 1]
+    assert dpm_fast_orders(6) == [3, 2, 1]
+    assert dpm_fast_orders(7) == [3, 3, 1]
+    for n in range(1, 40):
+        assert sum(dpm_fast_orders(n)) == n
+
+
+@pytest.mark.parametrize("solver", ["dpm_fast", "dpm_adaptive"])
+def test_dpm_drivers_analytic(solver):
+    """DPM-Solver integrates the semi-linear ODE exactly for constant
+    denoised output; both drivers stop at sigma_min (k-diffusion ends
+    there, no final step to 0)."""
+    sig = jnp.asarray(np.geomspace(10.0, 0.05, 9).tolist() + [0.0], jnp.float32)
+    target = jnp.full((1, 4, 4, 2), 1.5)
+    model = lambda x, s, i: target * jnp.ones_like(x)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 4, 2)),
+                     jnp.float32) * sig[0]
+    exact = target + (0.05 / 10.0) * (x0 - target)
+    zero_noise = jnp.zeros((len(sig) - 1, 1, 1, 4, 4, 2))
+    out = sample(model, x0, sig, solver=solver, noise=zero_noise,
+                 extra={"eta": 0.0})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exact), atol=1e-5)
+
+    # default eta=1 is ancestral: the noise stream must matter
+    rnd = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (len(sig) - 1, 1, 1, 4, 4, 2)), jnp.float32)
+    out_eta = sample(model, x0, sig, solver=solver, noise=rnd)
+    assert not np.allclose(np.asarray(out_eta), np.asarray(out))
+
+
+def test_dpm_fast_under_jit():
+    """Custom drivers must trace into one program (fused pipeline path)."""
+    import jax as _jax
+
+    sig = jnp.asarray(np.geomspace(8.0, 0.1, 7).tolist() + [0.0], jnp.float32)
+    model = lambda x, s, i: 0.5 * x
+
+    @_jax.jit
+    def run(x0, noise):
+        return sample(model, x0, sig, solver="dpm_fast", noise=noise,
+                      extra={"eta": 0.0})
+
+    x0 = jnp.ones((1, 4, 4, 2)) * sig[0]
+    out = run(x0, jnp.zeros((len(sig) - 1, 1, 1, 4, 4, 2)))
+    assert np.all(np.isfinite(np.asarray(out)))
