@@ -136,9 +136,18 @@ def load_torch_checkpoint(path: str) -> dict:
     if not isinstance(sd, dict):
         raise ValueError(f"unexpected checkpoint structure in {path}")
     out = {}
-    for k, v in sd.items():
-        if isinstance(v, _LazyTensor):
-            out[k] = v.materialize()
-        elif isinstance(v, np.ndarray):
-            out[k] = v
+
+    def collect(d: dict, prefix: str):
+        for k, v in d.items():
+            key = f"{prefix}{k}"
+            if isinstance(v, _LazyTensor):
+                out[key] = v.materialize()
+            elif isinstance(v, np.ndarray):
+                out[key] = v
+            elif isinstance(v, dict):
+                # nested wrappers ("params_ema"/"params" in BSRGAN/SwinIR
+                # releases, "callbacks" metadata, ...) — flatten with prefix
+                collect(v, key + ".")
+
+    collect(sd, "")
     return out

@@ -49,7 +49,8 @@ def upscale(name: str, image: Image.Image, scale: float) -> Image.Image:
     """Upscale by factor with up to 3 passes (reference Upscaler.upscale)."""
     entry = _REGISTRY.get(name)
     if entry is None:
-        entry = _REGISTRY["Lanczos"]
+        raise ValueError(f"unknown upscaler {name!r} (available: "
+                         f"{', '.join(_REGISTRY)})")
     dest_w = round(image.width * scale)
     dest_h = round(image.height * scale)
     for _ in range(3):

@@ -39,8 +39,10 @@ class Engine:
 
         self.styles = StyleDatabase()
         from sdwebui_tpu.models.esrgan import register_esrgan_dir
+        from sdwebui_tpu.models.swinir import register_swinir_dir
 
         register_esrgan_dir()  # models/ESRGAN, models/RealESRGAN
+        register_swinir_dir()  # models/SwinIR
 
     def apply_styles(self, p: GenerationParams):
         if p.styles:
