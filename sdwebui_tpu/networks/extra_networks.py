@@ -146,6 +146,42 @@ def activate(model, prompt: str, registry: LoraRegistry | None = None):
     return clean, merged, hypernet
 
 
+def register_bundle_embeddings(model, lora_sd: dict):
+    """kohya LoRA files may bundle textual-inversion embeddings under
+    `bundle_emb.<name>.<tensor>` keys (reference networks.py
+    bundle_embeddings); register them with the loaded conditioner so the
+    trigger word works as soon as the LoRA is activated."""
+    db = getattr(model.conditioner, "embedding_db", None)
+    if db is None:
+        return 0
+    import numpy as np
+
+    from sdwebui_tpu.networks.textual_inversion import Embedding
+
+    bundles: dict = {}
+    for k, v in lora_sd.items():
+        if not k.startswith("bundle_emb."):
+            continue
+        name, tensor_key = k[len("bundle_emb."):].split(".", 1)
+        bundles.setdefault(name, {})[tensor_key] = v
+    for name, tensors in bundles.items():
+        if name in db.embeddings:
+            continue
+        if "clip_l" in tensors:     # SDXL dual embedding
+            emb = Embedding(name,
+                            np.atleast_2d(np.asarray(tensors["clip_l"], np.float32)),
+                            vec_g=np.atleast_2d(np.asarray(tensors["clip_g"],
+                                                           np.float32)))
+        else:
+            key = "emb_params" if "emb_params" in tensors else \
+                ("string_to_param.*" if "string_to_param.*" in tensors
+                 else next(iter(tensors)))
+            emb = Embedding(name, np.atleast_2d(np.asarray(tensors[key],
+                                                           np.float32)))
+        db.register(emb)
+    return len(bundles)
+
+
 def apply_to_model(model, nets: list, registry: LoraRegistry):
     """Activate `<lora:...>` tags: returns a model copy with merged UNet and
     text-encoder params (reference network_apply_weights, functionally).
@@ -159,6 +195,7 @@ def apply_to_model(model, nets: list, registry: LoraRegistry):
         if net.kind not in ("lora", "lyco"):
             continue
         sd = registry.load(net.name)
+        register_bundle_embeddings(model, sd)
         te_mult = net.mult(1, 1.0)
         unet_mult = net.mult(2, te_mult)
         loras_unet.append((sd, unet_mult))

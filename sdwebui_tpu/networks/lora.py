@@ -195,6 +195,19 @@ def _compute_delta_torch_layout(mods: dict, weight_shape_torch, mult: float,
     return None
 
 
+def _apply_dora(delta: np.ndarray, orig: np.ndarray,
+                dora_scale) -> np.ndarray:
+    """Weight decomposition: merged = W+ΔW is renormalized per output row to
+    the learned magnitude vector (reference network.py
+    apply_weight_decompose).  Returns the equivalent additive delta."""
+    orig = np.asarray(orig, np.float32).reshape(delta.shape)
+    merged = orig + np.asarray(delta, np.float32)
+    norm = np.linalg.norm(merged.reshape(merged.shape[0], -1), axis=1)
+    norm = norm.reshape((-1,) + (1,) * (merged.ndim - 1))
+    scale = np.asarray(dora_scale, np.float32).reshape(norm.shape)
+    return merged / norm * scale - orig
+
+
 def _torch_shape(jax_weight) -> tuple:
     s = jax_weight.shape
     if len(s) == 4:   # HWIO → OIHW
@@ -264,8 +277,18 @@ def apply_loras(params: dict, loras: list, prefix: str = "lora_unet_"):
                     return arr.T
                 return arr
 
-            op = _compute_delta_torch_layout(mods, _torch_shape(w), mult,
-                                             orig_torch_fn=orig_torch)
+            if "dora_scale" in mods:
+                # DoRA (reference network.py apply_weight_decompose): the
+                # alpha-scaled delta is decomposed against the merged-weight
+                # row norms, the multiplier interpolates afterwards
+                op = _compute_delta_torch_layout(mods, _torch_shape(w), 1.0,
+                                                 orig_torch_fn=orig_torch)
+                if op is not None and op[0] == "add":
+                    op = ("add", _apply_dora(op[1], orig_torch(),
+                                             mods["dora_scale"]) * mult)
+            else:
+                op = _compute_delta_torch_layout(mods, _torch_shape(w), mult,
+                                                 orig_torch_fn=orig_torch)
             if op is None:
                 unmatched.append(module)
                 continue

@@ -309,3 +309,77 @@ def test_sdxl_te2_lora_applies(tmp_path, monkeypatch):
     _, merged, _ = extra_networks.activate(model, "x <lora:te2lora:1.0>")
     w2 = flatten(merged.conditioner2.params)["encoder.layers.0.self_attn.q_proj.weight"]
     np.testing.assert_allclose(np.asarray(w2) - np.asarray(w), 0.5, atol=1e-6)
+
+
+def test_dora_linear():
+    """DoRA: merged weight rows renormalized to the learned magnitudes
+    before the base weight is subtracted back out."""
+    params = make_params()
+    from sdwebui_tpu.utils.pytree import unflatten as _unflatten
+
+    flat0 = dict(flatten(params))
+    flat0["input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"] = \
+        jnp.asarray(RNG.standard_normal((8, 8)).astype(np.float32))
+    params = _unflatten(flat0)
+    key = "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q"
+    up = RNG.standard_normal((8, 4)).astype(np.float32)
+    down = RNG.standard_normal((4, 8)).astype(np.float32)
+    w0 = np.asarray(flatten(params)[
+        "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"]).T  # torch
+    dora = np.linalg.norm(w0, axis=1, keepdims=True) * 1.1
+    sd = {f"{key}.lora_up.weight": up, f"{key}.lora_down.weight": down,
+          f"{key}.alpha": np.float32(2.0), f"{key}.dora_scale": dora}
+    new, n, unmatched = lora.apply_loras(params, [(sd, 1.0)])
+    assert n == 1 and not unmatched
+
+    delta = (up @ down) * (2.0 / 4)
+    merged = w0 + delta
+    expected = merged / np.linalg.norm(merged, axis=1, keepdims=True) * dora
+    got = np.asarray(flatten(new)[
+        "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"])
+    np.testing.assert_allclose(got, expected.T, atol=1e-5)
+
+    # multiplier interpolates the decomposed delta
+    half, _, _ = lora.apply_loras(params, [(sd, 0.5)])
+    got_half = np.asarray(flatten(half)[
+        "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"])
+    np.testing.assert_allclose(got_half, (w0 + 0.5 * (expected - w0)).T,
+                               atol=1e-5)
+
+
+def test_bundled_embedding_registration(tmp_path, monkeypatch):
+    """kohya bundle_emb.* keys register trigger-word embeddings on LoRA
+    activation."""
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+
+    model = create_tiny_sd()
+    from sdwebui_tpu.networks.textual_inversion import EmbeddingDatabase
+
+    model.conditioner.embedding_db = EmbeddingDatabase(
+        model.conditioner.tokenizer)
+
+    dim = model.conditioner.params["embeddings"]["token_embedding"]["weight"].shape[1]
+    wq = model.unet_params["input_blocks"]["1"]["1"]["transformer_blocks"]["0"]["attn1"]["to_q"]["weight"]
+    out_f, in_f = wq.shape[1], wq.shape[0]
+    up = RNG.standard_normal((out_f, 2)).astype(np.float32)
+    down = RNG.standard_normal((2, in_f)).astype(np.float32)
+    sd = {
+        "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q.lora_up.weight": up,
+        "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q.lora_down.weight": down,
+        "bundle_emb.mytrigger.emb_params":
+            RNG.standard_normal((2, dim)).astype(np.float32),
+    }
+    d = tmp_path / "loras"
+    d.mkdir()
+    write_safetensors(str(d / "bundled.safetensors"), sd)
+    reg = extra_networks.LoraRegistry(dirs=[str(d)])
+    monkeypatch.setattr(extra_networks, "_default_registry", reg)
+
+    clean, merged, _ = extra_networks.activate(model, "x <lora:bundled:1.0>")
+    assert "mytrigger" in model.conditioner.embedding_db.embeddings
+    assert model.conditioner.embedding_db.embeddings["mytrigger"].vectors == 2
+    # bundle keys must not count as unmatched lora modules
+    c1 = model.encode_texts(["a mytrigger photo"])
+    c2 = model.encode_texts(["a photo"])
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))
