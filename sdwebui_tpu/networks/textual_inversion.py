@@ -59,13 +59,22 @@ def load_embedding_file(path: str, name: str | None = None) -> Embedding:
 class EmbeddingDatabase:
     """Token-sequence-triggered embedding registry."""
 
-    def __init__(self, tokenizer=None):
+    def __init__(self, tokenizer=None, expected_dim: int | None = None):
         self.tokenizer = tokenizer
+        self.expected_dim = expected_dim   # conditioner hidden size
         self.embeddings: dict[str, Embedding] = {}
         self.ids_lookup: dict[int, list] = {}
         self.skipped: list[str] = []
 
     def register(self, emb: Embedding):
+        if self.expected_dim is not None and \
+                emb.vec.shape[1] != self.expected_dim:
+            # wrong model family (e.g. SDXL embedding on SD1) — skip with a
+            # name instead of a broadcast error mid-generation (reference
+            # textual_inversion.py skipped_embeddings)
+            self.skipped.append(
+                f"{emb.name} (dim {emb.vec.shape[1]} != {self.expected_dim})")
+            return
         self.embeddings[emb.name] = emb
         if self.tokenizer is None:
             return

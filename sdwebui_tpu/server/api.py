@@ -391,7 +391,9 @@ class Api:
                              "sd_checkpoint_name": None,
                              "shape": int(e.vec.shape[-1]), "vectors": e.vectors}
                       for name, e in getattr(db, "embeddings", {}).items()}
-        return {"loaded": loaded, "skipped": {}}
+        skipped = {s.split(" ")[0]: {} for s in getattr(db, "skipped", [])} \
+            if db is not None else {}
+        return {"loaded": loaded, "skipped": skipped}
 
     def loras(self, body=None):
         """Lora extension API parity (extensions-builtin/Lora api)."""

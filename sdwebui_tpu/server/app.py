@@ -78,7 +78,9 @@ class Engine:
     def _attach_embeddings(self, model: SDModel, dirpath: str = "embeddings"):
         from sdwebui_tpu.networks.textual_inversion import EmbeddingDatabase
 
-        db = EmbeddingDatabase(model.conditioner.tokenizer)
+        dim = int(model.conditioner.params["embeddings"]["token_embedding"]
+                  ["weight"].shape[1])
+        db = EmbeddingDatabase(model.conditioner.tokenizer, expected_dim=dim)
         db.load_from_dir(dirpath)
         model.conditioner.embedding_db = db
         if model.conditioner2 is not None:

@@ -383,3 +383,15 @@ def test_bundled_embedding_registration(tmp_path, monkeypatch):
     c1 = model.encode_texts(["a mytrigger photo"])
     c2 = model.encode_texts(["a photo"])
     assert not np.allclose(np.asarray(c1), np.asarray(c2))
+
+
+def test_embedding_dim_mismatch_skipped():
+    """Wrong-family embeddings are skipped by name, not crash later."""
+    from sdwebui_tpu.networks.textual_inversion import (Embedding,
+                                                        EmbeddingDatabase)
+
+    db = EmbeddingDatabase(expected_dim=64)
+    db.register(Embedding("good", np.zeros((2, 64), np.float32)))
+    db.register(Embedding("bad", np.zeros((2, 1280), np.float32)))
+    assert "good" in db.embeddings and "bad" not in db.embeddings
+    assert any("bad" in s for s in db.skipped)
