@@ -31,6 +31,11 @@ class UNetConfig:
     adm_in_channels: int = 0      # SDXL: 2816 (pooled text + size/crop embeds)
     dropout: float = 0.0
     tiling: bool = False          # circular conv padding (seamless textures)
+    # hypertile (reference extensions-builtin/hypertile): self-attention
+    # over h×w tokens runs on spatial tiles of ≤ this many latent pixels
+    # per side (0 = off). Deterministic tile split (static shapes for XLA)
+    # instead of the reference's per-call random divisors.
+    hypertile_tile: int = 0
 
     def heads_for(self, channels: int) -> int:
         if self.num_head_channels > 0:

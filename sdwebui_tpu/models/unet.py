@@ -135,9 +135,41 @@ def _ff_geglu(p, x):
     return linear(p["net"]["2"], h)
 
 
-def _basic_block(p, x, context, heads, hypernet=None):
+def _split_factor(dim: int, tile: int) -> int:
+    """Smallest divisor of `dim` whose quotient is ≤ tile."""
+    import math
+
+    for f in range(math.ceil(dim / tile), dim + 1):
+        if dim % f == 0:
+            return f
+    return dim
+
+
+def _hypertiled_self_attention(p, x, heads, hw, tile, hypernet):
+    """Self-attention over spatial tiles (reference hypertile.py
+    self_attn_forward): (B, h·w, C) → (B·nh·nw, th·tw, C) around the attn.
+    Cuts attention cost by nh·nw for the high-res layers; applied only when
+    the map is larger than one tile."""
+    h, w = hw
+    b, s, c = x.shape
+    nh, nw = _split_factor(h, tile), _split_factor(w, tile)
+    if s != h * w or (nh == 1 and nw == 1):
+        return _cross_attention(p, x, x, heads, hypernet)
+    th, tw = h // nh, w // nw
+    xt = x.reshape(b, nh, th, nw, tw, c).transpose(0, 1, 3, 2, 4, 5) \
+          .reshape(b * nh * nw, th * tw, c)
+    out = _cross_attention(p, xt, xt, heads, hypernet)
+    return out.reshape(b, nh, nw, th, tw, c).transpose(0, 1, 3, 2, 4, 5) \
+              .reshape(b, s, c)
+
+
+def _basic_block(p, x, context, heads, hypernet=None, hw=None, tile=0):
     h = layer_norm_p(p["norm1"], x)
-    x = x + _cross_attention(p["attn1"], h, h, heads, hypernet)
+    if tile > 0 and hw is not None and hw[0] * hw[1] > tile * tile:
+        x = x + _hypertiled_self_attention(p["attn1"], h, heads, hw, tile,
+                                           hypernet)
+    else:
+        x = x + _cross_attention(p["attn1"], h, h, heads, hypernet)
     h = layer_norm_p(p["norm2"], x)
     x = x + _cross_attention(p["attn2"], h, context, heads, hypernet)
     x = x + _ff_geglu(p["ff"], layer_norm_p(p["norm3"], x))
@@ -158,7 +190,7 @@ def _spatial_transformer(p, x, context, cfg: UNetConfig, depth: int,
         x = x.reshape(b, h * w, c)
     for d in range(depth):
         x = _basic_block(p["transformer_blocks"][str(d)], x, context, heads,
-                         hypernet)
+                         hypernet, hw=(h, w), tile=cfg.hypertile_tile)
     if cfg.use_linear_in_transformer:
         x = linear(p["proj_out"], x)
         x = x.reshape(b, h, w, c)

@@ -113,6 +113,9 @@ def process_img2img(model: SDModel, p: GenerationParams,
             model,
             unet_cfg=_dc.replace(model.unet_cfg, tiling=True),
             vae_cfg=_dc.replace(model.vae_cfg, tiling=True))
+    from sdwebui_tpu.pipeline.processing import _apply_hypertile
+
+    model = _apply_hypertile(model)
     sampler = get_sampler(p.sampler_name)
     scheduler = sampler.scheduler_override or p.scheduler
     spec = SOLVERS[sampler.solver]

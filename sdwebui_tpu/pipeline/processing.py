@@ -426,6 +426,21 @@ def _build_conds(model: SDModel, p: GenerationParams, steps: int,
         vector_maker=vector_maker)
 
 
+def _apply_hypertile(model):
+    """Hypertile (reference extensions-builtin/hypertile): tile the UNet's
+    self-attention when enabled in options. Latent-space tile = image tile/8."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if not _opts.get("hypertile_enable_unet", False):
+        return model
+    import dataclasses as _dc
+
+    tile = max(int(_opts.get("hypertile_max_tile_unet", 256)) // 8, 16)
+    return _dc.replace(model,
+                       unet_cfg=_dc.replace(model.unet_cfg,
+                                            hypertile_tile=tile))
+
+
 def _solver_extra(p: GenerationParams, sampler) -> dict:
     extra = dict(sampler.extra)
     if p.eta is not None and p.eta > 0:
@@ -455,6 +470,7 @@ def process_txt2img(model: SDModel, p: GenerationParams,
             model,
             unet_cfg=_dc.replace(model.unet_cfg, tiling=True),
             vae_cfg=_dc.replace(model.vae_cfg, tiling=True))
+    model = _apply_hypertile(model)
     sampler = get_sampler(p.sampler_name)
     scheduler = sampler.scheduler_override or p.scheduler
     h, w = p.latent_size()

@@ -160,6 +160,14 @@ def make_default_templates() -> dict:
         "upscaler_for_img2img": OptionInfo("None", "Upscaler for img2img"),
         "ESRGAN_tile": OptionInfo(192, "Tile size for upscalers"),
         "ESRGAN_tile_overlap": OptionInfo(8, "Tile overlap for upscalers"),
+        "SCUNET_tile": OptionInfo(256, "Tile size for SCUNET upscalers"),
+        "SCUNET_tile_overlap": OptionInfo(8, "Tile overlap for SCUNET upscalers"),
+        "SWIN_tile": OptionInfo(192, "Tile size for all SwinIR"),
+        "SWIN_tile_overlap": OptionInfo(8, "Tile overlap for SwinIR"),
+    }))
+    t.update(options_section(("hypertile", "Hypertile"), {
+        "hypertile_enable_unet": OptionInfo(False, "Enable Hypertile U-Net"),
+        "hypertile_max_tile_unet": OptionInfo(256, "Hypertile U-Net max tile size"),
     }))
     t.update(options_section(("live-previews", "Live previews"), {
         "show_progress_every_n_steps": OptionInfo(10, "Live preview display period"),

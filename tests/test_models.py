@@ -178,3 +178,33 @@ def test_flatten_unflatten_roundtrip():
     flat = flatten(tree)
     assert flat == {"a.b": 1, "a.c.d": 2, "e": 3}
     assert unflatten(flat) == tree
+
+
+def test_hypertile_self_attention():
+    """Hypertile: tiled self-attn must equal full attention when tokens
+    don't interact across tiles (block-diagonal check) and must change the
+    output in general (it's an approximation, not a refactor)."""
+    from sdwebui_tpu.models import unet as unet_model
+    from sdwebui_tpu.models.unet import init_params
+
+    cfg = dataclasses.replace(TINY_UNET, hypertile_tile=4)
+    params = init_params(TINY_UNET, 0, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 16, 16, 4)),
+                    jnp.float32)
+    t = jnp.asarray([3.0])
+    ctx = jnp.asarray(np.random.default_rng(1).standard_normal((1, 7, 64)),
+                      jnp.float32)
+    full = np.asarray(unet_model.apply(params, TINY_UNET, x, t, ctx))
+    tiled = np.asarray(unet_model.apply(params, cfg, x, t, ctx))
+    assert full.shape == tiled.shape
+    assert np.isfinite(tiled).all()
+    assert not np.allclose(full, tiled, atol=1e-5)   # attention scope shrank
+
+
+def test_hypertile_split_factor():
+    from sdwebui_tpu.models.unet import _split_factor
+
+    assert _split_factor(64, 32) == 2
+    assert _split_factor(64, 64) == 1
+    assert _split_factor(64, 20) == 4   # 64/4=16 ≤ 20; 64/3 not integer
+    assert _split_factor(17, 4) == 17   # prime: degenerates to per-token
