@@ -36,6 +36,9 @@ class UNetConfig:
     # per side (0 = off). Deterministic tile split (static shapes for XLA)
     # instead of the reference's per-call random divisors.
     hypertile_tile: int = 0
+    # token merging ratio for self-attention (reference
+    # opts.token_merging_ratio via tomesd); 0 = off
+    tome_ratio: float = 0.0
 
     def heads_for(self, channels: int) -> int:
         if self.num_head_channels > 0:

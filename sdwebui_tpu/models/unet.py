@@ -163,9 +163,19 @@ def _hypertiled_self_attention(p, x, heads, hw, tile, hypernet):
               .reshape(b, s, c)
 
 
-def _basic_block(p, x, context, heads, hypernet=None, hw=None, tile=0):
+def _basic_block(p, x, context, heads, hypernet=None, hw=None, tile=0,
+                 tome_ratio=0.0):
     h = layer_norm_p(p["norm1"], x)
-    if tile > 0 and hw is not None and hw[0] * hw[1] > tile * tile:
+    merged = None
+    if tome_ratio > 0 and hw is not None:
+        from sdwebui_tpu.ops.tome import build_merge
+
+        merged = build_merge(h, hw[0], hw[1], tome_ratio)
+    if merged is not None:
+        merge, unmerge, _ = merged
+        x = x + unmerge(_cross_attention(p["attn1"], merge(h), merge(h),
+                                         heads, hypernet))
+    elif tile > 0 and hw is not None and hw[0] * hw[1] > tile * tile:
         x = x + _hypertiled_self_attention(p["attn1"], h, heads, hw, tile,
                                            hypernet)
     else:
@@ -190,7 +200,8 @@ def _spatial_transformer(p, x, context, cfg: UNetConfig, depth: int,
         x = x.reshape(b, h * w, c)
     for d in range(depth):
         x = _basic_block(p["transformer_blocks"][str(d)], x, context, heads,
-                         hypernet, hw=(h, w), tile=cfg.hypertile_tile)
+                         hypernet, hw=(h, w), tile=cfg.hypertile_tile,
+                         tome_ratio=cfg.tome_ratio)
     if cfg.use_linear_in_transformer:
         x = linear(p["proj_out"], x)
         x = x.reshape(b, h, w, c)

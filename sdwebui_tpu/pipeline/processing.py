@@ -427,18 +427,23 @@ def _build_conds(model: SDModel, p: GenerationParams, steps: int,
 
 
 def _apply_hypertile(model):
-    """Hypertile (reference extensions-builtin/hypertile): tile the UNet's
-    self-attention when enabled in options. Latent-space tile = image tile/8."""
-    from sdwebui_tpu.utils.options import opts as _opts
-
-    if not _opts.get("hypertile_enable_unet", False):
-        return model
+    """Options-driven attention speedups: hypertile (reference
+    extensions-builtin/hypertile; latent tile = image tile/8) and token
+    merging (reference opts.token_merging_ratio via tomesd)."""
     import dataclasses as _dc
 
-    tile = max(int(_opts.get("hypertile_max_tile_unet", 256)) // 8, 16)
-    return _dc.replace(model,
-                       unet_cfg=_dc.replace(model.unet_cfg,
-                                            hypertile_tile=tile))
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    cfg = model.unet_cfg
+    if _opts.get("hypertile_enable_unet", False):
+        cfg = _dc.replace(cfg, hypertile_tile=max(
+            int(_opts.get("hypertile_max_tile_unet", 256)) // 8, 16))
+    ratio = float(_opts.get("token_merging_ratio", 0.0))
+    if ratio > 0:
+        cfg = _dc.replace(cfg, tome_ratio=ratio)
+    if cfg is model.unet_cfg:
+        return model
+    return _dc.replace(model, unet_cfg=cfg)
 
 
 def _solver_extra(p: GenerationParams, sampler) -> dict:

@@ -169,6 +169,11 @@ def make_default_templates() -> dict:
         "hypertile_enable_unet": OptionInfo(False, "Enable Hypertile U-Net"),
         "hypertile_max_tile_unet": OptionInfo(256, "Hypertile U-Net max tile size"),
     }))
+    t.update(options_section(("optimizations", "Optimizations"), {
+        "token_merging_ratio": OptionInfo(0.0, "Token merging ratio"),
+        "token_merging_ratio_img2img": OptionInfo(0.0, "Token merging ratio for img2img"),
+        "token_merging_ratio_hr": OptionInfo(0.0, "Token merging ratio for high-res pass"),
+    }))
     t.update(options_section(("live-previews", "Live previews"), {
         "show_progress_every_n_steps": OptionInfo(10, "Live preview display period"),
         "live_previews_enable": OptionInfo(True, "Show live previews"),
