@@ -145,6 +145,17 @@ def _swin_block(p, t, hh: int, ww: int, num_heads: int, window: int,
     return t + y
 
 
+def _resi_conv(p, x):
+    """Residual connection conv: '1conv' (single 3x3) or '3conv'
+    (3x3 → lrelu → 1x1 → lrelu → 3x3 bottleneck, SwinIR-L)."""
+    if "weight" in p:
+        return conv2d(p, x)
+    lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
+    x = lrelu(conv2d(p["0"], x))
+    x = lrelu(conv2d(p["2"], x, padding=0))
+    return conv2d(p["4"], x)
+
+
 def _rstb(p, t, hh: int, ww: int, num_heads: int, window: int,
           rpi: np.ndarray, mask):
     """Residual Swin Transformer Block: blocks → conv → +residual."""
@@ -157,7 +168,7 @@ def _rstb(p, t, hh: int, ww: int, num_heads: int, window: int,
         t = _swin_block(p["residual_group"]["blocks"][str(j)], t, hh, ww,
                         num_heads, window, shift, rpi, mask)
     x = t.reshape(b, hh, ww, c)
-    x = conv2d(p["conv"], x)
+    x = _resi_conv(p["conv"], x)
     return x.reshape(b, hh * ww, c) + tin
 
 
@@ -183,7 +194,7 @@ def apply(params, cfg: SwinIRConfig, x):
                   rpi, mask)
     t = layer_norm(t, params["norm"]["weight"], params["norm"]["bias"])
     body = t.reshape(b, h, w, cfg.embed_dim)
-    feat = conv2d(params["conv_after_body"], body) + feat
+    feat = _resi_conv(params["conv_after_body"], body) + feat
 
     lrelu = lambda v: jax.nn.leaky_relu(v, 0.01)
     if cfg.upsampler == "nearest+conv":

@@ -153,3 +153,51 @@ def test_upscale_image_tiled_and_padding():
 def test_register_swinir_dir(tmp_path):
     # no dir → no registration, no crash
     assert swinir.register_swinir_dir((str(tmp_path / "missing"),)) == []
+
+
+def test_3conv_residual_connection():
+    """SwinIR-L (the webui's default SwinIR download) uses '3conv'
+    bottleneck residual connections: layers.i.conv.{0,2,4} + same for
+    conv_after_body."""
+    rng = np.random.default_rng(8)
+    e, heads, win = 12, 2, 4
+    sd = {}
+
+    def conv(k, cin, cout, kk=3):
+        sd[k + ".weight"] = rng.standard_normal((cout, cin, kk, kk), np.float32)
+        sd[k + ".bias"] = np.zeros((cout,), np.float32)
+
+    def lin(k, cin, cout):
+        sd[k + ".weight"] = rng.standard_normal((cout, cin), np.float32)
+        sd[k + ".bias"] = np.zeros((cout,), np.float32)
+
+    def norm(k, c):
+        sd[k + ".weight"] = np.ones((c,), np.float32)
+        sd[k + ".bias"] = np.zeros((c,), np.float32)
+
+    def conv3(k, dim):
+        conv(k + ".0", dim, dim // 4, 3)
+        conv(k + ".2", dim // 4, dim // 4, 1)
+        conv(k + ".4", dim // 4, dim, 3)
+
+    conv("conv_first", 3, e)
+    norm("patch_embed.norm", e)
+    for j in range(2):
+        pre = f"layers.0.residual_group.blocks.{j}"
+        norm(pre + ".norm1", e); norm(pre + ".norm2", e)
+        lin(pre + ".attn.qkv", e, 3 * e); lin(pre + ".attn.proj", e, e)
+        sd[pre + ".attn.relative_position_bias_table"] = \
+            rng.standard_normal(((2 * win - 1) ** 2, heads), np.float32)
+        lin(pre + ".mlp.fc1", e, 2 * e); lin(pre + ".mlp.fc2", 2 * e, e)
+    conv3("layers.0.conv", e)
+    norm("norm", e)
+    conv3("conv_after_body", e)
+    conv("conv_before_upsample.0", e, 8)
+    conv("conv_up1", 8, 8); conv("conv_up2", 8, 8)
+    conv("conv_hr", 8, 8); conv("conv_last", 8, 3)
+
+    tree, cfg = convert_swinir(sd)
+    assert cfg.upsampler == "nearest+conv" and cfg.scale == 4
+    out = apply(tree, cfg, jnp.full((1, 8, 8, 3), 0.5))
+    assert out.shape == (1, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
