@@ -455,21 +455,18 @@ class Api:
                  "args": []} for n in list_selectable_scripts()]
 
     def extensions(self, body=None):
-        """Installed extensions listing (reference modules/extensions.py —
-        local dirs only; this deployment has no git/network access)."""
-        import os
+        """Installed extensions listing (reference get_extensions_list,
+        modules/api/api.py:886): git metadata best-effort, enabled flags
+        from the options disable policy."""
+        from sdwebui_tpu.extensions import list_extensions
 
         out = []
-        for d in ("extensions", "extensions-builtin"):
-            if not os.path.isdir(d):
-                continue
-            for name in sorted(os.listdir(d)):
-                path = os.path.join(d, name)
-                if os.path.isdir(path):
-                    out.append({"name": name, "remote": None, "branch": None,
-                                "commit_hash": None, "version": "",
-                                "commit_date": None,
-                                "enabled": not name.startswith("disabled_")})
+        for ext in list_extensions():
+            ext.read_info_from_repo()
+            out.append({"name": ext.name, "remote": ext.remote,
+                        "branch": ext.branch, "commit_hash": ext.commit_hash,
+                        "commit_date": ext.commit_date,
+                        "version": ext.version, "enabled": ext.enabled})
         return out
 
     def localization(self, body=None):

@@ -64,6 +64,20 @@ class StyleDatabase:
                     name, row.get("prompt") or "",
                     row.get("negative_prompt") or "")
 
+    def load_extra(self, path: str):
+        """Merge styles from an additional csv (extension-provided) without
+        touching the primary file."""
+        if not os.path.exists(path):
+            return
+        with open(path, encoding="utf-8-sig", newline="") as f:
+            for row in csv.DictReader(f):
+                name = row.get("name")
+                if not name or name in self.styles:
+                    continue
+                self.styles[name] = PromptStyle(
+                    name, row.get("prompt") or "",
+                    row.get("negative_prompt") or "")
+
     def save(self):
         with open(self.path, "w", encoding="utf-8-sig", newline="") as f:
             w = csv.DictWriter(f, fieldnames=["name", "prompt", "negative_prompt"])

@@ -150,6 +150,11 @@ def make_default_templates() -> dict:
         "img2img_fix_steps": OptionInfo(False, "With img2img, do exactly the amount of steps specified"),
         "img2img_color_correction": OptionInfo(False, "Apply color correction"),
     }))
+    t.update(options_section(("extensions", "Extensions"), {
+        "disabled_extensions": OptionInfo([], "Disable these extensions"),
+        "disable_all_extensions": OptionInfo("none", "Disable all extensions (preserves the list of disabled extensions)"),
+        "enable_extension_scripts": OptionInfo(False, "Execute python scripts shipped by extensions"),
+    }))
     t.update(options_section(("optimizations", "Optimizations"), {
         "cross_attention_optimization": OptionInfo("Automatic", "Cross attention optimization",
                                                    component_args={"choices": ["Automatic", "flash", "xla"]}),
@@ -168,6 +173,11 @@ def make_default_templates() -> dict:
     t.update(options_section(("hypertile", "Hypertile"), {
         "hypertile_enable_unet": OptionInfo(False, "Enable Hypertile U-Net"),
         "hypertile_max_tile_unet": OptionInfo(256, "Hypertile U-Net max tile size"),
+    }))
+    t.update(options_section(("extensions", "Extensions"), {
+        "disabled_extensions": OptionInfo([], "Disable these extensions"),
+        "disable_all_extensions": OptionInfo("none", "Disable all extensions (preserves the list of disabled extensions)"),
+        "enable_extension_scripts": OptionInfo(False, "Execute python scripts shipped by extensions"),
     }))
     t.update(options_section(("optimizations", "Optimizations"), {
         "token_merging_ratio": OptionInfo(0.0, "Token merging ratio"),
