@@ -115,7 +115,7 @@ def process_img2img(model: SDModel, p: GenerationParams,
             vae_cfg=_dc.replace(model.vae_cfg, tiling=True))
     from sdwebui_tpu.pipeline.processing import _apply_hypertile
 
-    model = _apply_hypertile(model)
+    model = _apply_hypertile(model, kind="img2img")
     sampler = get_sampler(p.sampler_name)
     scheduler = sampler.scheduler_override or p.scheduler
     spec = SOLVERS[sampler.solver]

@@ -309,6 +309,7 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
     from sdwebui_tpu.sampling.sampler import prepare_noise
     from sdwebui_tpu.sampling.solvers import SOLVERS
 
+    model = _apply_hypertile(model, kind="hr")
     hr_w, hr_h = calculate_hr_target(p)
     th, tw = hr_h // 8, hr_w // 8
     c = model.latent_channels
@@ -426,10 +427,12 @@ def _build_conds(model: SDModel, p: GenerationParams, steps: int,
         vector_maker=vector_maker)
 
 
-def _apply_hypertile(model):
+def _apply_hypertile(model, kind: str = "txt2img"):
     """Options-driven attention speedups: hypertile (reference
     extensions-builtin/hypertile; latent tile = image tile/8) and token
-    merging (reference opts.token_merging_ratio via tomesd)."""
+    merging.  kind selects the ratio like the reference's
+    get_token_merging_ratio: img2img and the hires pass fall back to the
+    base ratio when their own option is 0."""
     import dataclasses as _dc
 
     from sdwebui_tpu.utils.options import opts as _opts
@@ -438,10 +441,18 @@ def _apply_hypertile(model):
     if _opts.get("hypertile_enable_unet", False):
         cfg = _dc.replace(cfg, hypertile_tile=max(
             int(_opts.get("hypertile_max_tile_unet", 256)) // 8, 16))
-    ratio = float(_opts.get("token_merging_ratio", 0.0))
+    base = float(_opts.get("token_merging_ratio", 0.0))
+    if kind == "img2img":
+        ratio = float(_opts.get("token_merging_ratio_img2img", 0.0)) or base
+    elif kind == "hr":
+        ratio = float(_opts.get("token_merging_ratio_hr", 0.0)) or base
+    else:
+        ratio = base
     if ratio > 0:
         cfg = _dc.replace(cfg, tome_ratio=ratio)
-    if cfg is model.unet_cfg:
+    elif cfg.tome_ratio:
+        cfg = _dc.replace(cfg, tome_ratio=0.0)
+    if cfg == model.unet_cfg:
         return model
     return _dc.replace(model, unet_cfg=cfg)
 
