@@ -40,6 +40,44 @@ def load_model(path: str, prediction_type: str | None = None,
         embedding_db=embedding_db)
 
 
+def resolve_vae(checkpoint_path: str, vae_dirs=("models/VAE",)) -> str | None:
+    """The reference's VAE selection chain (modules/sd_vae.py resolve_vae):
+    1) opts.sd_vae == "None" → embedded VAE;  2) an explicit sd_vae name is
+    looked up in models/VAE;  3) "Automatic" prefers a same-basename
+    .vae.{pt,ckpt,safetensors} next to the checkpoint, then models/VAE."""
+    import glob
+
+    from sdwebui_tpu.utils.options import opts
+
+    choice = opts.get("sd_vae", "Automatic")
+    if choice == "None":
+        return None
+    exts = (".vae.safetensors", ".vae.pt", ".vae.ckpt", ".safetensors", ".pt",
+            ".ckpt")
+    if choice not in ("Automatic", None, ""):
+        for d in vae_dirs:
+            for ext in exts:
+                cand = os.path.join(d, choice if choice.endswith(ext)
+                                    else choice + ext)
+                if os.path.isfile(cand):
+                    return cand
+            hit = glob.glob(os.path.join(d, choice))
+            if hit:
+                return hit[0]
+        return None
+    base = os.path.splitext(checkpoint_path)[0]
+    for ext in (".vae.safetensors", ".vae.pt", ".vae.ckpt"):
+        if os.path.isfile(base + ext):
+            return base + ext
+    name = os.path.basename(base)
+    for d in vae_dirs:
+        for ext in (".vae.safetensors", ".vae.pt", ".vae.ckpt"):
+            cand = os.path.join(d, name + ext)
+            if os.path.isfile(cand):
+                return cand
+    return None
+
+
 def load_external_vae(path: str, scale_factor: float = 0.18215):
     """Standalone .vae.pt/.safetensors → (vae_tree, VAEConfig) — the
     reference's VAE selection chain (modules/sd_vae.py:168 resolve_vae →

@@ -70,6 +70,8 @@ class CheckpointRegistry:
             for ext in ("*.safetensors", "*.ckpt", "*.pt"):
                 for path in sorted(glob.glob(os.path.join(d, "**", ext),
                                              recursive=True)):
+                    if ".vae." in os.path.basename(path).lower():
+                        continue   # sibling VAE files are not checkpoints
                     name = os.path.relpath(path, d)
                     self.checkpoints[name] = CheckpointInfo(path, name)
 

@@ -88,32 +88,65 @@ class Engine:
         if model.conditioner2 is not None:
             model.conditioner2.embedding_db = db
 
+    def _load_checkpoint_file(self, path: str, title=None, sha256=""):
+        """load + per-checkpoint VAE resolution (reference sd_vae chain)."""
+        from sdwebui_tpu.loader.load import (load_external_vae, load_model,
+                                             resolve_vae)
+
+        model = load_model(path, title=title, sha256=sha256)
+        vae_path = resolve_vae(path)
+        if vae_path:
+            import dataclasses as _dc
+
+            tree, cfg = load_external_vae(
+                vae_path, scale_factor=model.vae_cfg.scale_factor)
+            model = _dc.replace(model, vae_params=tree, vae_cfg=cfg)
+        return model
+
     def _load_initial(self) -> SDModel:
         if self._test_model:
             return create_tiny_sd()
-        from sdwebui_tpu.loader.load import load_model
-
         info = None
         if self._requested_ckpt:
             if os.path.exists(self._requested_ckpt):
-                return load_model(self._requested_ckpt)
+                self._model_key = os.path.basename(self._requested_ckpt)
+                return self._load_checkpoint_file(self._requested_ckpt)
             info = self.registry.find(self._requested_ckpt)
         info = info or self.registry.find(opts.get("sd_model_checkpoint"))
         if info is None:
             # reference CI mode: no checkpoint → random-weight test model
             return create_tiny_sd()
-        return load_model(info.filename, title=info.name,
-                          sha256=info.calculate_sha256("cache.json"))
+        self._model_key = info.name
+        return self._load_checkpoint_file(
+            info.filename, title=info.name,
+            sha256=info.calculate_sha256("cache.json"))
 
     def reload_checkpoint(self, name: str | None = None):
+        """Swap checkpoints; up to opts.sd_checkpoints_limit models stay
+        resident (reference reuse_model_from_already_loaded,
+        modules/sd_models.py:878)."""
         with self._model_lock:
             info = self.registry.find(name or opts.get("sd_model_checkpoint"))
             if info is None:
                 raise ValueError(f"checkpoint not found: {name}")
-            from sdwebui_tpu.loader.load import load_model
-
-            self._model = load_model(info.filename, title=info.name,
-                                     sha256=info.calculate_sha256("cache.json"))
+            if not hasattr(self, "_model_cache"):
+                self._model_cache = {}
+            # key by registry name, NOT model.title (titles carry a
+            # " [hash]" suffix that find() names don't)
+            if self._model is not None:
+                prev_key = getattr(self, "_model_key", None) or \
+                    getattr(self._model, "title", "")
+                self._model_cache[prev_key] = self._model
+            if info.name in self._model_cache:
+                self._model = self._model_cache.pop(info.name)
+            else:
+                self._model = self._load_checkpoint_file(
+                    info.filename, title=info.name,
+                    sha256=info.calculate_sha256("cache.json"))
+            self._model_key = info.name
+            limit = max(int(opts.get("sd_checkpoints_limit", 1)) - 1, 0)
+            while len(self._model_cache) > limit:
+                self._model_cache.pop(next(iter(self._model_cache)))
 
     def unload_checkpoint(self):
         with self._model_lock:

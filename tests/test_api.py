@@ -310,3 +310,39 @@ def test_live_preview_during_generation(server, url_txt2img):
     assert d.get("current_image")  # last preview is served over HTTP
     requests.post(f"{server}/sdapi/v1/options",
                   json={"show_progress_every_n_steps": 10})
+
+
+def test_checkpoint_lru_cache(tmp_path, monkeypatch):
+    """sd_checkpoints_limit keeps recently used models resident so a swap
+    back is instant (reference reuse_model_from_already_loaded)."""
+    from sdwebui_tpu.server.app import Engine
+    from sdwebui_tpu.utils.options import opts
+
+    monkeypatch.chdir(tmp_path)
+    eng = Engine(test_model=True)
+    m1 = eng.sd_model
+
+    class Info:
+        def __init__(self, name):
+            self.name = name
+            self.filename = f"/nonexistent/{name}"
+
+        def calculate_sha256(self, _):
+            return ""
+
+    import dataclasses
+
+    m2 = dataclasses.replace(m1, title="other-model")
+    eng.registry.find = lambda name: Info(name)
+    eng._load_checkpoint_file = lambda path, title=None, sha256="": m2
+    opts.set("sd_checkpoints_limit", 2)
+    try:
+        eng.reload_checkpoint("other-model")
+        assert eng._model is m2
+        # swap back: must come from the cache, not the (stubbed) loader
+        eng._load_checkpoint_file = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("cache miss"))
+        eng.reload_checkpoint(m1.title)
+        assert eng._model is m1
+    finally:
+        opts.set("sd_checkpoints_limit", 1)

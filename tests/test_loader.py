@@ -296,3 +296,38 @@ def test_full_checkpoint_load_and_generate(tmp_path):
     img_direct = np.asarray(process_txt2img(model, gp()).images[0])
     img_loaded = np.asarray(process_txt2img(loaded, gp()).images[0])
     assert np.mean(np.abs(img_direct.astype(int) - img_loaded.astype(int))) < 1.0
+
+
+def test_resolve_vae_chain(tmp_path, monkeypatch):
+    """VAE selection: Automatic prefers sibling .vae file, then models/VAE;
+    explicit name looked up in models/VAE; "None" forces embedded."""
+    import os
+
+    from sdwebui_tpu.loader.load import resolve_vae
+    from sdwebui_tpu.utils.options import opts
+
+    monkeypatch.chdir(tmp_path)
+    ckpt = tmp_path / "mymodel.safetensors"
+    ckpt.write_bytes(b"x")
+    vaedir = tmp_path / "models" / "VAE"
+    vaedir.mkdir(parents=True)
+
+    assert resolve_vae(str(ckpt)) is None           # nothing to find
+    shared = vaedir / "mymodel.vae.safetensors"
+    shared.write_bytes(b"x")
+    assert resolve_vae(str(ckpt)) == os.path.join('models', 'VAE',
+        'mymodel.vae.safetensors')    # models/VAE by basename (relative dir)
+    sibling = tmp_path / "mymodel.vae.safetensors"
+    sibling.write_bytes(b"x")
+    assert resolve_vae(str(ckpt)) == str(sibling)   # sibling wins
+
+    named = vaedir / "special.vae.pt"
+    named.write_bytes(b"x")
+    opts.set("sd_vae", "special")
+    try:
+        assert resolve_vae(str(ckpt)) == os.path.join("models", "VAE",
+                                                      "special.vae.pt")
+        opts.set("sd_vae", "None")
+        assert resolve_vae(str(ckpt)) is None
+    finally:
+        opts.set("sd_vae", "Automatic")
