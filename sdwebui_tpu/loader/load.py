@@ -148,8 +148,9 @@ def model_from_state_dict(sd: dict, prediction_type: str | None = None,
                                clip_skip=2, apply_final_norm=False,
                                embedding_db=embedding_db)
     elif info.family == "sd3":
-        # bundled encoders (text_encoders.clip_l / clip_g); T5 optional and
-        # skipped (reference default: sd3_enable_t5=False)
+        # bundled encoders (text_encoders.clip_l / clip_g); bundled T5-XXL
+        # converted when present and opts.sd3_enable_t5 (reference default
+        # False); encode-from-text additionally needs a tokenizer
         tree1, ccfg1 = convert.convert_clip_hf(
             sd, "text_encoders.clip_l.transformer.text_model.")
         tree2, ccfg2 = convert.convert_clip_openclip(
@@ -172,8 +173,20 @@ def model_from_state_dict(sd: dict, prediction_type: str | None = None,
         # ldm betas live in the checkpoint for some models; default else
         disc = Discretization(make_alphas_cumprod(), prediction_type=pred)
 
+    t5_tree = t5_cfg = None
+    if info.family == "sd3":
+        from sdwebui_tpu.utils.options import opts as _opts
+
+        has_t5 = any(k.startswith("text_encoders.t5xxl.") for k in sd)
+        if has_t5 and _opts.get("sd3_enable_t5", False):
+            from sdwebui_tpu.models.t5 import convert_t5
+
+            t5_tree, t5_cfg = convert_t5(sd)
+            t5_tree = jax.device_put(
+                convert.cast_tree(t5_tree, policy.param_dtype))
+
     return SDModel(kind=info.family, unet_params=unet_tree, unet_cfg=unet_cfg,
                    vae_params=vae_tree, vae_cfg=vae_cfg, disc=disc,
                    conditioner=cond, conditioner2=cond2,
                    title=f"{title} [{sha256[:10]}]" if sha256 else title,
-                   sha256=sha256)
+                   sha256=sha256, t5_params=t5_tree, t5_cfg=t5_cfg)

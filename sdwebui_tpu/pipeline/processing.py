@@ -438,6 +438,8 @@ def _apply_hypertile(model, kind: str = "txt2img"):
     from sdwebui_tpu.utils.options import opts as _opts
 
     cfg = model.unet_cfg
+    if not hasattr(cfg, "tome_ratio"):
+        return model   # MMDiT (SD3): no UNet-style attention tiling
     if _opts.get("hypertile_enable_unet", False):
         cfg = _dc.replace(cfg, hypertile_tile=max(
             int(_opts.get("hypertile_max_tile_unet", 256)) // 8, 16))

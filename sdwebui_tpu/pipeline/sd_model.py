@@ -38,6 +38,10 @@ class SDModel:
     conditioner2: TextConditioner | None = None  # SDXL's OpenCLIP-bigG
     title: str = "random-sd15"
     sha256: str = ""
+    t5_params: Any = None         # SD3 third encoder (models/t5.py)
+    t5_cfg: Any = None
+    t5_tokenizer: Any = None      # pluggable — SentencePiece data is not
+                                  # shipped in this image (see models/t5.py)
 
     @property
     def is_sdxl(self) -> bool:
@@ -58,13 +62,23 @@ class SDModel:
         family uses pooled vectors (SDXL, SD3)."""
         if self.kind == "sd3":
             # CLIP-L(768) ⊕ bigG(1280) on features → zero-pad to 4096 (the
-            # T5 channel slot; T5 disabled by default as in the reference);
+            # T5 channel slot), then sequence-concat the T5-XXL context when
+            # loaded + tokenizer available (reference sd3_cond.py: lg ⊕ t5
+            # along tokens; T5 off by default as in the reference);
             # pooled = l_pooled(768) ⊕ g_pooled(1280) = 2048
             c1, p1 = self.conditioner.encode(texts, target_chunks=target_chunks)
             c2, p2 = self.conditioner2.encode(texts, target_chunks=target_chunks)
             lg = jnp.concatenate([c1, c2], axis=-1)
             lg = jnp.pad(lg, ((0, 0), (0, 0),
                               (0, self.unet_cfg.context_dim - lg.shape[-1])))
+            if self.t5_params is not None and self.t5_tokenizer is not None:
+                from sdwebui_tpu.models import t5 as t5_model
+
+                ids = np.asarray([self.t5_tokenizer(t) for t in texts],
+                                 np.int32)
+                t5_out = t5_model.apply(self.t5_params, self.t5_cfg,
+                                        jnp.asarray(ids))
+                lg = jnp.concatenate([lg, t5_out.astype(lg.dtype)], axis=1)
             return lg, jnp.concatenate([p1, p2], axis=-1)
         if self.kind == "sdxl":
             # CLIP-L (no final LN, penultimate) ⊕ bigG (penultimate),

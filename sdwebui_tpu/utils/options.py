@@ -128,6 +128,7 @@ def make_default_templates() -> dict:
         "sd_model_checkpoint": OptionInfo(None, "Stable Diffusion checkpoint", "dropdown"),
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of loaded checkpoints"),
         "sd_vae": OptionInfo("Automatic", "SD VAE"),
+        "sd3_enable_t5": OptionInfo(False, "Enable T5 text encoder for SD3"),
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of checkpoints loaded at the same time"),
         "CLIP_stop_at_last_layers": OptionInfo(1, "Clip skip"),
         "enable_emphasis": OptionInfo(True, "Enable emphasis"),
