@@ -64,7 +64,7 @@ def _apply_infotext(body: dict) -> dict:
     text = body.get("infotext")
     if not text:
         return body
-    parsed = infotext_util.parse(text)
+    parsed = infotext_util.backcompat(infotext_util.parse(text))
     for key, spec in _INFOTEXT_FIELD_MAP.items():
         if key not in parsed:
             continue

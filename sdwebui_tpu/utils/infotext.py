@@ -73,3 +73,43 @@ def parse(text: str) -> dict:
             res["Size-2"] = int(m.group(2))
         res[k] = v
     return res
+
+
+# --------------------------------------------------------------------------
+# version backcompat (reference modules/infotext_versions.py)
+# --------------------------------------------------------------------------
+
+def parse_version(text):
+    """'1.6.0' / 'v1.7.0-225-gabcdef' → comparable tuple, or None."""
+    import re
+
+    if not text:
+        return None
+    m = re.match(r"v?(\d+)\.(\d+)\.(\d+)(?:-(\d+))?", text)
+    if not m:
+        return None
+    return tuple(int(g or 0) for g in m.groups())
+
+
+def backcompat(d: dict):
+    """Inspect the pasted infotext's Version field and record the
+    compatibility toggles old images relied on (reference backcompat,
+    modules/infotext_versions.py:26). Toggles for behaviors this engine
+    reproduces natively are recorded for transparency; "Downcast
+    alphas_cumprod" has no effect (alphas are always fp32 here)."""
+    from sdwebui_tpu.utils.options import opts
+
+    if not opts.get("auto_backcompat", True):
+        return d
+    ver = parse_version(d.get("Version"))
+    if ver is None or d.get("Version", "").startswith("sdwebui-tpu"):
+        return d
+    if ver < (1, 6, 0) and "[" in d.get("Prompt", ""):
+        d["Old prompt editing timelines"] = True
+    if ver < (1, 6, 0) and d.get("Sampler", "") in ("DDIM", "PLMS"):
+        d["Pad conds v0"] = True
+    if ver < (1, 7, 0, 225):
+        d["Downcast alphas_cumprod"] = True
+    if ver < (1, 8, 0) and d.get("Refiner"):
+        d["Refiner switch by sampling steps"] = True
+    return d

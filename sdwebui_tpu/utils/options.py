@@ -129,6 +129,7 @@ def make_default_templates() -> dict:
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of loaded checkpoints"),
         "sd_vae": OptionInfo("Automatic", "SD VAE"),
         "sd3_enable_t5": OptionInfo(False, "Enable T5 text encoder for SD3"),
+        "auto_backcompat": OptionInfo(True, "Automatic backward compatibility for old infotexts"),
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of checkpoints loaded at the same time"),
         "CLIP_stop_at_last_layers": OptionInfo(1, "Clip skip"),
         "enable_emphasis": OptionInfo(True, "Enable emphasis"),

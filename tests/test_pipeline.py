@@ -187,3 +187,27 @@ def test_dpm_fast_adaptive_end_to_end(model, name):
     res2 = process_txt2img(model, p2, step_callback=lambda i, n, lat: True)
     np.testing.assert_array_equal(np.asarray(res.images[0]),
                                   np.asarray(res2.images[0]))
+
+
+def test_infotext_backcompat_versions():
+    from sdwebui_tpu.utils.infotext import backcompat, parse_version
+
+    assert parse_version("1.6.0") == (1, 6, 0, 0)
+    assert parse_version("v1.7.0-225-gabcdef") == (1, 7, 0, 225)
+    assert parse_version("garbage") is None
+
+    d = {"Version": "1.5.2", "Prompt": "a [cat:dog:0.5]", "Sampler": "DDIM"}
+    backcompat(d)
+    assert d["Old prompt editing timelines"] is True
+    assert d["Pad conds v0"] is True
+    assert d["Downcast alphas_cumprod"] is True
+
+    d2 = {"Version": "1.9.0", "Prompt": "x", "Sampler": "DDIM"}
+    backcompat(d2)
+    assert "Pad conds v0" not in d2
+
+    # our own infotexts are never rewritten
+    d3 = {"Version": "sdwebui-tpu-0.1.0", "Prompt": "a [x:y:0.5]",
+          "Sampler": "DDIM"}
+    backcompat(d3)
+    assert "Old prompt editing timelines" not in d3
