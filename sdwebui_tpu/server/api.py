@@ -478,10 +478,15 @@ class Api:
         selected = opts.get("localization", "None")
         if selected in (None, "None"):
             return {}
-        for path in glob.glob(os.path.join("localizations", "*.json")):
-            if os.path.splitext(os.path.basename(path))[0] == selected:
-                with open(path, encoding="utf-8") as f:
-                    return json.load(f)
+        from sdwebui_tpu.extensions import active_extensions
+
+        dirs = ["localizations"] + [os.path.join(e.path, "localizations")
+                                    for e in active_extensions()]
+        for d in dirs:
+            for path in glob.glob(os.path.join(d, "*.json")):
+                if os.path.splitext(os.path.basename(path))[0] == selected:
+                    with open(path, encoding="utf-8") as f:
+                        return json.load(f)
         return {}
 
     def sysinfo(self, body=None):
