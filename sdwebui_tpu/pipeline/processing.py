@@ -177,6 +177,19 @@ def _decode_fused_u8(vae_params, vae_cfg, latents):
 
 
 @functools.partial(jax.jit, static_argnames=("vae_cfg",))
+def _decode_fused_u8_bf16(vae_params, vae_cfg, latents):
+    """bf16 decode (reference runs the VAE in fp16 by default on CUDA,
+    modules/devices.py; GroupNorm stats stay fp32 inside ops/norms).
+    Returns (u8, nan_flag) — the caller retries fp32 on NaN like the
+    reference's no-half-vae fallback."""
+    p16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), vae_params)
+    img = vae_model.decode(p16, vae_cfg, latents.astype(jnp.bfloat16))
+    bad = jnp.any(~jnp.isfinite(img.astype(jnp.float32)))
+    img = jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+    return (img * 255.0 + 0.5).astype(jnp.uint8), bad
+
+
+@functools.partial(jax.jit, static_argnames=("vae_cfg",))
 def _encode_fused(vae_params, vae_cfg, images):
     x = images.astype(jnp.float32) * 2.0 - 1.0
     m = vae_model.encode_moments(vae_params, vae_cfg, x)
@@ -268,6 +281,13 @@ def decode_first_stage(model: SDModel, latents):
 
 
 def decode_first_stage_u8(model: SDModel, latents):
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if _opts.get("sdtpu_vae_bf16", True):
+        u8, bad = _decode_fused_u8_bf16(model.vae_params, model.vae_cfg,
+                                        latents)
+        if not bool(bad):   # reference no-half-vae fallback on NaN
+            return u8
     return _decode_fused_u8(model.vae_params, model.vae_cfg, latents)
 
 

@@ -130,6 +130,7 @@ def make_default_templates() -> dict:
         "sd_vae": OptionInfo("Automatic", "SD VAE"),
         "sd3_enable_t5": OptionInfo(False, "Enable T5 text encoder for SD3"),
         "auto_backcompat": OptionInfo(True, "Automatic backward compatibility for old infotexts"),
+        "sdtpu_vae_bf16": OptionInfo(True, "Decode VAE in bfloat16 (fp32 retry on NaN, like the reference's fp16 VAE + no-half-vae fallback)"),
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of checkpoints loaded at the same time"),
         "CLIP_stop_at_last_layers": OptionInfo(1, "Clip skip"),
         "enable_emphasis": OptionInfo(True, "Enable emphasis"),
