@@ -222,16 +222,34 @@ class Api:
                 "images": results}
 
     def interrogate(self, body: dict):
-        """CLIP/DeepBooru interrogation requires BLIP/DeepDanbooru weights
-        (auto-downloaded by the reference; zero-egress here). The route
-        exists for API parity and reports the constraint clearly."""
+        """Interrogation (reference modules/api/api.py:interrogateapi).
+        deepdanbooru runs when a user places TorchDeepDanbooru weights under
+        models/torch_deepdanbooru/ (zero-egress: nothing auto-downloads);
+        CLIP/BLIP captioning stays 501 (BLIP weights absent)."""
         req = schema.InterrogateRequest(**body)
         if not req.image:
             raise ApiError(404, "Image not found")
+        if req.model == "deepdanbooru":
+            import glob
+
+            files = sorted(glob.glob("models/torch_deepdanbooru/*.pt")) + \
+                sorted(glob.glob("models/torch_deepdanbooru/*.pth"))
+            if files:
+                from sdwebui_tpu.models import deepbooru as db
+
+                if not hasattr(self, "_deepbooru"):
+                    self._deepbooru = db.load_deepbooru(files[0])
+                params, tags = self._deepbooru
+                img = decode_base64_to_image(req.image)
+                thr = float(opts.get("interrogate_deepbooru_score_threshold",
+                                     0.5))
+                return {"caption": db.tag_image(params, tags, img,
+                                                threshold=thr)}
         raise ApiError(
             501, f"interrogate model {req.model!r} weights are not present "
-                 f"(no network access in this deployment); place BLIP/"
-                 f"DeepDanbooru weights under models/ to enable")
+                 f"(no network access in this deployment); place "
+                 f"TorchDeepDanbooru weights under models/torch_deepdanbooru/ "
+                 f"or BLIP weights under models/ to enable")
 
     def modelmerger(self, body: dict):
         from sdwebui_tpu.postprocessing.merger import run_modelmerger

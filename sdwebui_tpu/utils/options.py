@@ -129,6 +129,8 @@ def make_default_templates() -> dict:
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of loaded checkpoints"),
         "sd_vae": OptionInfo("Automatic", "SD VAE"),
         "sd3_enable_t5": OptionInfo(False, "Enable T5 text encoder for SD3"),
+        "interrogate_deepbooru_score_threshold": OptionInfo(0.5, "deepbooru: score threshold"),
+        "deepbooru_sort_alpha": OptionInfo(True, "deepbooru: sort tags alphabetically"),
         "auto_backcompat": OptionInfo(True, "Automatic backward compatibility for old infotexts"),
         "sdtpu_vae_bf16": OptionInfo(True, "Decode VAE in bfloat16 (fp32 retry on NaN, like the reference's fp16 VAE + no-half-vae fallback)"),
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of checkpoints loaded at the same time"),
