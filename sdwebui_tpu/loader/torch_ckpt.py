@@ -148,6 +148,11 @@ def load_torch_checkpoint(path: str) -> dict:
                 # nested wrappers ("params_ema"/"params" in BSRGAN/SwinIR
                 # releases, "callbacks" metadata, ...) — flatten with prefix
                 collect(v, key + ".")
+            elif isinstance(v, list) and v and \
+                    all(isinstance(s, str) for s in v):
+                # plain string lists are data, not code (DeepDanbooru's
+                # in-checkpoint "tags")
+                out[key] = v
 
     collect(sd, "")
     return out

@@ -160,3 +160,17 @@ def test_tag_image_threshold():
         out = db.tag_image(params, ["tag_a", "rating:safe", "tag(c)", "tag_d", "e"],
                            img, threshold=0.5)
     assert out == "tag a, tag\\(c\\), tag d"   # sorted by prob, rating dropped
+
+
+def test_tags_survive_restricted_loader(tmp_path):
+    import torch
+
+    from sdwebui_tpu.loader.torch_ckpt import load_torch_checkpoint
+
+    sd = {"n_Conv_0.weight": torch.zeros(2, 3, 1, 1),
+          "tags": ["a", "b", "c"]}
+    p = str(tmp_path / "m.pt")
+    torch.save(sd, p)
+    out = load_torch_checkpoint(p)
+    assert out["tags"] == ["a", "b", "c"]
+    assert out["n_Conv_0.weight"].shape == (2, 3, 1, 1)
