@@ -69,6 +69,9 @@ def derive_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNet
     n_blocks = 0
     depth_re = re.compile(
         re.escape(prefix) + r"input_blocks\.(\d+)\.1\.transformer_blocks\.(\d+)\.attn1\.to_q\.weight")
+    legacy_re = re.compile(
+        re.escape(prefix) + r"input_blocks\.(\d+)\.1\.qkv\.weight")
+    legacy_attn = False
     for k in sd:
         if not k.startswith(prefix + "input_blocks."):
             continue
@@ -83,6 +86,12 @@ def derive_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNet
         if m:
             i = int(m.group(1))
             block_attn_depth[i] = max(block_attn_depth.get(i, 0), int(m.group(2)) + 1)
+        m = legacy_re.match(k)
+        if m:
+            # context-free LDM AttentionBlock (LDSR's bsr model)
+            legacy_attn = True
+            block_attn_depth[int(m.group(1))] = \
+                max(block_attn_depth.get(int(m.group(1)), 0), 1)
 
     # levels separated by downsample blocks
     channel_mult = []
@@ -129,7 +138,12 @@ def derive_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNet
     # head count is not recorded in the weights: SD1 (ctx 768) uses 8 fixed
     # heads, every later family uses 64-channel heads; sub-64-channel models
     # (tests) get channels/8 per head
-    if context_dim == 768:
+    if legacy_attn and context_dim is None:
+        # LDM bsr/SR UNets use 32-channel heads (openaimodel
+        # num_head_channels: 32); small test models fall back to ch/4
+        hc = 32 if model_channels % 32 == 0 else max(model_channels // 4, 1)
+        num_heads, num_head_channels = -1, hc
+    elif context_dim == 768:
         num_heads, num_head_channels = 8, -1
     elif model_channels % 64 == 0:
         num_heads, num_head_channels = -1, 64

@@ -211,6 +211,22 @@ def _spatial_transformer(p, x, context, cfg: UNetConfig, depth: int,
     return x + residual
 
 
+def _legacy_attention_block(p, x, cfg):
+    """LDM AttentionBlock (no-context UNets: LDSR's bsr model): GroupNorm →
+    fused qkv 1x1 conv → self-attention → proj (reference
+    ldm openaimodel AttentionBlock via extensions-builtin/LDSR)."""
+    b, h, w, c = x.shape
+    heads = cfg.heads_for(c)
+    t = group_norm_p(p["norm"], x).reshape(b, h * w, c)
+    wq = p["qkv"]["weight"]          # conv1d (3C, C, 1) torch layout kept
+    qkv = t @ wq[:, :, 0].T.astype(t.dtype) + p["qkv"]["bias"].astype(t.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = attention(q, k, v, num_heads=heads)
+    wo = p["proj_out"]["weight"]
+    out = out @ wo[:, :, 0].T.astype(t.dtype) + p["proj_out"]["bias"].astype(t.dtype)
+    return x + out.reshape(b, h, w, c)
+
+
 def _apply_layers(plan, p, x, emb, context, cfg, hypernet=None):
     for slot, layer in enumerate(plan):
         sp = p[str(slot)]
@@ -220,7 +236,11 @@ def _apply_layers(plan, p, x, emb, context, cfg, hypernet=None):
         elif kind == "res":
             x = _resblock(sp, x, emb, circular=cfg.tiling)
         elif kind == "attn":
-            x = _spatial_transformer(sp, x, context, cfg, layer[2], hypernet)
+            if "qkv" in sp:     # legacy AttentionBlock (context-free UNets)
+                x = _legacy_attention_block(sp, x, cfg)
+            else:
+                x = _spatial_transformer(sp, x, context, cfg, layer[2],
+                                         hypernet)
         elif kind == "down":
             x = conv2d(sp["op"], x, stride=2, circular=cfg.tiling)
         elif kind == "up":
@@ -267,7 +287,11 @@ def apply(params, cfg: UNetConfig, x, timesteps, context, y=None, control=None,
 
     mp = params["middle_block"]
     h = _resblock(mp["0"], h, emb, circular=cfg.tiling)
-    h = _spatial_transformer(mp["1"], h, context, cfg, middle_depth, hypernet)
+    if "qkv" in mp["1"]:
+        h = _legacy_attention_block(mp["1"], h, cfg)
+    else:
+        h = _spatial_transformer(mp["1"], h, context, cfg, middle_depth,
+                                 hypernet)
     h = _resblock(mp["2"], h, emb, circular=cfg.tiling)
     if control is not None and "middle" in control:
         h = h + control["middle"]

@@ -39,12 +39,14 @@ class Engine:
 
         self.styles = StyleDatabase()
         from sdwebui_tpu.models.esrgan import register_esrgan_dir
+        from sdwebui_tpu.models.ldsr import register_ldsr_dir
         from sdwebui_tpu.models.scunet import register_scunet_dir
         from sdwebui_tpu.models.swinir import register_swinir_dir
 
         register_esrgan_dir()  # models/ESRGAN, models/RealESRGAN
         register_swinir_dir()  # models/SwinIR
         register_scunet_dir()  # models/ScuNET
+        register_ldsr_dir()    # models/LDSR
 
     def apply_styles(self, p: GenerationParams):
         if p.styles:

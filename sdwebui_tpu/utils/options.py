@@ -173,6 +173,7 @@ def make_default_templates() -> dict:
         "ESRGAN_tile_overlap": OptionInfo(8, "Tile overlap for upscalers"),
         "SCUNET_tile": OptionInfo(256, "Tile size for SCUNET upscalers"),
         "SCUNET_tile_overlap": OptionInfo(8, "Tile overlap for SCUNET upscalers"),
+        "ldsr_steps": OptionInfo(100, "LDSR processing steps"),
         "SWIN_tile": OptionInfo(192, "Tile size for all SwinIR"),
         "SWIN_tile_overlap": OptionInfo(8, "Tile overlap for SwinIR"),
     }))
