@@ -270,7 +270,12 @@ class Api:
 
     def png_info(self, body: dict):
         req = schema.PNGInfoRequest(**body)
-        img = decode_base64_to_image(req.image)
+        if not req.image:
+            raise ApiError(404, "Image not found")
+        try:
+            img = decode_base64_to_image(req.image)
+        except Exception:
+            raise ApiError(400, "invalid image data")
         info = images_util.read_info_from_image(img) or ""
         return schema.PNGInfoResponse(
             info=info, items=dict(img.info or {}),
