@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import threading
 import time
 import traceback
@@ -245,11 +246,23 @@ class Api:
                                      0.5))
                 return {"caption": db.tag_image(params, tags, img,
                                                 threshold=thr)}
+        if req.model == "clip":
+            from sdwebui_tpu.postprocessing.interrogate import (
+                ClipInterrogator, find_clip_model)
+
+            path = find_clip_model()
+            if path and os.path.isdir("interrogate"):
+                if not hasattr(self, "_clip_interrogator"):
+                    self._clip_interrogator = ClipInterrogator(path)
+                img = decode_base64_to_image(req.image)
+                return {"caption":
+                        self._clip_interrogator.interrogate(img)}
         raise ApiError(
             501, f"interrogate model {req.model!r} weights are not present "
                  f"(no network access in this deployment); place "
-                 f"TorchDeepDanbooru weights under models/torch_deepdanbooru/ "
-                 f"or BLIP weights under models/ to enable")
+                 f"TorchDeepDanbooru weights under models/torch_deepdanbooru/, "
+                 f"or a CLIP model under models/clip_vision/ plus "
+                 f"interrogate/<category>.txt files, to enable")
 
     def modelmerger(self, body: dict):
         from sdwebui_tpu.postprocessing.merger import run_modelmerger
