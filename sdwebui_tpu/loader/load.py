@@ -161,6 +161,17 @@ def model_from_state_dict(sd: dict, prediction_type: str | None = None,
         cond2 = TextConditioner(convert.cast_tree(tree2, jnp.float32), ccfg2, tok,
                                 clip_skip=2, apply_final_norm=False,
                                 embedding_db=embedding_db)
+    elif info.family == "alt":
+        # AltDiffusion: XLM-R conditioner (reference modules/xlmr.py);
+        # generation additionally needs a user-supplied SentencePiece
+        # tokenizer plugged into AltConditioner (zero-egress image carries
+        # no XLM-R vocab file)
+        from sdwebui_tpu.models.xlmr import AltConditioner, convert_xlmr
+
+        alt_tree, alt_cfg = convert_xlmr(sd)
+        cond = AltConditioner(
+            convert.cast_tree(alt_tree, jnp.float32), alt_cfg)
+        cond2 = None
     else:
         raise NotImplementedError(f"family {info.family} not yet supported")
 

@@ -13,7 +13,7 @@ import dataclasses
 
 @dataclasses.dataclass
 class SniffResult:
-    family: str            # sd1 | sd2 | sdxl | sdxl-refiner | sd3
+    family: str            # sd1 | sd2 | alt | sdxl | sdxl-refiner | sd3
     in_channels: int       # 4 normal, 9 inpaint, 5 depth, 8 pix2pix
     prediction_type: str   # eps | v (best-effort; v needs config/override)
 
@@ -33,6 +33,10 @@ def sniff(sd: dict) -> SniffResult:
         in_ch = sd["model.diffusion_model.input_blocks.0.0.weight"].shape[1]
     elif "conditioner.embedders.0.model.ln_final.weight" in keys:
         family = "sdxl-refiner"
+        in_ch = sd["model.diffusion_model.input_blocks.0.0.weight"].shape[1]
+    elif "cond_stage_model.roberta.embeddings.word_embeddings.weight" in keys:
+        # AltDiffusion (BAAI): SD1 UNet/VAE + XLM-R conditioner
+        family = "alt"
         in_ch = sd["model.diffusion_model.input_blocks.0.0.weight"].shape[1]
     elif "cond_stage_model.model.transformer.resblocks.0.attn.in_proj_weight" in keys:
         family = "sd2"

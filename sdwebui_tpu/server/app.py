@@ -82,8 +82,10 @@ class Engine:
     def _attach_embeddings(self, model: SDModel, dirpath: str = "embeddings"):
         from sdwebui_tpu.networks.textual_inversion import EmbeddingDatabase
 
-        dim = int(model.conditioner.params["embeddings"]["token_embedding"]
-                  ["weight"].shape[1])
+        params = getattr(model.conditioner, "params", None)
+        if not isinstance(params, dict) or "embeddings" not in params:
+            return   # non-CLIP conditioner (AltDiffusion XLM-R): no TI
+        dim = int(params["embeddings"]["token_embedding"]["weight"].shape[1])
         db = EmbeddingDatabase(model.conditioner.tokenizer, expected_dim=dim)
         db.load_from_dir(dirpath)
         model.conditioner.embedding_db = db
