@@ -344,3 +344,71 @@ def test_unet_parity_with_torch_twin():
     got = np.asarray(unet_apply(params, cfg, jnp.asarray(x),
                                 jnp.asarray([37.0]), jnp.asarray(ctx)))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_vae_decode_parity_with_torch_twin():
+    """VAE decoder vs an independent torch twin (mid attention, asymmetric
+    encode downsample handled elsewhere; this pins the decode path)."""
+    import torch
+    import torch.nn.functional as F
+
+    from sdwebui_tpu.models import vae as vae_model
+    from sdwebui_tpu.utils.pytree import flatten as flat_tree
+
+    cfg = TINY_VAE
+    params = vae_model.init_params(cfg, 3)
+    t = {k: torch.from_numpy(np.array(jax.device_get(v)))
+         for k, v in flat_tree(params).items()}
+
+    def W(key):
+        w = t[key]
+        return w.permute(3, 2, 0, 1) if w.ndim == 4 else w
+
+    def conv(pre, x, padding=1):
+        return F.conv2d(x, W(pre + ".weight"), t[pre + ".bias"],
+                        padding=padding)
+
+    def gn(pre, x):
+        return F.group_norm(x, 32 if x.shape[1] >= 32 else x.shape[1] // 4,
+                            t[pre + ".weight"], t[pre + ".bias"], eps=1e-6)
+
+    def res(pre, x):
+        h = conv(pre + ".conv1", F.silu(gn(pre + ".norm1", x)))
+        h = conv(pre + ".conv2", F.silu(gn(pre + ".norm2", h)))
+        if (pre + ".nin_shortcut.weight") in t:
+            x = conv(pre + ".nin_shortcut", x, padding=0)
+        return x + h
+
+    def attn(pre, x):
+        b, c, hh, ww = x.shape
+        h = gn(pre + ".norm", x)
+        q = conv(pre + ".q", h, padding=0).flatten(2).transpose(1, 2)
+        k = conv(pre + ".k", h, padding=0).flatten(2).transpose(1, 2)
+        v = conv(pre + ".v", h, padding=0).flatten(2).transpose(1, 2)
+        o = F.scaled_dot_product_attention(q, k, v)
+        o = o.transpose(1, 2).view(b, c, hh, ww)
+        return x + conv(pre + ".proj_out", o, padding=0)
+
+    def torch_decode(z_nhwc):
+        z = torch.from_numpy(z_nhwc).permute(0, 3, 1, 2)
+        z = z / cfg.scale_factor + cfg.shift_factor
+        h = conv("post_quant_conv", z, padding=0)
+        h = conv("decoder.conv_in", h)
+        h = res("decoder.mid.block_1", h)
+        h = attn("decoder.mid.attn_1", h)
+        h = res("decoder.mid.block_2", h)
+        for lvl in reversed(range(len(cfg.ch_mult))):
+            for i in range(cfg.num_res_blocks + 1):
+                h = res(f"decoder.up.{lvl}.block.{i}", h)
+            if lvl > 0:
+                h = F.interpolate(h, scale_factor=2, mode="nearest")
+                h = conv(f"decoder.up.{lvl}.upsample.conv", h)
+        h = conv("decoder.conv_out", F.silu(gn("decoder.norm_out", h)))
+        return h.permute(0, 2, 3, 1).numpy()
+
+    z = np.random.default_rng(4).standard_normal((1, 8, 8, cfg.embed_dim)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        want = torch_decode(z)
+    got = np.asarray(vae_model.decode(params, cfg, jnp.asarray(z)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
