@@ -138,3 +138,110 @@ def test_sd3_checkpoint_load(tmp_path):
     res = process_txt2img(loaded, GenerationParams(
         prompt="x", seed=1, steps=2, width=64, height=64, sampler_name="Euler"))
     assert len(res.images) == 1
+
+
+def test_mmdit_parity_with_torch_twin():
+    """MMDiT forward vs an independently-written torch twin: adaLN
+    modulation split order, joint ctx⊕x attention, gating, final layer,
+    unpatchify — the SD3 core math."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    from sdwebui_tpu.models import mmdit
+    from sdwebui_tpu.utils.pytree import flatten as flat_tree
+
+    cfg = mmdit.MMDiTConfig(depth=2, context_dim=32, patch_size=2,
+                            in_channels=16, pos_embed_max_size=8,
+                            pooled_dim=24)
+    params = mmdit.init_params(cfg, seed=0)
+    t = {k: torch.from_numpy(np.array(jax.device_get(v)))
+         for k, v in flat_tree(params).items()}
+
+    def lin(pre, x):
+        w = t[pre + ".weight"]
+        return F.linear(x, w.T if w.ndim == 2 else w, t.get(pre + ".bias"))
+
+    def ln(x):
+        return F.layer_norm(x, (x.shape[-1],), eps=1e-6)
+
+    def mod(x, shift, scale):
+        return x * (1 + scale[:, None]) + shift[:, None]
+
+    heads = cfg.num_heads
+
+    def pre_attn(pre, x, c, n_mods):
+        mods = lin(pre + ".adaLN_modulation.1", F.silu(c)).chunk(n_mods, -1)
+        h = mod(ln(x), mods[0], mods[1])
+        q, k, v = lin(pre + ".attn.qkv", h).chunk(3, -1)
+        return q, k, v, mods
+
+    def mha(q, k, v):
+        b, s, hd = q.shape
+        d = hd // heads
+        q = q.view(b, s, heads, d).transpose(1, 2)
+        k = k.view(b, k.shape[1], heads, d).transpose(1, 2)
+        v = v.view(b, v.shape[1], heads, d).transpose(1, 2)
+        o = F.scaled_dot_product_attention(q, k, v)
+        return o.transpose(1, 2).reshape(b, s, hd)
+
+    def post_attn(pre, a, x, mods):
+        x = x + mods[2][:, None] * lin(pre + ".attn.proj", a)
+        h = mod(ln(x), mods[3], mods[4])
+        h = lin(pre + ".mlp.fc2",
+                F.gelu(lin(pre + ".mlp.fc1", h), approximate="tanh"))
+        return x + mods[5][:, None] * h
+
+    def torch_forward(x_nhwc, tstep, ctx_np, y_np):
+        x = torch.from_numpy(x_nhwc).permute(0, 3, 1, 2)
+        b = x.shape[0]
+        ps = cfg.patch_size
+        hp, wp = x.shape[2] // ps, x.shape[3] // ps
+        w = t["x_embedder.proj.weight"].permute(3, 2, 0, 1)
+        xp = F.conv2d(x, w, t["x_embedder.proj.bias"], stride=ps)
+        xp = xp.flatten(2).transpose(1, 2)
+        grid = t["pos_embed"].view(cfg.pos_embed_max_size,
+                                   cfg.pos_embed_max_size, -1)
+        top = (cfg.pos_embed_max_size - hp) // 2
+        left = (cfg.pos_embed_max_size - wp) // 2
+        xp = xp + grid[top:top + hp, left:left + wp].reshape(1, hp * wp, -1)
+
+        half = 128
+        freqs = torch.exp(-math.log(10000) * torch.arange(half) / half)
+        args = tstep * freqs
+        emb = torch.cat([torch.cos(args), torch.sin(args)])[None].float()
+        c = lin("t_embedder.mlp.2", F.silu(lin("t_embedder.mlp.0", emb)))
+        c = c + lin("y_embedder.mlp.2", F.silu(lin(
+            "y_embedder.mlp.0", torch.from_numpy(y_np))))
+        ctx = lin("context_embedder", torch.from_numpy(ctx_np))
+
+        for i in range(cfg.depth):
+            last = i == cfg.depth - 1
+            pre = f"joint_blocks.{i}"
+            cq, ck, cv, cmods = pre_attn(pre + ".context_block", ctx, c,
+                                         2 if last else 6)
+            xq, xk, xv, xmods = pre_attn(pre + ".x_block", xp, c, 6)
+            sc = ctx.shape[1]
+            o = mha(torch.cat([cq, xq], 1), torch.cat([ck, xk], 1),
+                    torch.cat([cv, xv], 1))
+            xp = post_attn(pre + ".x_block", o[:, sc:], xp, xmods)
+            if not last:
+                ctx = post_attn(pre + ".context_block", o[:, :sc], ctx, cmods)
+
+        shift, scale = lin("final_layer.adaLN_modulation.1",
+                           F.silu(c)).chunk(2, -1)
+        out = lin("final_layer.linear", mod(ln(xp), shift, scale))
+        out_ch = out.shape[-1] // (ps * ps)
+        out = out.view(b, hp, wp, ps, ps, out_ch).permute(0, 1, 3, 2, 4, 5)
+        return out.reshape(b, hp * ps, wp * ps, out_ch).numpy()
+
+    x = np.random.default_rng(0).standard_normal((1, 8, 8, 16)).astype(np.float32)
+    ctx = np.random.default_rng(1).standard_normal((1, 6, 32)).astype(np.float32)
+    y = np.random.default_rng(2).standard_normal((1, 24)).astype(np.float32)
+    with torch.no_grad():
+        want = torch_forward(x, 537.0, ctx, y)
+    got = np.asarray(mmdit.apply(params, cfg, jnp.asarray(x),
+                                 jnp.asarray([537.0]), jnp.asarray(ctx),
+                                 jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
