@@ -202,7 +202,10 @@ def process_img2img(model: SDModel, p: GenerationParams,
 
         rng = ImageRNG((c, h, w), seeds, subseeds=subseeds,
                        subseed_strength=p.subseed_strength)
-        x = jnp.asarray(rng.first(), jnp.float32)
+        if p.init_noise_override is not None:
+            x = jnp.asarray(p.init_noise_override, jnp.float32)
+        else:
+            x = jnp.asarray(rng.first(), jnp.float32)
         if p.initial_noise_multiplier != 1.0:
             x = x * p.initial_noise_multiplier
         if model.disc.prediction_type == "flow":

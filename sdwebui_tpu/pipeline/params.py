@@ -72,6 +72,9 @@ class GenerationParams:
     include_init_images: bool = False
     # soft inpainting (builtin extension parity)
     soft_inpainting: bool = False
+    # scripts may inject a custom initial noise tensor (NHWC), e.g.
+    # img2img-alternative's reverse-Euler reconstruction
+    init_noise_override: object = None
     mask_blend_power: float = 1.0
     mask_blend_scale: float = 0.5
     inpaint_detail_preservation: float = 4.0

@@ -479,6 +479,54 @@ def _apply_hypertile(model, kind: str = "txt2img"):
     return _dc.replace(model, unet_cfg=cfg)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("unet_cfg", "prediction_type"))
+def _invert_noise_fused(unet_params, log_sigmas, init_latent, sigmas,
+                        sched: CondSchedule, unet_cfg,
+                        prediction_type: str):
+    """Reverse-Euler noise reconstruction (reference
+    scripts/img2imgalt.py find_noise_for_image): walk the schedule UPWARD
+    using the denoised estimate at each target sigma; returns x at
+    sigma_max, normalized to unit noise."""
+    from sdwebui_tpu.utils import devices as _dv
+
+    compute_dtype = _dv.get_policy().compute_dtype
+
+    def denoise(xb, sigma, ctx, y=None, c_concat=None):
+        sigma = sigma.astype(jnp.float32)
+        sig = sigma[:, None, None, None]
+        t = jnp.argmin(
+            jnp.abs(jnp.log(jnp.maximum(sigma, 1e-12))[:, None]
+                    - log_sigmas[None, :]), axis=-1).astype(jnp.float32)
+        c_in = (1.0 / jnp.sqrt(sigma ** 2 + 1.0))[:, None, None, None]
+        out = unet_model.apply(unet_params, unet_cfg,
+                               (xb * c_in).astype(compute_dtype), t, ctx,
+                               y=y).astype(jnp.float32)
+        if prediction_type == "v":
+            return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
+        return xb - out * sig
+
+    model_fn = make_cfg_denoiser(denoise, sched)
+
+    def body(x, i):
+        s_prev, s = sigmas[i - 1], sigmas[i]
+        denoised = model_fn(x, jnp.maximum(s, 1e-5), i - 1)
+        d = (x - denoised) / jnp.maximum(s, 1e-5)
+        return x + d * (s - s_prev), None
+
+    x, _ = jax.lax.scan(body, init_latent,
+                        jnp.arange(1, sigmas.shape[0]))
+    return x / jnp.std(x)    # reference: return x / x.std()
+
+
+def invert_noise(model: SDModel, sched, init_latent, sigmas):
+    """Host wrapper for the fused inversion scan."""
+    return _invert_noise_fused(
+        model.unet_params, jnp.asarray(model.disc.log_sigmas, jnp.float32),
+        init_latent, jnp.asarray(np.asarray(sigmas), jnp.float32), sched,
+        model.unet_cfg, model.disc.prediction_type)
+
+
 def _solver_extra(p: GenerationParams, sampler) -> dict:
     extra = dict(sampler.extra)
     if p.eta is not None and p.eta > 0:

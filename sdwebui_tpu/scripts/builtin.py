@@ -359,3 +359,49 @@ class OutpaintingMk2(Script):
         q.width, q.height = canvas.width, canvas.height
         q.denoising_strength = p.denoising_strength or 0.8
         return engine.img2img_inner(q)
+
+
+@register_script
+class Img2ImgAlternative(Script):
+    """Reverse-Euler reconstruction img2img (reference
+    scripts/img2imgalt.py): recover the noise that would produce the init
+    image under the ORIGINAL prompt, then denoise with the new prompt.
+    Keeps composition while changing content."""
+
+    name = "img2img alternative test"
+
+    def run(self, engine, p, original_prompt="", original_negative_prompt="",
+            override_steps=True, st=50, cfg=2.0, *rest):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sdwebui_tpu.pipeline.img2img import _prepare_images_and_mask
+        from sdwebui_tpu.pipeline.processing import (_build_conds,
+                                                     encode_first_stage,
+                                                     invert_noise)
+        from sdwebui_tpu.sampling.schedulers import get_schedule
+
+        model = engine.sd_model
+        if override_steps:
+            p.steps = int(st)
+            p.cfg_scale = float(cfg)
+        p.sampler_name = "Euler"     # the inversion is Euler-consistent
+
+        image_arr, _ = _prepare_images_and_mask(p)
+        init_latent = encode_first_stage(model, jnp.asarray(image_arr))
+
+        orig = _clone(p)
+        orig.prompt = original_prompt or p.prompt
+        orig.negative_prompt = original_negative_prompt or p.negative_prompt
+        orig.batch_size = init_latent.shape[0]
+        orig.all_prompts = [orig.prompt] * orig.batch_size
+        orig.all_negative_prompts = [orig.negative_prompt] * orig.batch_size
+        sched = _build_conds(model, orig, p.steps + 1, prompt=orig.prompt)
+
+        sigmas = get_schedule("Automatic", p.steps, model.disc,
+                              is_sdxl=model.is_sdxl)
+        noise = invert_noise(model, sched, init_latent, sigmas[::-1].copy())
+
+        p.init_noise_override = np.asarray(noise)
+        p.denoising_strength = 1.0
+        return engine.img2img_inner(p)

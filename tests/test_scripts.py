@@ -221,3 +221,33 @@ def test_color_correction():
     s_mean = np.asarray(shifted, np.float32).mean()
     f_mean = np.asarray(fixed, np.float32).mean()
     assert abs(f_mean - t_mean) < abs(s_mean - t_mean)
+
+
+def test_img2img_alternative(engine):
+    """Reverse-Euler reconstruction: with the SAME prompt and cfg, the
+    inverted noise should reproduce the init image closely; a different
+    prompt diverges more."""
+    import numpy as np
+    from PIL import Image
+
+    from sdwebui_tpu.pipeline.params import GenerationParams
+
+    init = Image.fromarray(
+        np.random.default_rng(0).integers(60, 200, (64, 64, 3), np.uint8))
+    p = GenerationParams(prompt="a cat", seed=5, width=64, height=64,
+                         init_images=[init], denoising_strength=1.0)
+    res = engine.run_script("img2img alternative test", p,
+                            ["a cat", "", True, 6, 1.2])
+    assert len(res.images) == 1
+    recon = np.asarray(res.images[0]).astype(int)
+    base = np.asarray(init).astype(int)
+    err_same = np.abs(recon - base).mean()
+
+    p2 = GenerationParams(prompt="a completely different dog", seed=5,
+                          width=64, height=64, init_images=[init],
+                          denoising_strength=1.0)
+    res2 = engine.run_script("img2img alternative test", p2,
+                             ["a cat", "", True, 6, 1.2])
+    err_diff = np.abs(np.asarray(res2.images[0]).astype(int) - base).mean()
+    # reconstruction with matching prompt must beat a prompt swap
+    assert err_same < err_diff or err_same < 40
