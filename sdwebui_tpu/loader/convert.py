@@ -60,7 +60,9 @@ def derive_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNet
     g = lambda k: sd[prefix + k]
     model_channels = int(g("input_blocks.0.0.weight").shape[0])
     in_channels = int(g("input_blocks.0.0.weight").shape[1])
-    out_channels = int(g("out.2.weight").shape[0])
+    # ControlNet towers have no decoder/out head — fall back to in_channels
+    out_channels = int(g("out.2.weight").shape[0]) \
+        if prefix + "out.2.weight" in sd else in_channels
 
     # walk input blocks: channels + attention depth per block
     block_res = {}       # index -> is resblock
@@ -163,6 +165,100 @@ def derive_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNet
 
 def convert_unet(sd: dict, prefix: str = "model.diffusion_model."):
     return _subtree(sd, prefix), derive_unet_config(sd, prefix)
+
+
+# --------------------------------------------------------------------------
+# ControlNet
+# --------------------------------------------------------------------------
+
+_DIFFUSERS_RESNET = {
+    "norm1": "in_layers.0", "conv1": "in_layers.2",
+    "time_emb_proj": "emb_layers.1",
+    "norm2": "out_layers.0", "conv2": "out_layers.3",
+    "conv_shortcut": "skip_connection",
+}
+
+
+def _controlnet_diffusers_to_ldm(sd: dict) -> dict:
+    """Re-key a diffusers-format ControlNet state dict into the official
+    `control_model.`-less cldm layout (input_blocks/zero_convs/...).
+    Diffusers' Transformer2DModel inner keys already match ldm's
+    SpatialTransformer, so attention subtrees pass through unchanged."""
+    n_res = len({k.split(".")[3] for k in sd
+                 if k.startswith("down_blocks.0.resnets.")})
+    out = {}
+    for k, v in sd.items():
+        m = re.match(r"down_blocks\.(\d+)\.resnets\.(\d+)\.(.+)", k)
+        if m:
+            i, j, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            name, _, tail = rest.rpartition(".")
+            idx = 1 + i * (n_res + 1) + j
+            out[f"input_blocks.{idx}.0.{_DIFFUSERS_RESNET[name]}.{tail}"] = v
+            continue
+        m = re.match(r"down_blocks\.(\d+)\.attentions\.(\d+)\.(.+)", k)
+        if m:
+            i, j, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            idx = 1 + i * (n_res + 1) + j
+            out[f"input_blocks.{idx}.1.{rest}"] = v
+            continue
+        m = re.match(r"down_blocks\.(\d+)\.downsamplers\.0\.conv\.(.+)", k)
+        if m:
+            i, tail = int(m.group(1)), m.group(2)
+            idx = 1 + i * (n_res + 1) + n_res
+            out[f"input_blocks.{idx}.0.op.{tail}"] = v
+            continue
+        m = re.match(r"mid_block\.resnets\.(\d+)\.(.+)", k)
+        if m:
+            j, rest = int(m.group(1)), m.group(2)
+            name, _, tail = rest.rpartition(".")
+            out[f"middle_block.{2 * j}.{_DIFFUSERS_RESNET[name]}.{tail}"] = v
+            continue
+        m = re.match(r"mid_block\.attentions\.0\.(.+)", k)
+        if m:
+            out[f"middle_block.1.{m.group(1)}"] = v
+            continue
+        m = re.match(r"controlnet_down_blocks\.(\d+)\.(.+)", k)
+        if m:
+            out[f"zero_convs.{m.group(1)}.0.{m.group(2)}"] = v
+            continue
+        if k.startswith("controlnet_mid_block."):
+            out["middle_block_out.0." + k.split(".", 1)[1]] = v
+        elif k.startswith("controlnet_cond_embedding.conv_in."):
+            out["input_hint_block.0." + k.rsplit(".", 1)[1]] = v
+        elif k.startswith("controlnet_cond_embedding.conv_out."):
+            out["input_hint_block.14." + k.rsplit(".", 1)[1]] = v
+        elif k.startswith("controlnet_cond_embedding.blocks."):
+            parts = k.split(".")
+            out[f"input_hint_block.{2 + 2 * int(parts[2])}.{parts[3]}"] = v
+        elif k.startswith("conv_in."):
+            out["input_blocks.0.0." + k.split(".", 1)[1]] = v
+        elif k.startswith("time_embedding.linear_1."):
+            out["time_embed.0." + k.rsplit(".", 1)[1]] = v
+        elif k.startswith("time_embedding.linear_2."):
+            out["time_embed.2." + k.rsplit(".", 1)[1]] = v
+        elif k.startswith("add_embedding.linear_1."):
+            out["label_emb.0.0." + k.rsplit(".", 1)[1]] = v
+        elif k.startswith("add_embedding.linear_2."):
+            out["label_emb.0.2." + k.rsplit(".", 1)[1]] = v
+    return out
+
+
+def convert_controlnet(sd: dict):
+    """ControlNet state dict (official `control_model.*`, bare cldm, or
+    diffusers layout) → (param tree, UNetConfig, hint_channels)."""
+    if any(k.startswith("controlnet_down_blocks.") or
+           k.startswith("controlnet_cond_embedding.") for k in sd):
+        sd = _controlnet_diffusers_to_ldm(sd)
+        prefix = ""
+    elif any(k.startswith("control_model.") for k in sd):
+        prefix = "control_model."
+    else:
+        prefix = ""
+    cfg = derive_unet_config(sd, prefix)
+    hint_channels = int(sd[prefix + "input_hint_block.0.weight"].shape[1])
+    tree = _subtree(sd, prefix) if prefix else unflatten(
+        {k: convert_leaf(k, v) for k, v in sd.items()})
+    return tree, cfg, hint_channels
 
 
 # --------------------------------------------------------------------------

@@ -221,10 +221,19 @@ def process_img2img(model: SDModel, p: GenerationParams,
             extra["soft_inpainting"] = (float(p.mask_blend_power),
                                         float(p.mask_blend_scale),
                                         float(p.inpaint_detail_preservation))
+        control, control_cfgs = (), ()
+        if p.controlnet_units:
+            from sdwebui_tpu.pipeline.control import prepare_controls
+
+            control, control_cfgs = prepare_controls(
+                p.controlnet_units, w * 8, h * 8, t_enc + 1,
+                latent_channels=c,
+                default_image=(p.init_images[0] if p.init_images else None))
         latents = sample_latents(model, sched, xi, sigma_sched, noise,
                                  sampler.solver, extra,
                                  mask=mask, nmask=nmask, init_latent=init_latent,
-                                 hypernet=hypernet, step_callback=step_callback)
+                                 hypernet=hypernet, step_callback=step_callback,
+                                 control=control, control_cfgs=control_cfgs)
         if mask is not None and not p.soft_inpainting:
             latents = latents * nmask + init_latent * mask
 

@@ -79,6 +79,10 @@ class GenerationParams:
     mask_blend_scale: float = 0.5
     inpaint_detail_preservation: float = 4.0
 
+    # ControlNet units (pipeline/control.ControlNetUnit or dicts; mirrors the
+    # sd-webui-controlnet extension's alwayson_scripts args)
+    controlnet_units: List[Any] = dataclasses.field(default_factory=list)
+
     # populated during processing
     all_prompts: List[str] = dataclasses.field(default_factory=list)
     all_negative_prompts: List[str] = dataclasses.field(default_factory=list)

@@ -39,14 +39,50 @@ MAX_SEED = 2 ** 32 - 1
 # fused device programs
 # ==========================================================================
 
+def _control_for_step(control, step):
+    """Index each tower's per-step scale array at `step` (clamped), so the
+    denoise closure sees scalar gates."""
+    if not control:
+        return control
+    out = []
+    for cp, hint, scales in control:
+        s = scales[jnp.clip(step, 0, scales.shape[0] - 1)]
+        out.append((cp, hint, s))
+    return tuple(out)
+
+
+def _apply_control(control, control_cfgs, x_in, t, ctx, y):
+    """control here carries per-tower scalar scales (already step-indexed)."""
+    from sdwebui_tpu.models import controlnet as controlnet_model
+
+    b, hh, ww = x_in.shape[0], x_in.shape[1], x_in.shape[2]
+    ctrl = None
+    for (cp, hint, s), ccfg in zip(control, control_cfgs):
+        reps = b // hint.shape[0]
+        hint_in = jnp.tile(hint, (reps, 1, 1, 1)).astype(x_in.dtype)
+
+        def _run(cp=cp, ccfg=ccfg, hint_in=hint_in, s=s):
+            res = controlnet_model.apply(
+                cp, ccfg, x_in[..., :ccfg.in_channels], t, ctx, hint_in,
+                y=y if ccfg.adm_in_channels else None)
+            return controlnet_model.scale_control(res, s.astype(x_in.dtype))
+
+        def _zero(ccfg=ccfg):
+            return controlnet_model.zero_control(ccfg, b, hh, ww, x_in.dtype)
+
+        res = jax.lax.cond(s > 0, _run, _zero)
+        ctrl = controlnet_model.add_controls(ctrl, res)
+    return ctrl
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("solver", "unet_cfg", "prediction_type", "extra_items",
-                     "hn_meta"))
+                     "hn_meta", "control_cfgs"))
 def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule,
                   mask, nmask, init_latent, lms_coeffs, hypernet_tree,
                   solver: str, unet_cfg, prediction_type: str, extra_items,
-                  hn_meta=None):
+                  hn_meta=None, control=None, control_cfgs=()):
     from sdwebui_tpu.utils import devices as _dv
 
     compute_dtype = _dv.get_policy().compute_dtype
@@ -60,7 +96,7 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
         else:
             extra["lms_coeffs"] = lms_coeffs
 
-    def denoise(xb, sigma, ctx, y=None, c_concat=None):
+    def denoise(xb, sigma, ctx, y=None, c_concat=None, step=None):
         sigma = sigma.astype(jnp.float32)
         sig = sigma[:, None, None, None]
         if prediction_type == "flow":
@@ -76,11 +112,16 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
             axis=-1).astype(jnp.float32)
         c_in = (1.0 / jnp.sqrt(sigma ** 2 + 1.0))[:, None, None, None]
         x_in = (xb * c_in).astype(compute_dtype)
+        ctrl = None
+        if control:
+            ctrl = _apply_control(_control_for_step(control, step),
+                                  control_cfgs, x_in, t, ctx, y)
         if c_concat is not None:
             x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
         hypernet = (hypernet_tree, hn_meta) if hypernet_tree is not None else None
         out = unet_model.apply(unet_params, unet_cfg, x_in, t, ctx,
-                               y=y, hypernet=hypernet).astype(jnp.float32)
+                               y=y, hypernet=hypernet,
+                               control=ctrl).astype(jnp.float32)
         if prediction_type == "v":
             return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
         return xb - out * sig
@@ -97,12 +138,13 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
 @functools.partial(
     jax.jit,
     static_argnames=("solver", "unet_cfg", "prediction_type", "extra_items",
-                     "hn_meta", "n_steps"))
+                     "hn_meta", "n_steps", "control_cfgs"))
 def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
                      noise_i, sched: CondSchedule, mask, nmask, init_latent,
                      lms_coeffs, hypernet_tree,
                      solver: str, unet_cfg, prediction_type: str, extra_items,
-                     hn_meta=None, n_steps: int = 1):
+                     hn_meta=None, n_steps: int = 1, control=None,
+                     control_cfgs=()):
     """A chunk of `n_steps` solver steps with carried state (stepwise mode:
     live previews + interrupt between chunks). The start index `i` is traced
     so chunks of equal length share one compiled program; noise_i carries
@@ -120,7 +162,7 @@ def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
         else:
             extra["lms_coeffs"] = lms_coeffs
 
-    def denoise(xb, sigma, ctx, y=None, c_concat=None):
+    def denoise(xb, sigma, ctx, y=None, c_concat=None, step=None):
         sigma = sigma.astype(jnp.float32)
         sig = sigma[:, None, None, None]
         if prediction_type == "flow":
@@ -135,11 +177,16 @@ def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
             axis=-1).astype(jnp.float32)
         c_in = (1.0 / jnp.sqrt(sigma ** 2 + 1.0))[:, None, None, None]
         x_in = (xb * c_in).astype(compute_dtype)
+        ctrl = None
+        if control:
+            ctrl = _apply_control(_control_for_step(control, step),
+                                  control_cfgs, x_in, t, ctx, y)
         if c_concat is not None:
             x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
         hypernet = (hypernet_tree, hn_meta) if hypernet_tree is not None else None
         out = unet_model.apply(unet_params, unet_cfg, x_in, t, ctx,
-                               y=y, hypernet=hypernet).astype(jnp.float32)
+                               y=y, hypernet=hypernet,
+                               control=ctrl).astype(jnp.float32)
         if prediction_type == "v":
             return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
         return xb - out * sig
@@ -199,7 +246,7 @@ def _encode_fused(vae_params, vae_cfg, images):
 def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
                    solver: str, extra: dict | None = None,
                    mask=None, nmask=None, init_latent=None, hypernet=None,
-                   step_callback=None):
+                   step_callback=None, control=None, control_cfgs=()):
     extra_items = tuple(sorted((extra or {}).items()))
     lms_coeffs = None
     if solver == "lms":
@@ -247,7 +294,7 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
             x, jnp.asarray(np.asarray(sigmas), jnp.float32), noise, sched,
             mask, nmask, init_latent, lms_coeffs, hn_tree,
             solver, model.unet_cfg, model.disc.prediction_type, extra_items,
-            hn_meta=hn_meta)
+            hn_meta=hn_meta, control=control, control_cfgs=control_cfgs)
 
     # chunked stepwise: scan `chunk` steps per dispatch with carried solver
     # state; previews/interrupt between chunks (tunnel dispatch costs ~10ms
@@ -269,7 +316,8 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
             model.unet_params, log_sig, x, state, jnp.asarray(i), sig_j,
             noise[i: i + k], sched, mask, nmask, init_latent, lms_coeffs,
             hn_tree, solver, model.unet_cfg, model.disc.prediction_type,
-            extra_items, hn_meta=hn_meta, n_steps=k)
+            extra_items, hn_meta=hn_meta, n_steps=k, control=control,
+            control_cfgs=control_cfgs)
         i += k
         if step_callback(i - 1, n, x) is False:
             break
@@ -377,8 +425,17 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
     else:
         xi = up + noise0 * float(sigma_sched[0])
     noise = prepare_noise(spec, len(sigma_sched) - 1, rng, (b, th, tw, c))
+    control, control_cfgs = (), ()
+    if p.controlnet_units:
+        # hints re-prepared at the hires resolution (the extension re-resizes
+        # control images for the second pass)
+        from sdwebui_tpu.pipeline.control import prepare_controls
+
+        control, control_cfgs = prepare_controls(
+            p.controlnet_units, hr_w, hr_h, t_enc + 1, latent_channels=c)
     return sample_latents(model, cond, xi, sigma_sched, noise,
-                          sampler.solver, _solver_extra(p, sampler))
+                          sampler.solver, _solver_extra(p, sampler),
+                          control=control, control_cfgs=control_cfgs)
 
 
 # ==========================================================================
@@ -567,6 +624,14 @@ def process_txt2img(model: SDModel, p: GenerationParams,
 
     spec = SOLVERS[sampler.solver]
 
+    control, control_cfgs = (), ()
+    if p.controlnet_units:
+        from sdwebui_tpu.pipeline.control import prepare_controls
+
+        control, control_cfgs = prepare_controls(
+            p.controlnet_units, p.width, p.height, p.steps,
+            latent_channels=c)
+
     all_images = []
     infotexts = []
     for n in range(p.n_iter):
@@ -604,7 +669,9 @@ def process_txt2img(model: SDModel, p: GenerationParams,
             latents = sample_latents(model, sched, x, sigmas, noise,
                                      sampler.solver, _solver_extra(p, sampler),
                                      hypernet=hypernet,
-                                     step_callback=step_callback)
+                                     step_callback=step_callback,
+                                     control=control,
+                                     control_cfgs=control_cfgs)
         if p.enable_hr:
             latents = _hires_pass(model, p, latents, seeds, subseeds)
         images = decode_first_stage_u8(model, latents)

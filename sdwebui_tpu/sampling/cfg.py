@@ -118,8 +118,17 @@ def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
     output for k-diffusion samplers (sd_samplers_cfg_denoiser.py:68,292) or
     to the input for timestep samplers (mask_before_denoising=True,
     sd_samplers_timesteps.py:54).
+
+    A denoise_fn that declares a 6th parameter additionally receives the
+    step index (ControlNet guidance-range gating needs it).
     """
+    import inspect
+
     k = sched.cond_bank.shape[0]
+    try:
+        pass_step = len(inspect.signature(denoise_fn).parameters) >= 6
+    except (TypeError, ValueError):  # pragma: no cover
+        pass_step = False
 
     if sched.image_cfg_scale is not None:
         return _make_edit_denoiser(denoise_fn, sched, mask, nmask, init_latent,
@@ -161,7 +170,8 @@ def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
         if sched.c_concat is not None:
             c_concat = jnp.tile(sched.c_concat, (k + 1, 1, 1, 1))
 
-        out = denoise_fn(x_in, sigma_in, ctx, y, c_concat)
+        out = denoise_fn(x_in, sigma_in, ctx, y, c_concat, i) if pass_step \
+            else denoise_fn(x_in, sigma_in, ctx, y, c_concat)
         out = out.reshape(k + 1, b, *out.shape[1:])
         out_conds, out_uncond = out[:k], out[k]
 

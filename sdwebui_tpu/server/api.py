@@ -93,6 +93,15 @@ def _fields_from_request(req: schema.Txt2ImgRequest) -> dict:
     ov = d.get("override_settings") or {}
     if "CLIP_stop_at_last_layers" in ov:
         out["clip_skip"] = int(ov["CLIP_stop_at_last_layers"])
+    # ControlNet units: first-class field or the extension's
+    # alwayson_scripts.controlnet.args shape (sd-webui-controlnet API)
+    units = list(d.get("controlnet_units") or [])
+    aos = d.get("alwayson_scripts") or {}
+    for key in ("controlnet", "ControlNet"):
+        if key in aos:
+            units += list((aos[key] or {}).get("args") or [])
+    if units:
+        out["controlnet_units"] = units
     return out
 
 
@@ -142,6 +151,9 @@ class Api:
         r("POST", "/sdapi/v1/server-kill", self.server_kill)
         r("POST", "/sdapi/v1/server-restart", self.server_restart)
         r("POST", "/sdapi/v1/server-stop", self.server_stop)
+        # sd-webui-controlnet extension API compatibility
+        r("GET", "/controlnet/model_list", self.controlnet_models)
+        r("GET", "/controlnet/version", lambda body: {"version": 2})
         r("GET", "/", self.index_html)
         r("GET", "/internal/ping", lambda body: {})
         r("GET", "/internal/progress", self.internal_progress)
@@ -475,6 +487,11 @@ class Api:
             dev = {"error": "unavailable"}
         return schema.MemoryResponse(
             ram=mem, cuda={"system": dev, "events": {}}).model_dump()
+
+    def controlnet_models(self, body=None):
+        from sdwebui_tpu.pipeline.control import list_models
+
+        return {"model_list": list_models()}
 
     def scripts(self, body=None):
         import sdwebui_tpu.scripts.builtin  # noqa: F401
