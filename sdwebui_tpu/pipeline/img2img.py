@@ -239,6 +239,9 @@ def process_img2img(model: SDModel, p: GenerationParams,
 
         images = decode_first_stage(model, latents)
         pils = images_util.tensor_to_pil(np.asarray(images))
+        from sdwebui_tpu.pipeline.processing import _maybe_restore_faces
+
+        pils = _maybe_restore_faces(p, pils)
         if color_corrections is not None:
             from sdwebui_tpu.utils.color import apply_color_correction
 

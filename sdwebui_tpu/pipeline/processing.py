@@ -454,8 +454,30 @@ def _resolve_seeds(p: GenerationParams):
     p.all_negative_prompts = [p.negative_prompt] * n
 
 
+def _maybe_restore_faces(p: GenerationParams, pils: list) -> list:
+    """reference process_images_inner face restoration stage
+    (modules/processing.py:1043) — applied before color correction."""
+    if not p.restore_faces:
+        return pils
+    from sdwebui_tpu.postprocessing import faces as faces_mod
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    name = _opts.get("face_restoration_model", "CodeFormer")
+    try:
+        return [faces_mod.restore_faces(
+            im, name, weight=float(_opts.get("code_former_weight", 0.5)))
+            for im in pils]
+    except FileNotFoundError as e:
+        import logging
+
+        logging.getLogger(__name__).warning("face restoration skipped: %s", e)
+        return pils
+
+
 def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
                     extra: dict | None = None) -> str:
+    from sdwebui_tpu.utils.options import opts as _opts
+
     pairs = {
         "Steps": p.steps,
         "Sampler": p.sampler_name,
@@ -466,6 +488,8 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
         "Model hash": model.sha256[:10] if model.sha256 else None,
         "Model": model.title.split(" [")[0] if model.title else None,
         "Denoising strength": p.denoising_strength,
+        "Face restoration": (_opts.get("face_restoration_model", "CodeFormer")
+                             if p.restore_faces else None),
         "Clip skip": p.clip_skip if p.clip_skip > 1 else None,
         "Version": f"sdwebui-tpu-{__version__}",
     }
@@ -676,6 +700,7 @@ def process_txt2img(model: SDModel, p: GenerationParams,
             latents = _hires_pass(model, p, latents, seeds, subseeds)
         images = decode_first_stage_u8(model, latents)
         pils = images_util.tensor_to_pil(np.asarray(images))
+        pils = _maybe_restore_faces(p, pils)
 
         for i, img in enumerate(pils):
             info = create_infotext(p, model, lo + i)

@@ -220,6 +220,18 @@ class Api:
                 top = (out.height - req.upscaling_resize_h) // 2
                 out = out.crop((left, top, left + req.upscaling_resize_w,
                                 top + req.upscaling_resize_h))
+            # face restoration stages (reference
+            # scripts/postprocessing_gfpgan.py / _codeformer.py)
+            if req.gfpgan_visibility > 0 or req.codeformer_visibility > 0:
+                from sdwebui_tpu.postprocessing import faces as faces_mod
+
+                if req.gfpgan_visibility > 0:
+                    out = faces_mod.restore_faces(
+                        out, "GFPGAN", visibility=req.gfpgan_visibility)
+                if req.codeformer_visibility > 0:
+                    out = faces_mod.restore_faces(
+                        out, "CodeFormer", weight=req.codeformer_weight,
+                        visibility=req.codeformer_visibility)
         return schema.ExtrasSingleImageResponse(
             html_info=f"<p>Upscaled with {req.upscaler_1}</p>",
             image=encode_pil_to_base64(out)).model_dump()
@@ -421,7 +433,9 @@ class Api:
         return []
 
     def face_restorers(self, body=None):
-        return [{"name": "None", "cmd_dir": None}]
+        from sdwebui_tpu.postprocessing.faces import available_restorers
+
+        return [{"name": n, "cmd_dir": None} for n in available_restorers()]
 
     def realesrgan_models(self, body=None):
         return []

@@ -191,6 +191,13 @@ def make_default_templates() -> dict:
         "token_merging_ratio_img2img": OptionInfo(0.0, "Token merging ratio for img2img"),
         "token_merging_ratio_hr": OptionInfo(0.0, "Token merging ratio for high-res pass"),
     }))
+    t.update(options_section(("face-restoration", "Face restoration"), {
+        "face_restoration": OptionInfo(False, "Restore faces"),
+        "face_restoration_model": OptionInfo("CodeFormer", "Face restoration model",
+                                             component_args={"choices": ["CodeFormer", "GFPGAN"]}),
+        "code_former_weight": OptionInfo(0.5, "CodeFormer weight (0 = max effect, 1 = max fidelity)"),
+        "face_restoration_unload": OptionInfo(False, "Move face restoration model from VRAM into RAM after processing"),
+    }))
     t.update(options_section(("live-previews", "Live previews"), {
         "show_progress_every_n_steps": OptionInfo(10, "Live preview display period"),
         "live_previews_enable": OptionInfo(True, "Show live previews"),
