@@ -39,6 +39,7 @@ class Engine:
 
         self.styles = StyleDatabase()
         from sdwebui_tpu.models.esrgan import register_esrgan_dir
+        from sdwebui_tpu.models.hat import register_hat_dir
         from sdwebui_tpu.models.ldsr import register_ldsr_dir
         from sdwebui_tpu.models.scunet import register_scunet_dir
         from sdwebui_tpu.models.swinir import register_swinir_dir
@@ -47,6 +48,7 @@ class Engine:
         register_swinir_dir()  # models/SwinIR
         register_scunet_dir()  # models/ScuNET
         register_ldsr_dir()    # models/LDSR
+        register_hat_dir()     # models/HAT
 
     def apply_styles(self, p: GenerationParams):
         if p.styles:
