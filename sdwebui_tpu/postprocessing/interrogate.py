@@ -77,13 +77,16 @@ class ClipInterrogator:
                                       jnp.asarray(ids, jnp.int32))
         return pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
 
-    def interrogate(self, image, max_flavors: int = 3) -> str:
-        """Ranked category items (reference's output minus the BLIP
-        caption)."""
+    def interrogate(self, image, max_flavors: int = 3,
+                    captioner=None) -> str:
+        """Reference output shape: "<BLIP caption>, <ranked category items>"
+        (modules/interrogate.py); rank-only when no captioner is loaded."""
         from sdwebui_tpu.models.clip_vision import rank
 
         img_feat = self.image_features(image)
         parts = []
+        if captioner is not None:
+            parts.append(captioner.caption(image))
         for name, topn, items in self.categories:
             key = name
             if key not in self._text_cache:
@@ -91,7 +94,30 @@ class ClipInterrogator:
             for idx, _score in rank(img_feat, self._text_cache[key],
                                     top_count=topn):
                 parts.append(items[idx])
-        return ", ".join(parts)
+        return ", ".join(p for p in parts if p)
+
+
+class BlipCaptioner:
+    """BLIP caption generator (reference generate_caption,
+    modules/interrogate.py:181): prompt "a picture of", greedy decode,
+    prompt stripped from the output."""
+
+    PROMPT = "a picture of "
+
+    def __init__(self, model_path: str, vocab_path: str):
+        from sdwebui_tpu.models import blip
+
+        self.params, self.cfg = blip.load_blip(model_path)
+        self.tok = blip.WordPiece(vocab_path)
+
+    def caption(self, image, max_new_tokens: int = 20) -> str:
+        from sdwebui_tpu.models import blip
+
+        px = jnp.asarray(blip.preprocess(image, self.cfg.image_size))
+        prompt_ids = [self.cfg.bos_token_id] + self.tok.encode(self.PROMPT)
+        ids = blip.generate(self.params, self.cfg, px, prompt_ids,
+                            max_new_tokens=max_new_tokens)
+        return self.tok.decode(ids[len(prompt_ids):])
 
 
 def find_clip_model(dirpath: str = "models/clip_vision"):
@@ -99,4 +125,17 @@ def find_clip_model(dirpath: str = "models/clip_vision"):
         hit = sorted(glob.glob(os.path.join(dirpath, ext)))
         if hit:
             return hit[0]
+    return None
+
+
+def find_blip_model(dirpath: str = "models/BLIP"):
+    """→ (weights path, vocab path) or None. The vocab.txt (BERT wordpiece)
+    sits next to the weights — text data the user supplies."""
+    vocab = os.path.join(dirpath, "vocab.txt")
+    if not os.path.isfile(vocab):
+        return None
+    for ext in ("*.safetensors", "*.pth", "*.pt", "*.ckpt"):
+        hit = sorted(glob.glob(os.path.join(dirpath, ext)))
+        if hit:
+            return hit[0], vocab
     return None

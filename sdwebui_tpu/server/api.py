@@ -272,21 +272,32 @@ class Api:
                                                 threshold=thr)}
         if req.model == "clip":
             from sdwebui_tpu.postprocessing.interrogate import (
-                ClipInterrogator, find_clip_model)
+                BlipCaptioner, ClipInterrogator, find_blip_model,
+                find_clip_model)
 
+            captioner = None
+            found = find_blip_model()
+            if found:
+                if not hasattr(self, "_blip_captioner"):
+                    self._blip_captioner = BlipCaptioner(*found)
+                captioner = self._blip_captioner
             path = find_clip_model()
             if path and os.path.isdir("interrogate"):
                 if not hasattr(self, "_clip_interrogator"):
                     self._clip_interrogator = ClipInterrogator(path)
                 img = decode_base64_to_image(req.image)
-                return {"caption":
-                        self._clip_interrogator.interrogate(img)}
+                return {"caption": self._clip_interrogator.interrogate(
+                    img, captioner=captioner)}
+            if captioner is not None:
+                img = decode_base64_to_image(req.image)
+                return {"caption": captioner.caption(img)}
         raise ApiError(
             501, f"interrogate model {req.model!r} weights are not present "
                  f"(no network access in this deployment); place "
                  f"TorchDeepDanbooru weights under models/torch_deepdanbooru/, "
-                 f"or a CLIP model under models/clip_vision/ plus "
-                 f"interrogate/<category>.txt files, to enable")
+                 f"a CLIP model under models/clip_vision/ plus "
+                 f"interrogate/<category>.txt files, and/or BLIP weights + "
+                 f"vocab.txt under models/BLIP/, to enable")
 
     def modelmerger(self, body: dict):
         from sdwebui_tpu.postprocessing.merger import run_modelmerger
