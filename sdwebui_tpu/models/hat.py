@@ -383,44 +383,11 @@ def _apply_batch(params, cfg, x):
 
 def upscale_image(params, cfg: HATConfig, image: Image.Image,
                   tile: int = 192, overlap: int = 16) -> Image.Image:
-    """Tiled ×scale upscale, all tiles in one batched device call (same
-    scheme as swinir.upscale_image)."""
-    from sdwebui_tpu.utils.images import Grid, combine_grid, split_grid
+    from sdwebui_tpu.postprocessing.upscalers import tiled_sr_upscale
 
-    img = image.convert("RGB")
-    win = cfg.window_size
-
-    def run(arr):
-        h, w = arr.shape[1:3]
-        ph = (-h) % win
-        pw = (-w) % win
-        if ph or pw:
-            arr = np.pad(arr, ((0, 0), (0, ph), (0, pw), (0, 0)), "reflect")
-        out = np.asarray(_apply_batch(params, cfg, jnp.asarray(arr)))
-        return out[:, : h * cfg.scale, : w * cfg.scale]
-
-    if img.width <= tile and img.height <= tile:
-        arr = np.asarray(img, np.float32)[None] / 255.0
-        out = run(arr)[0]
-        return Image.fromarray((out * 255 + 0.5).astype(np.uint8))
-
-    grid = split_grid(img, tile, tile, overlap)
-    tiles = [t for _, _, row in grid.tiles for _, _, t in row]
-    arr = np.stack([np.asarray(t, np.float32) / 255.0 for t in tiles])
-    outs = (np.clip(run(arr), 0, 1) * 255 + 0.5).astype(np.uint8)
-
-    s = cfg.scale
-    new_tiles = []
-    i = 0
-    for y, h, row in grid.tiles:
-        new_row = []
-        for x, w, _ in row:
-            new_row.append([x * s, w * s, Image.fromarray(outs[i])])
-            i += 1
-        new_tiles.append([y * s, h * s, new_row])
-    out_grid = Grid(new_tiles, grid.tile_w * s, grid.tile_h * s,
-                    grid.image_w * s, grid.image_h * s, grid.overlap * s)
-    return combine_grid(out_grid)
+    return tiled_sr_upscale(
+        lambda arr: _apply_batch(params, cfg, jnp.asarray(arr)),
+        cfg.scale, cfg.window_size, image, tile=tile, overlap=overlap)
 
 
 def register_hat_dir(dirs=("models/HAT",)):

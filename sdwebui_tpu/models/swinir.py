@@ -441,8 +441,20 @@ def register_swinir_dir(dirs=("models/SwinIR",)):
 
                 def fn_(image, scale):
                     if "params" not in cache:
-                        cache["params"], cache["cfg"] = load_swinir(p)
-                    return upscale_image(cache["params"], cache["cfg"], image)
+                        from sdwebui_tpu.loader.load import read_checkpoint
+
+                        sd = read_checkpoint(p)
+                        if any("logit_scale" in k or k.startswith("swin2sr.")
+                               for k in sd):
+                            # SwinV2 checkpoint (Swin2SR) in the SwinIR dir
+                            from sdwebui_tpu.models import swin2sr as v2
+
+                            cache["params"], cache["cfg"] = v2.convert_swin2sr(sd)
+                            cache["up"] = v2.upscale_image
+                        else:
+                            cache["params"], cache["cfg"] = convert_swinir(sd)
+                            cache["up"] = upscale_image
+                    return cache["up"](cache["params"], cache["cfg"], image)
 
                 return fn_
 

@@ -29,6 +29,53 @@ def register_upscaler(name: str, scale_fn: Callable, default_scale: int = 4):
     _REGISTRY[name] = UpscalerEntry(name, scale_fn, default_scale)
 
 
+def tiled_sr_upscale(run_batch: Callable, scale: int, pad_multiple: int,
+                     image: Image.Image, tile: int = 192,
+                     overlap: int = 16) -> Image.Image:
+    """Shared tiled ×scale super-resolution: split into overlapping tiles,
+    run ALL tiles as one batched device call (`run_batch`: (N,H,W,3)[0,1] →
+    (N,sH,sW,3)), feather-combine (the reference runs tiles sequentially,
+    modules/upscaler_utils.py:51-88).  Inputs pad with reflect to
+    `pad_multiple` (window size) before the model."""
+    import numpy as np
+
+    from sdwebui_tpu.utils.images import Grid, combine_grid, split_grid
+
+    img = image.convert("RGB")
+
+    def run(arr):
+        h, w = arr.shape[1:3]
+        ph = (-h) % pad_multiple
+        pw = (-w) % pad_multiple
+        if ph or pw:
+            arr = np.pad(arr, ((0, 0), (0, ph), (0, pw), (0, 0)), "reflect")
+        out = np.asarray(run_batch(arr))
+        return out[:, : h * scale, : w * scale]
+
+    if img.width <= tile and img.height <= tile:
+        arr = np.asarray(img, np.float32)[None] / 255.0
+        out = np.clip(run(arr)[0], 0, 1)
+        return Image.fromarray((out * 255 + 0.5).astype(np.uint8))
+
+    grid = split_grid(img, tile, tile, overlap)
+    tiles = [t for _, _, row in grid.tiles for _, _, t in row]
+    arr = np.stack([np.asarray(t, np.float32) / 255.0 for t in tiles])
+    outs = (np.clip(run(arr), 0, 1) * 255 + 0.5).astype(np.uint8)
+
+    s = scale
+    new_tiles = []
+    i = 0
+    for y, h, row in grid.tiles:
+        new_row = []
+        for x, w, _ in row:
+            new_row.append([x * s, w * s, Image.fromarray(outs[i])])
+            i += 1
+        new_tiles.append([y * s, h * s, new_row])
+    out_grid = Grid(new_tiles, grid.tile_w * s, grid.tile_h * s,
+                    grid.image_w * s, grid.image_h * s, grid.overlap * s)
+    return combine_grid(out_grid)
+
+
 def _pil_upscaler(resample):
     def fn(image: Image.Image, scale: float) -> Image.Image:
         return image.resize((round(image.width * scale), round(image.height * scale)),
