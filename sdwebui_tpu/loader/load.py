@@ -184,7 +184,7 @@ def model_from_state_dict(sd: dict, prediction_type: str | None = None,
         # ldm betas live in the checkpoint for some models; default else
         disc = Discretization(make_alphas_cumprod(), prediction_type=pred)
 
-    t5_tree = t5_cfg = None
+    t5_tree = t5_cfg = t5_tok = None
     if info.family == "sd3":
         from sdwebui_tpu.utils.options import opts as _opts
 
@@ -195,9 +195,30 @@ def model_from_state_dict(sd: dict, prediction_type: str | None = None,
             t5_tree, t5_cfg = convert_t5(sd)
             t5_tree = jax.device_put(
                 convert.cast_tree(t5_tree, policy.param_dtype))
+            t5_tok = find_spm_tokenizer("models/T5", make="t5")
+    elif info.family == "alt" and cond.tokenizer is None:
+        cond.tokenizer = find_spm_tokenizer("models/XLM-R", make="xlmr")
 
     return SDModel(kind=info.family, unet_params=unet_tree, unet_cfg=unet_cfg,
                    vae_params=vae_tree, vae_cfg=vae_cfg, disc=disc,
                    conditioner=cond, conditioner2=cond2,
                    title=f"{title} [{sha256[:10]}]" if sha256 else title,
-                   sha256=sha256, t5_params=t5_tree, t5_cfg=t5_cfg)
+                   sha256=sha256, t5_params=t5_tree, t5_cfg=t5_cfg,
+                   t5_tokenizer=t5_tok)
+
+
+def find_spm_tokenizer(dirpath: str, make: str = "t5"):
+    """Load a user-supplied SentencePiece .model / tokenizer.json from
+    `dirpath` (pure-python reader, text/sentencepiece.py); None when the
+    directory has no tokenizer data."""
+    import glob
+
+    hits = sorted(glob.glob(os.path.join(dirpath, "*.model"))) + \
+        sorted(glob.glob(os.path.join(dirpath, "tokenizer.json")))
+    if not hits:
+        return None
+    from sdwebui_tpu.text.sentencepiece import (make_t5_tokenizer,
+                                                make_xlmr_tokenizer)
+
+    maker = make_t5_tokenizer if make == "t5" else make_xlmr_tokenizer
+    return maker(hits[0])
