@@ -515,9 +515,16 @@ def _build_conds(model: SDModel, p: GenerationParams, steps: int,
     vector_maker = None
     if model.is_sdxl:
         from sdwebui_tpu.pipeline.sd_model import sdxl_vector_maker
+        from sdwebui_tpu.utils.options import opts as _opts
 
-        vector_maker = sdxl_vector_maker(model, width or p.width,
-                                         height or p.height)
+        vector_maker = sdxl_vector_maker(
+            model, width or p.width, height or p.height,
+            crop=(int(_opts.get("sdxl_crop_top", 0)),
+                  int(_opts.get("sdxl_crop_left", 0))),
+            aesthetic_score=float(
+                _opts.get("sdxl_refiner_high_aesthetic_score", 6.0)),
+            negative_aesthetic_score=float(
+                _opts.get("sdxl_refiner_low_aesthetic_score", 2.5)))
     elif model.is_sd3:
         vector_maker = lambda pooled, is_uncond: pooled.astype(jnp.float32)
     return build_cond_schedule(

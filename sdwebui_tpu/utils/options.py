@@ -211,6 +211,15 @@ def make_default_templates() -> dict:
         "api_enable_requests": OptionInfo(True, "Allow http:// and https:// URLs for input images", restrict_api=True),
         "api_forbid_local_requests": OptionInfo(True, "Forbid URLs to local resources", restrict_api=True),
     }))
+
+    # the rest of the reference's 282-option surface (names/defaults/labels
+    # mirror modules/shared_options.py; see utils/options_reference.py)
+    from sdwebui_tpu.utils.options_reference import REFERENCE_OPTIONS
+
+    for section, entries in REFERENCE_OPTIONS:
+        extra = {name: OptionInfo(default, label)
+                 for name, default, label in entries if name not in t}
+        t.update(options_section(section, extra))
     return t
 
 
