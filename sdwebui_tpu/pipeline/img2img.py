@@ -100,12 +100,21 @@ def process_img2img(model: SDModel, p: GenerationParams,
                     outdir: str | None = None, callback=None,
                     step_callback=None) -> Processed:
     assert p.init_images is not None, "img2img requires init_images"
+    from sdwebui_tpu.scripts.framework import (
+        MaskBlendArgs, PostprocessBatchListArgs, PostprocessImageArgs,
+        PostProcessMaskOverlayArgs, PostSampleArgs, get_runner)
+
+    runner = get_runner()
+    runner.setup_scripts(p)
+    runner.before_process(p)
     if p.denoising_strength is None:
         p.denoising_strength = 0.75
     _resolve_seeds(p)
     from sdwebui_tpu.networks import extra_networks
 
     clean_prompt, model, hypernet = extra_networks.activate(model, p.prompt)
+    runner.after_extra_networks_activate(p)
+    runner.process(p)
     if p.tiling:
         import dataclasses as _dc
 
@@ -192,8 +201,11 @@ def process_img2img(model: SDModel, p: GenerationParams,
         lo = n * b
         seeds = p.all_seeds[lo: lo + b]
         subseeds = p.all_subseeds[lo: lo + b]
+        runner.before_process_batch(p, batch_number=n, seeds=seeds)
 
         sched = _build_conds(model, p, t_enc + 1, prompt=clean_prompt)
+        runner.process_batch(p, batch_number=n, seeds=seeds)
+        runner.process_before_every_sampling(p, batch_number=n)
         if c_concat is not None:
             sched.c_concat = c_concat
         if edit_mode and p.image_cfg_scale not in (None, 1.0):
@@ -221,6 +233,11 @@ def process_img2img(model: SDModel, p: GenerationParams,
             extra["soft_inpainting"] = (float(p.mask_blend_power),
                                         float(p.mask_blend_scale),
                                         float(p.inpaint_detail_preservation))
+        if nmask is not None:
+            # in-graph blend (sampling/cfg.py); fired once with the blend
+            # inputs for hook parity (reference fires per step)
+            runner.on_mask_blend(p, MaskBlendArgs(xi, nmask, init_latent,
+                                                  mask))
         control, control_cfgs = (), ()
         if p.controlnet_units:
             from sdwebui_tpu.pipeline.control import prepare_controls
@@ -237,10 +254,15 @@ def process_img2img(model: SDModel, p: GenerationParams,
         if mask is not None and not p.soft_inpainting:
             latents = latents * nmask + init_latent * mask
 
+        runner.post_sample(p, PostSampleArgs(latents))
         images = decode_first_stage(model, latents)
         pils = images_util.tensor_to_pil(np.asarray(images))
         from sdwebui_tpu.pipeline.processing import _maybe_restore_faces
 
+        runner.postprocess_batch(p, images=pils, batch_number=n)
+        blist = PostprocessBatchListArgs(pils)
+        runner.postprocess_batch_list(p, blist)
+        pils = blist.images
         pils = _maybe_restore_faces(p, pils)
         if color_corrections is not None:
             from sdwebui_tpu.utils.color import apply_color_correction
@@ -248,7 +270,17 @@ def process_img2img(model: SDModel, p: GenerationParams,
             pils = [apply_color_correction(
                         color_corrections[min(idx, len(color_corrections) - 1)], img)
                     for idx, img in enumerate(pils)]
+        pils = [runner.postprocess_image(p, img) for img in pils]
+        if mask_info.get("mask") is not None:
+            for idx in range(len(pils)):
+                runner.postprocess_maskoverlay(p, PostProcessMaskOverlayArgs(
+                    idx, mask_info.get("overlay_mask"),
+                    mask_info.get("originals")))
         pils = [apply_overlay(p, img, mask_info, idx) for idx, img in enumerate(pils)]
+        for idx in range(len(pils)):
+            ppi = PostprocessImageArgs(pils[idx], idx)
+            runner.postprocess_image_after_composite(p, ppi)
+            pils[idx] = ppi.image
 
         for i, img in enumerate(pils):
             info = create_infotext(p, model, lo + i,
@@ -261,10 +293,12 @@ def process_img2img(model: SDModel, p: GenerationParams,
         if callback is not None:
             callback("batch_done", n, pils)
 
-    return Processed(images=all_images, params=p, seed=p.all_seeds[0],
-                     subseed=p.all_subseeds[0], infotexts=infotexts,
-                     all_seeds=p.all_seeds, all_subseeds=p.all_subseeds,
-                     all_prompts=p.all_prompts, width=p.width, height=p.height)
+    res = Processed(images=all_images, params=p, seed=p.all_seeds[0],
+                    subseed=p.all_subseeds[0], infotexts=infotexts,
+                    all_seeds=p.all_seeds, all_subseeds=p.all_subseeds,
+                    all_prompts=p.all_prompts, width=p.width, height=p.height)
+    runner.postprocess(p, res)
+    return res
 
 
 def apply_overlay(p: GenerationParams, img: Image.Image, mask_info: dict,

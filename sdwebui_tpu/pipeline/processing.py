@@ -632,11 +632,19 @@ def process_txt2img(model: SDModel, p: GenerationParams,
     """txt2img batch loop (reference process_images_inner, trimmed to the
     first-slice feature set: batching, seeds/subseeds, prompt schedules,
     AND, all samplers/schedulers, infotext, saving)."""
+    from sdwebui_tpu.scripts.framework import (
+        PostprocessBatchListArgs, PostSampleArgs, get_runner)
+
+    runner = get_runner()
+    runner.setup_scripts(p)
+    runner.before_process(p)
     _resolve_seeds(p)
     # extra networks: strip <lora:...> tags, swap in merged param trees
     from sdwebui_tpu.networks import extra_networks
 
     clean_prompt, model, hypernet = extra_networks.activate(model, p.prompt)
+    runner.after_extra_networks_activate(p)
+    runner.process(p)
     if p.tiling:
         import dataclasses as _dc
 
@@ -671,8 +679,11 @@ def process_txt2img(model: SDModel, p: GenerationParams,
         lo = n * p.batch_size
         seeds = p.all_seeds[lo: lo + p.batch_size]
         subseeds = p.all_subseeds[lo: lo + p.batch_size]
+        runner.before_process_batch(p, batch_number=n, seeds=seeds)
 
         sched = _build_conds(model, p, p.steps, prompt=clean_prompt)
+        runner.process_batch(p, batch_number=n, seeds=seeds)
+        runner.process_before_every_sampling(p, batch_number=n)
 
         rng = ImageRNG((c, h, w), seeds, subseeds=subseeds,
                        subseed_strength=p.subseed_strength,
@@ -704,10 +715,18 @@ def process_txt2img(model: SDModel, p: GenerationParams,
                                      control=control,
                                      control_cfgs=control_cfgs)
         if p.enable_hr:
+            runner.process_before_every_sampling(p, batch_number=n,
+                                                 is_hr_pass=True)
             latents = _hires_pass(model, p, latents, seeds, subseeds)
+        runner.post_sample(p, PostSampleArgs(latents))
         images = decode_first_stage_u8(model, latents)
         pils = images_util.tensor_to_pil(np.asarray(images))
+        runner.postprocess_batch(p, images=pils, batch_number=n)
+        blist = PostprocessBatchListArgs(pils)
+        runner.postprocess_batch_list(p, blist)
+        pils = blist.images
         pils = _maybe_restore_faces(p, pils)
+        pils = [runner.postprocess_image(p, img) for img in pils]
 
         for i, img in enumerate(pils):
             info = create_infotext(p, model, lo + i)
@@ -719,8 +738,10 @@ def process_txt2img(model: SDModel, p: GenerationParams,
         if callback is not None:
             callback("batch_done", n, pils)
 
-    return Processed(
+    res = Processed(
         images=all_images, params=p, seed=p.all_seeds[0] if p.all_seeds else p.seed,
         subseed=p.all_subseeds[0] if p.all_subseeds else p.subseed,
         infotexts=infotexts, all_seeds=p.all_seeds, all_subseeds=p.all_subseeds,
         all_prompts=p.all_prompts, width=p.width, height=p.height)
+    runner.postprocess(p, res)
+    return res

@@ -3,15 +3,57 @@ modules/script_callbacks.py).
 
 A `Script` exposes the reference's lifecycle hooks over our explicit
 pipeline: selectable scripts replace the whole generation (`run`);
-always-on scripts hook `process` / `process_batch` / `postprocess_image` /
-`postprocess`.  The callback registry carries the 21 named event channels
-extensions attach to."""
+always-on scripts hook the full reference set (setup → before_process →
+process → before_process_batch → after_extra_networks_activate →
+process_before_every_sampling → process_batch → post_sample →
+postprocess_batch → postprocess_batch_list → postprocess_image →
+postprocess_maskoverlay → postprocess_image_after_composite → postprocess).
+`on_mask_blend` exists for API parity but our mask blend runs inside the
+compiled sampling program (sampling/cfg.py) — the hook fires once before
+sampling with the blend inputs, not per step.  The callback registry carries
+the 21 named event channels extensions attach to."""
 
 from __future__ import annotations
 
 import dataclasses
 from collections import defaultdict
-from typing import Callable
+from typing import Any, Callable
+
+
+# ---- hook argument bundles (reference modules/scripts.py:17-43) -----------
+
+@dataclasses.dataclass
+class PostSampleArgs:
+    samples: Any                      # latents, before VAE decode
+
+
+@dataclasses.dataclass
+class PostprocessImageArgs:
+    image: Any                        # PIL image
+    index: int = 0
+
+
+@dataclasses.dataclass
+class PostprocessBatchListArgs:
+    images: list
+
+
+@dataclasses.dataclass
+class MaskBlendArgs:
+    current_latent: Any
+    nmask: Any
+    init_latent: Any
+    mask: Any
+    blended_latent: Any = None
+    denoiser: Any = None
+    sigma: Any = None
+
+
+@dataclasses.dataclass
+class PostProcessMaskOverlayArgs:
+    index: int
+    mask_for_overlay: Any
+    overlay_image: Any
 
 
 class Script:
@@ -26,15 +68,51 @@ class Script:
     def run(self, engine, p, *args):
         raise NotImplementedError
 
-    # always-on hooks (subset of the reference's ~25; same names)
+    # ---- always-on lifecycle hooks (reference order/names) -------------
+    def setup(self, p, *args):
+        pass
+
+    def before_process(self, p, *args):
+        pass
+
     def process(self, p, *args):
         pass
 
-    def process_batch(self, p, *args, batch_number=0, seeds=None):
+    def before_process_batch(self, p, *args, **kwargs):
+        pass
+
+    def after_extra_networks_activate(self, p, *args, **kwargs):
+        pass
+
+    def process_before_every_sampling(self, p, *args, **kwargs):
+        pass
+
+    def process_batch(self, p, *args, batch_number=0, seeds=None, **kwargs):
+        pass
+
+    def on_mask_blend(self, p, mba: MaskBlendArgs, *args):
+        pass
+
+    def post_sample(self, p, ps: PostSampleArgs, *args):
+        pass
+
+    def postprocess_batch(self, p, *args, images=None, batch_number=0):
+        pass
+
+    def postprocess_batch_list(self, p, pp: PostprocessBatchListArgs, *args,
+                               **kwargs):
         pass
 
     def postprocess_image(self, p, image, *args):
         return image
+
+    def postprocess_maskoverlay(self, p, ppmo: PostProcessMaskOverlayArgs,
+                                *args):
+        pass
+
+    def postprocess_image_after_composite(self, p, pp: PostprocessImageArgs,
+                                          *args):
+        pass
 
     def postprocess(self, p, processed, *args):
         pass
@@ -67,22 +145,76 @@ class ScriptRunner:
     def add(self, script: Script):
         self.alwayson_scripts.append(script)
 
-    def process(self, p):
+    def _each(self, hook: str, *args, **kwargs):
         for s in self.alwayson_scripts:
-            s.process(p)
+            try:
+                getattr(s, hook)(*args, **kwargs)
+            except Exception:
+                import traceback
 
-    def process_batch(self, p, batch_number=0, seeds=None):
-        for s in self.alwayson_scripts:
-            s.process_batch(p, batch_number=batch_number, seeds=seeds)
+                traceback.print_exc()
+
+    def setup_scripts(self, p):
+        self._each("setup", p)
+
+    def before_process(self, p):
+        self._each("before_process", p)
+
+    def process(self, p):
+        self._each("process", p)
+
+    def before_process_batch(self, p, **kwargs):
+        self._each("before_process_batch", p, **kwargs)
+
+    def after_extra_networks_activate(self, p, **kwargs):
+        self._each("after_extra_networks_activate", p, **kwargs)
+
+    def process_before_every_sampling(self, p, **kwargs):
+        self._each("process_before_every_sampling", p, **kwargs)
+
+    def process_batch(self, p, batch_number=0, seeds=None, **kwargs):
+        self._each("process_batch", p, batch_number=batch_number,
+                   seeds=seeds, **kwargs)
+
+    def on_mask_blend(self, p, mba: MaskBlendArgs):
+        self._each("on_mask_blend", p, mba)
+
+    def post_sample(self, p, ps: PostSampleArgs):
+        self._each("post_sample", p, ps)
+
+    def postprocess_batch(self, p, images=None, batch_number=0):
+        self._each("postprocess_batch", p, images=images,
+                   batch_number=batch_number)
+
+    def postprocess_batch_list(self, p, pp: PostprocessBatchListArgs):
+        self._each("postprocess_batch_list", p, pp)
 
     def postprocess_image(self, p, image):
         for s in self.alwayson_scripts:
-            image = s.postprocess_image(p, image) or image
+            try:
+                image = s.postprocess_image(p, image) or image
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
         return image
 
+    def postprocess_maskoverlay(self, p, ppmo: PostProcessMaskOverlayArgs):
+        self._each("postprocess_maskoverlay", p, ppmo)
+
+    def postprocess_image_after_composite(self, p, pp: PostprocessImageArgs):
+        self._each("postprocess_image_after_composite", p, pp)
+
     def postprocess(self, p, processed):
-        for s in self.alwayson_scripts:
-            s.postprocess(p, processed)
+        self._each("postprocess", p, processed)
+
+
+_default_runner = ScriptRunner()
+
+
+def get_runner() -> ScriptRunner:
+    """The process-wide always-on runner the pipeline dispatches through."""
+    return _default_runner
 
 
 # ==========================================================================

@@ -223,10 +223,41 @@ def test_color_correction():
     assert abs(f_mean - t_mean) < abs(s_mean - t_mean)
 
 
-def test_img2img_alternative(engine):
-    """Reverse-Euler reconstruction: with the SAME prompt and cfg, the
-    inverted noise should reproduce the init image closely; a different
-    prompt diverges more."""
+def test_img2img_alternative_latent_inversion():
+    """invert_noise contract on random weights (a chaotic denoiser makes
+    reconstruction-accuracy assertions meaningless — the reference's own
+    quality claims assume trained weights): output is finite, unit-std
+    (the reference's `x / x.std()`), deterministic, and prompt-dependent."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdwebui_tpu.pipeline.processing import invert_noise
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+    from sdwebui_tpu.sampling.cfg import CondSchedule
+    from sdwebui_tpu.sampling.schedulers import get_schedule
+
+    model = create_tiny_sd()
+    steps = 6
+    sigmas = get_schedule("Automatic", steps, model.disc)
+    cond = jnp.asarray(np.random.RandomState(0).randn(77, 64), jnp.float32)
+    uncond = jnp.asarray(np.random.RandomState(1).randn(77, 64), jnp.float32)
+    sched = CondSchedule.simple(cond, uncond, cond_scale=1.2, n_steps=steps)
+
+    init_latent = jnp.asarray(
+        np.random.RandomState(2).randn(1, 8, 8, 4) * 0.5, jnp.float32)
+    rev = np.asarray(sigmas)[::-1].copy()
+    a = invert_noise(model, sched, init_latent, rev)
+    b = invert_noise(model, sched, init_latent, rev)
+    assert np.all(np.isfinite(np.asarray(a)))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert abs(float(jnp.std(a)) - 1.0) < 1e-3        # x / x.std() contract
+
+    sched2 = CondSchedule.simple(uncond, cond, cond_scale=1.2, n_steps=steps)
+    c = invert_noise(model, sched2, init_latent, rev)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_img2img_alternative_script_runs_deterministically(engine):
     import numpy as np
     from PIL import Image
 
@@ -234,20 +265,114 @@ def test_img2img_alternative(engine):
 
     init = Image.fromarray(
         np.random.default_rng(0).integers(60, 200, (64, 64, 3), np.uint8))
-    p = GenerationParams(prompt="a cat", seed=5, width=64, height=64,
-                         init_images=[init], denoising_strength=1.0)
-    res = engine.run_script("img2img alternative test", p,
-                            ["a cat", "", True, 6, 1.2])
-    assert len(res.images) == 1
-    recon = np.asarray(res.images[0]).astype(int)
-    base = np.asarray(init).astype(int)
-    err_same = np.abs(recon - base).mean()
 
-    p2 = GenerationParams(prompt="a completely different dog", seed=5,
-                          width=64, height=64, init_images=[init],
-                          denoising_strength=1.0)
-    res2 = engine.run_script("img2img alternative test", p2,
-                             ["a cat", "", True, 6, 1.2])
-    err_diff = np.abs(np.asarray(res2.images[0]).astype(int) - base).mean()
-    # reconstruction with matching prompt must beat a prompt swap
-    assert err_same < err_diff or err_same < 40
+    def run():
+        p = GenerationParams(prompt="a cat", seed=5, width=64, height=64,
+                             init_images=[init], denoising_strength=1.0)
+        return engine.run_script("img2img alternative test", p,
+                                 ["a cat", "", True, 6, 1.2])
+
+    a, b = run(), run()
+    assert len(a.images) == 1
+    np.testing.assert_array_equal(np.asarray(a.images[0]),
+                                  np.asarray(b.images[0]))
+
+
+def test_alwayson_hook_lifecycle():
+    """Full reference hook set fires in order through txt2img and img2img;
+    postprocess_image can rewrite images."""
+    import numpy as np
+    from PIL import Image
+
+    from sdwebui_tpu.pipeline.img2img import process_img2img
+    from sdwebui_tpu.pipeline.params import GenerationParams
+    from sdwebui_tpu.pipeline.processing import process_txt2img
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+    from sdwebui_tpu.scripts.framework import Script, get_runner
+
+    calls = []
+
+    class Recorder(Script):
+        name = "recorder-test"
+        alwayson = True
+
+        def setup(self, p, *a):
+            calls.append("setup")
+
+        def before_process(self, p, *a):
+            calls.append("before_process")
+
+        def process(self, p, *a):
+            calls.append("process")
+
+        def before_process_batch(self, p, *a, **kw):
+            calls.append("before_process_batch")
+
+        def after_extra_networks_activate(self, p, *a, **kw):
+            calls.append("after_extra_networks_activate")
+
+        def process_before_every_sampling(self, p, *a, **kw):
+            calls.append("process_before_every_sampling")
+
+        def process_batch(self, p, *a, **kw):
+            calls.append("process_batch")
+
+        def on_mask_blend(self, p, mba, *a):
+            calls.append("on_mask_blend")
+
+        def post_sample(self, p, ps, *a):
+            calls.append("post_sample")
+            assert ps.samples is not None
+
+        def postprocess_batch(self, p, *a, images=None, batch_number=0):
+            calls.append("postprocess_batch")
+
+        def postprocess_batch_list(self, p, pp, *a, **kw):
+            calls.append("postprocess_batch_list")
+
+        def postprocess_image(self, p, image, *a):
+            calls.append("postprocess_image")
+            return Image.new("RGB", image.size, (255, 0, 0))
+
+        def postprocess_maskoverlay(self, p, ppmo, *a):
+            calls.append("postprocess_maskoverlay")
+
+        def postprocess_image_after_composite(self, p, pp, *a):
+            calls.append("postprocess_image_after_composite")
+
+        def postprocess(self, p, processed, *a):
+            calls.append("postprocess")
+
+    runner = get_runner()
+    rec = Recorder()
+    runner.add(rec)
+    try:
+        model = create_tiny_sd()
+        p = GenerationParams(prompt="x", seed=7, steps=2, width=64, height=64,
+                             do_not_save_samples=True)
+        res = process_txt2img(model, p)
+        assert np.asarray(res.images[0])[0, 0, 0] == 255  # rewritten red
+        order = [c for c in calls if calls.count(c) >= 1]
+        for a, b in [("setup", "before_process"),
+                     ("before_process", "process"),
+                     ("process", "before_process_batch"),
+                     ("process_batch", "post_sample"),
+                     ("post_sample", "postprocess_batch"),
+                     ("postprocess_batch", "postprocess_image"),
+                     ("postprocess_image", "postprocess")]:
+            assert order.index(a) < order.index(b), (a, b, order)
+
+        calls.clear()
+        init = Image.new("RGB", (64, 64), (10, 200, 30))
+        mask = Image.new("L", (64, 64), 0)
+        mask.paste(255, (16, 16, 48, 48))
+        p2 = GenerationParams(prompt="x", seed=7, steps=2, width=64,
+                              height=64, init_images=[init], mask=mask,
+                              denoising_strength=0.6,
+                              do_not_save_samples=True)
+        process_img2img(model, p2)
+        for name in ("on_mask_blend", "postprocess_maskoverlay",
+                     "postprocess_image_after_composite"):
+            assert name in calls, (name, calls)
+    finally:
+        runner.alwayson_scripts.remove(rec)
