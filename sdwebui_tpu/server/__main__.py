@@ -22,7 +22,32 @@ def parse_args(argv=None):
                    help="random tiny model (CI mode, reference --test-server)")
     p.add_argument("--api-server-stop", action="store_true", default=True)
     p.add_argument("--config-path", default="config.json")
-    return p.parse_args(argv)
+
+    # the reference's full flag surface (server/cmd_flags.py): accepted for
+    # launcher compatibility; --listen/--server-name wire to host below
+    from sdwebui_tpu.server.cmd_flags import REFERENCE_FLAGS
+
+    seen = {a.option_strings[0] for a in p._actions if a.option_strings}
+    for flag, store_true, typ, default, help_ in REFERENCE_FLAGS:
+        if flag in seen:
+            continue
+        kw = {"help": help_ or None, "default": default}
+        if store_true:
+            kw = {"help": help_ or None, "action": "store_true"}
+        elif typ == "int":
+            kw["type"] = int
+        elif typ == "float":
+            kw["type"] = float
+        try:
+            p.add_argument(flag, **kw)
+        except argparse.ArgumentError:
+            pass
+    args = p.parse_args(argv)
+    if getattr(args, "listen", False) and args.host == "127.0.0.1":
+        args.host = "0.0.0.0"
+    if getattr(args, "server_name", None):
+        args.host = args.server_name
+    return args
 
 
 def main(argv=None):
