@@ -99,6 +99,17 @@ def _prepare_images_and_mask(p: GenerationParams):
 def process_img2img(model: SDModel, p: GenerationParams,
                     outdir: str | None = None, callback=None,
                     step_callback=None) -> Processed:
+    """img2img with per-request override_settings applied + auto-restored."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    with _opts.override(p.override_settings):
+        return _process_img2img(model, p, outdir=outdir, callback=callback,
+                                step_callback=step_callback)
+
+
+def _process_img2img(model: SDModel, p: GenerationParams,
+                     outdir: str | None = None, callback=None,
+                     step_callback=None) -> Processed:
     assert p.init_images is not None, "img2img requires init_images"
     from sdwebui_tpu.scripts.framework import (
         MaskBlendArgs, PostprocessBatchListArgs, PostprocessImageArgs,

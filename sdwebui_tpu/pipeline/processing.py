@@ -629,6 +629,21 @@ def process_txt2img(model: SDModel, p: GenerationParams,
                     callback: Callable | None = None,
                     refiner_model: SDModel | None = None,
                     step_callback: Callable | None = None) -> Processed:
+    """txt2img with per-request override_settings applied + auto-restored
+    (reference modules/processing.py:823-858)."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    with _opts.override(p.override_settings):
+        return _process_txt2img(model, p, outdir=outdir, callback=callback,
+                                refiner_model=refiner_model,
+                                step_callback=step_callback)
+
+
+def _process_txt2img(model: SDModel, p: GenerationParams,
+                     outdir: str | None = None,
+                     callback: Callable | None = None,
+                     refiner_model: SDModel | None = None,
+                     step_callback: Callable | None = None) -> Processed:
     """txt2img batch loop (reference process_images_inner, trimmed to the
     first-slice feature set: batching, seeds/subseeds, prompt schedules,
     AND, all samplers/schedulers, infotext, saving)."""

@@ -39,6 +39,7 @@ AXIS_OPTIONS = {
     "Var. strength": _apply_field("subseed_strength"),
     "Steps": _apply_field("steps"),
     "CFG Scale": _apply_field("cfg_scale"),
+    "Image CFG Scale": _apply_field("image_cfg_scale"),
     "Sampler": _apply_field("sampler_name"),
     "Schedule type": _apply_field("scheduler"),
     "Denoising": _apply_field("denoising_strength"),
@@ -46,7 +47,35 @@ AXIS_OPTIONS = {
     "Width": _apply_field("width"),
     "Height": _apply_field("height"),
     "Eta": _apply_field("eta"),
+    "Sigma Churn": _apply_field("s_churn"),
+    "Sigma min": _apply_field("s_tmin"),
+    "Sigma max": _apply_field("s_tmax"),
+    "Sigma noise": _apply_field("s_noise"),
+    "Initial noise multiplier": _apply_field("initial_noise_multiplier"),
+    "Negative Guidance minimum sigma": _apply_field("s_min_uncond"),
+    "Hires steps": _apply_field("hr_second_pass_steps"),
+    "Hires upscaler": _apply_field("hr_upscaler"),
+    "Hires sampler": _apply_field("hr_sampler_name"),
+    "Hires CFG Scale": _apply_field("hr_cfg_scale"),
+    "Hires scale": _apply_field("hr_scale"),
+    "Refiner checkpoint": _apply_field("refiner_checkpoint"),
+    "Refiner switch at": _apply_field("refiner_switch_at"),
+    "Face restore": _apply_field("restore_faces"),
+    "Styles": "styles",
     "Prompt S/R": "prompt_sr",   # search/replace: first value is the token
+    "Prompt order": "prompt_order",
+}
+
+# axes that sweep a runtime option (applied via override around each cell,
+# reference xyz_grid apply_override)
+OPTS_AXES = {
+    "Token merging ratio": "token_merging_ratio",
+    "Token merging ratio high-res": "token_merging_ratio_hr",
+    "RNG source": "randn_source",
+    "Beta schedule alpha": "beta_dist_alpha",
+    "Beta schedule beta": "beta_dist_beta",
+    "Emphasis": "emphasis_mode",
+    "Eta noise seed delta": "eta_noise_seed_delta",
 }
 
 
@@ -82,16 +111,44 @@ class XYZPlot(Script):
         zs = parse_axis_values(z_axis, z_values)
         axis_values = {x_axis: xs, y_axis: ys, z_axis: zs}
 
+        def _coerce(v):
+            if isinstance(v, str):
+                low = v.strip().lower()
+                if low in ("true", "false"):
+                    return low == "true"
+                try:
+                    return int(v)
+                except ValueError:
+                    try:
+                        return float(v)
+                    except ValueError:
+                        return v
+            return v
+
         def apply(q, axis, val):
+            if val is None:
+                return
+            if axis in OPTS_AXES:
+                # runtime-option sweep, applied per cell via overrides
+                q.override_settings[OPTS_AXES[axis]] = _coerce(val)
+                return
             fn = AXIS_OPTIONS.get(axis)
-            if fn is None or val is None:
+            if fn is None:
                 return
             if fn == "prompt_sr":
                 token = str(axis_values[axis][0])
                 q.prompt = q.prompt.replace(token, str(val))
                 q.negative_prompt = q.negative_prompt.replace(token, str(val))
+            elif fn == "styles":
+                q.styles = [s.strip() for s in str(val).split(";") if s.strip()]
+            elif fn == "prompt_order":
+                # reference: reorder comma-separated prompt parts to `val`
+                parts = [s.strip() for s in str(val).split(";")]
+                rest = [s.strip() for s in q.prompt.split(",")
+                        if s.strip() not in parts]
+                q.prompt = ", ".join(parts + rest)
             else:
-                fn(q, val)
+                fn(q, _coerce(val))
 
         all_images, infotexts = [], []
         cell_rows = []

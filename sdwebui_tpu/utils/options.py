@@ -61,6 +61,31 @@ class Options:
     def get(self, key, default=None):
         return self.data.get(key, default)
 
+    def override(self, settings: dict, restore: bool = True):
+        """Context manager: apply per-request override_settings and restore
+        afterwards (reference modules/processing.py:823-858 semantics)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            saved = {}
+            for k, v in (settings or {}).items():
+                if k not in self.data:
+                    continue
+                saved[k] = self.data[k]
+                try:
+                    self.set(k, v)
+                except Exception:
+                    saved.pop(k, None)
+            try:
+                yield self
+            finally:
+                if restore:
+                    for k, v in saved.items():
+                        self.set(k, v)
+
+        return _cm()
+
     def set(self, key, value, run_callbacks=True, is_api=False):
         if key not in self.data_labels:
             raise KeyError(f"unknown option {key}")

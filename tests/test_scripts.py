@@ -376,3 +376,36 @@ def test_alwayson_hook_lifecycle():
             assert name in calls, (name, calls)
     finally:
         runner.alwayson_scripts.remove(rec)
+
+
+def test_xyz_opts_axis_and_override_restore(engine):
+    """Option-backed XYZ axes sweep runtime opts per cell and restore them;
+    ENSD values produce different images."""
+    import numpy as np
+
+    from sdwebui_tpu.pipeline.params import GenerationParams
+    from sdwebui_tpu.utils.options import opts
+
+    before = opts.get("eta_noise_seed_delta", 0)
+    p = GenerationParams(prompt="a cat", seed=3, steps=2, width=64, height=64,
+                         sampler_name="Euler a", do_not_save_samples=True)
+    res = engine.run_script(
+        "X/Y/Z plot", p,
+        ["Eta noise seed delta", "0, 31337", "Nothing", "", "Nothing", ""])
+    # grid + 2 cells
+    assert len(res.images) == 3
+    a, b = np.asarray(res.images[1]), np.asarray(res.images[2])
+    assert not np.array_equal(a, b)
+    assert opts.get("eta_noise_seed_delta", 0) == before
+
+
+def test_xyz_field_axes_smoke(engine):
+    from sdwebui_tpu.pipeline.params import GenerationParams
+
+    p = GenerationParams(prompt="a cat, blue, fluffy", seed=3, steps=2,
+                         width=64, height=64, do_not_save_samples=True)
+    res = engine.run_script(
+        "X/Y/Z plot", p,
+        ["Sigma Churn", "0, 0.5", "Prompt order", "blue; fluffy",
+         "Nothing", ""])
+    assert len(res.images) == 1 + 2  # grid + 2 cells (y axis single value)
