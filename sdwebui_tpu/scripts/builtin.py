@@ -69,6 +69,7 @@ AXIS_OPTIONS = {
 # axes that sweep a runtime option (applied via override around each cell,
 # reference xyz_grid apply_override)
 OPTS_AXES = {
+    "Checkpoint name": "sd_model_checkpoint",   # engine swaps per cell
     "Token merging ratio": "token_merging_ratio",
     "Token merging ratio high-res": "token_merging_ratio_hr",
     "RNG source": "randn_source",

@@ -160,10 +160,23 @@ class Engine:
 
     # ---- generation ----------------------------------------------------
 
+    def _maybe_switch_checkpoint(self, p: GenerationParams):
+        """Per-request checkpoint via override_settings.sd_model_checkpoint
+        (reference override semantics; the current model is restored on the
+        NEXT request without the override, via the residency cache)."""
+        want = (p.override_settings or {}).get("sd_model_checkpoint")
+        if not want:
+            return
+        if getattr(self, "_model_key", None) == want:
+            return
+        if self.registry.find(want) is not None:
+            self.reload_checkpoint(want)
+
     def txt2img(self, p: GenerationParams, save: bool = False):
         from sdwebui_tpu.pipeline.processing import process_txt2img
 
         self.apply_styles(p)
+        self._maybe_switch_checkpoint(p)
         self._apply_runtime_opts()
         with self.queue_lock:
             state.begin("txt2img")
@@ -202,6 +215,7 @@ class Engine:
         from sdwebui_tpu.pipeline.img2img import process_img2img
 
         self.apply_styles(p)
+        self._maybe_switch_checkpoint(p)
         self._apply_runtime_opts()
         with self.queue_lock:
             state.begin("img2img")
@@ -218,12 +232,14 @@ class Engine:
     def txt2img_inner(self, p: GenerationParams):
         from sdwebui_tpu.pipeline.processing import process_txt2img
 
+        self._maybe_switch_checkpoint(p)
         return process_txt2img(self.sd_model, p,
                                refiner_model=self._resolve_refiner(p))
 
     def img2img_inner(self, p: GenerationParams):
         from sdwebui_tpu.pipeline.img2img import process_img2img
 
+        self._maybe_switch_checkpoint(p)
         return process_img2img(self.sd_model, p)
 
     def run_script(self, script_name: str, p: GenerationParams,

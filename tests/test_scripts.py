@@ -409,3 +409,30 @@ def test_xyz_field_axes_smoke(engine):
         ["Sigma Churn", "0, 0.5", "Prompt order", "blue; fluffy",
          "Nothing", ""])
     assert len(res.images) == 1 + 2  # grid + 2 cells (y axis single value)
+
+
+def test_xyz_checkpoint_axis(tmp_path):
+    """'Checkpoint name' axis swaps the loaded model per cell via
+    override_settings.sd_model_checkpoint."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_loader import _tiny_ldm_state_dict
+
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+
+    _, sd_a = _tiny_ldm_state_dict()
+    write_safetensors(str(tmp_path / "model-a.safetensors"), sd_a)
+    sd_b = {k: (v * 1.1 if hasattr(v, "dtype") and v.dtype.kind == "f" else v)
+            for k, v in sd_a.items()}
+    write_safetensors(str(tmp_path / "model-b.safetensors"), sd_b)
+
+    eng = Engine(model_dirs=[str(tmp_path)], ckpt="model-a")
+    p = GenerationParams(prompt="a cat", seed=3, steps=1, width=64, height=64,
+                         do_not_save_samples=True)
+    res = eng.run_script(
+        "X/Y/Z plot", p,
+        ["Checkpoint name", "model-a, model-b", "Nothing", "", "Nothing", ""])
+    assert len(res.images) == 3
+    a, b = np.asarray(res.images[1]), np.asarray(res.images[2])
+    assert not np.array_equal(a, b)        # the two checkpoints differ
+    assert eng._model_key.startswith("model-b")
