@@ -21,13 +21,57 @@ from sdwebui_tpu.ops.norms import group_norm, layer_norm  # noqa: F401 (re-expor
 
 _CONV_DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
+# --------------------------------------------------------------------------
+# spatial (context-parallel) sharding: when set, tensors inside the active
+# shard_map hold an H-slice of the image; conv2d halo-exchanges boundary
+# rows over the mesh axis and GroupNorm psums its statistics
+# (parallel/spatial.py drives this; SURVEY.md §5's context-parallel upgrade)
+# --------------------------------------------------------------------------
+
+_SPATIAL_AXIS: list = [None]
+
+
+def spatial_axis():
+    return _SPATIAL_AXIS[0]
+
+
+class spatial_sharding:
+    """Context manager marking that ops run inside an H-sharded shard_map."""
+
+    def __init__(self, axis_name: str):
+        self.axis_name = axis_name
+
+    def __enter__(self):
+        _SPATIAL_AXIS[0] = self.axis_name
+        return self
+
+    def __exit__(self, *exc):
+        _SPATIAL_AXIS[0] = None
+
+
+def _halo_exchange_rows(x, pad: int, axis_name: str):
+    """Prepend the previous shard's bottom `pad` rows and append the next
+    shard's top rows (zeros at the image border — matches zero conv pad)."""
+    n = jax.lax.psum(1, axis_name)
+    if n == 1:
+        return jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0)))
+    from_above = jax.lax.ppermute(
+        x[:, -pad:], axis_name, [(i, i + 1) for i in range(n - 1)])
+    from_below = jax.lax.ppermute(
+        x[:, :pad], axis_name, [(i + 1, i) for i in range(n - 1)])
+    return jnp.concatenate([from_above, x, from_below], axis=1)
+
 
 def conv2d(p, x, stride: int = 1, padding: int = 1, circular: bool = False):
     """circular=True: wrap padding for seamless/tiling generation (the
     reference monkey-patches Conv2d padding_mode='circular',
     modules/sd_hijack.py:311 apply_circular; here it is an argument)."""
     w = p["weight"]
-    if circular and padding > 0:
+    sp_axis = spatial_axis()
+    if sp_axis is not None and padding > 0 and stride == 1 and not circular:
+        x = _halo_exchange_rows(x, padding, sp_axis)
+        pad_cfg = ((0, 0), (padding, padding))
+    elif circular and padding > 0:
         x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
                     mode="wrap")
         pad_cfg = ((0, 0), (0, 0))

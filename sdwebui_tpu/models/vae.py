@@ -36,6 +36,21 @@ def _resnet_block(p, x, circular=False):
 
 
 def _attn_block(p, x):
+    from sdwebui_tpu.models.layers import spatial_axis
+
+    sp_axis = spatial_axis()
+    if sp_axis is not None:
+        # context-parallel: q stays local (output rows are local); k/v gather
+        # the full token set over the mesh axis (mid-res tokens are small)
+        b, h, w, c = x.shape
+        hn = group_norm_p(p["norm"], x, eps=1e-6)
+        q = conv2d(p["q"], hn, padding=0).reshape(b, h * w, c)
+        k = conv2d(p["k"], hn, padding=0).reshape(b, h * w, c)
+        v = conv2d(p["v"], hn, padding=0).reshape(b, h * w, c)
+        k = jax.lax.all_gather(k, sp_axis, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, sp_axis, axis=1, tiled=True)
+        out = attention(q, k, v).reshape(b, h, w, c)
+        return x + conv2d(p["proj_out"], out, padding=0)
     b, h, w, c = x.shape
     hn = group_norm_p(p["norm"], x, eps=1e-6)
     # q/k/v/proj_out are 1x1 convs in the checkpoint
@@ -56,7 +71,19 @@ def encode_moments(params, cfg: VAEConfig, x):
             h = _resnet_block(lp["block"][str(i)], h)
         if "downsample" in lp:
             # ldm pads asymmetrically (0,1,0,1) before a stride-2 VALID conv
-            h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            from sdwebui_tpu.models.layers import spatial_axis
+
+            sp_axis = spatial_axis()
+            if sp_axis is not None:
+                # sharded rows: the stride-2 window at the shard boundary
+                # reads one row from the shard below (zeros at the bottom)
+                n = jax.lax.psum(1, sp_axis)
+                below = jax.lax.ppermute(
+                    h[:, :1], sp_axis, [(i + 1, i) for i in range(n - 1)])
+                h = jnp.concatenate([h, below], axis=1)
+                h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
+            else:
+                h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
             h = jax.lax.conv_general_dilated(
                 h, lp["downsample"]["conv"]["weight"].astype(h.dtype),
                 window_strides=(2, 2), padding="VALID",
