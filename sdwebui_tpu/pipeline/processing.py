@@ -328,9 +328,29 @@ def decode_first_stage(model: SDModel, latents):
     return _decode_fused(model.vae_params, model.vae_cfg, latents)
 
 
+def _spatial_decode_if_beneficial(model: SDModel, latents):
+    """Context-parallel decode for big single images on a multi-device mesh
+    (batch-axis sharding wins when the batch divides; see parallel/spatial)."""
+    from sdwebui_tpu.parallel.mesh import get_runtime
+
+    rt = get_runtime()
+    if rt.data_size > 1 and latents.shape[0] % rt.data_size != 0 \
+            and latents.shape[1] % rt.data_size == 0 \
+            and latents.shape[1] >= 128:
+        from sdwebui_tpu.parallel.spatial import decode_spatial
+
+        img = decode_spatial(model.vae_params, model.vae_cfg,
+                             latents.astype(jnp.float32), rt)
+        return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+    return None
+
+
 def decode_first_stage_u8(model: SDModel, latents):
     from sdwebui_tpu.utils.options import opts as _opts
 
+    spatial = _spatial_decode_if_beneficial(model, latents)
+    if spatial is not None:
+        return (spatial * 255.0 + 0.5).astype(jnp.uint8)
     if _opts.get("sdtpu_vae_bf16", True):
         u8, bad = _decode_fused_u8_bf16(model.vae_params, model.vae_cfg,
                                         latents)

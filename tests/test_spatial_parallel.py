@@ -58,3 +58,28 @@ def test_spatial_fallback_single_device():
     z9 = jnp.asarray(np.random.RandomState(0).randn(1, 9, 8, 4), jnp.float32)
     out = decode_spatial(params, CFG, z9)   # default runtime, any size
     assert out.shape == (1, 72, 64, 3)
+
+
+def test_pipeline_routes_large_decode_spatially(rt8, monkeypatch):
+    """decode_first_stage_u8 uses the context-parallel path for a big
+    single image on a multi-device mesh."""
+    from sdwebui_tpu.parallel import mesh as mesh_mod
+    from sdwebui_tpu.parallel import spatial as spatial_mod
+    from sdwebui_tpu.pipeline import processing
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+
+    model = create_tiny_sd()
+    monkeypatch.setattr(mesh_mod, "_runtime", rt8)
+    calls = []
+    orig = spatial_mod.decode_spatial
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(spatial_mod, "decode_spatial", spy)
+    z = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128, 4) * 0.5,
+                    jnp.float32)
+    u8 = processing.decode_first_stage_u8(model, z)
+    assert u8.shape == (1, 1024, 1024, 3) and u8.dtype == jnp.uint8
+    assert calls, "spatial decode was not used"
