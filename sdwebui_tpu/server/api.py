@@ -160,6 +160,8 @@ class Api:
         r("POST", "/internal/progress", self.internal_progress)
         r("GET", "/internal/sysinfo", self.sysinfo)
         r("GET", "/internal/localization", self.localization)
+        r("GET", "/internal/ui-config", self.ui_config_get)
+        r("POST", "/internal/ui-config", self.ui_config_set)
 
     def add_route(self, method: str, path: str, handler: Callable):
         self.routes[(method, path)] = handler
@@ -546,6 +548,23 @@ class Api:
                         "commit_date": ext.commit_date,
                         "version": ext.version, "enabled": ext.enabled})
         return out
+
+    def ui_config_get(self, body=None):
+        """Widget defaults (reference ui-config.json / modules/ui_loadsave)."""
+        import json as _json
+
+        try:
+            with open("ui-config.json", encoding="utf-8") as f:
+                return _json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def ui_config_set(self, body: dict):
+        import json as _json
+
+        with open("ui-config.json", "w", encoding="utf-8") as f:
+            _json.dump(body or {}, f, indent=2)
+        return {"saved": True}
 
     def localization(self, body=None):
         """Active localization dictionary (reference modules/localization.py:

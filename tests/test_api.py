@@ -346,3 +346,11 @@ def test_checkpoint_lru_cache(tmp_path, monkeypatch):
         assert eng._model is m1
     finally:
         opts.set("sd_checkpoints_limit", 1)
+
+
+def test_ui_config_roundtrip(server):
+    r = requests.post(f"{server}/internal/ui-config",
+                      json={"steps/value": 25, "cfg/value": 6.5})
+    assert r.status_code == 200 and r.json()["saved"]
+    got = requests.get(f"{server}/internal/ui-config").json()
+    assert got["steps/value"] == 25 and got["cfg/value"] == 6.5
