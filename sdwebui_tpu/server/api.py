@@ -162,6 +162,7 @@ class Api:
         r("GET", "/internal/localization", self.localization)
         r("GET", "/internal/ui-config", self.ui_config_get)
         r("POST", "/internal/ui-config", self.ui_config_set)
+        r("POST", "/internal/token-count", self.token_count)
 
     def add_route(self, method: str, path: str, handler: Callable):
         self.routes[(method, path)] = handler
@@ -548,6 +549,23 @@ class Api:
                         "commit_date": ext.commit_date,
                         "version": ext.version, "enabled": ext.enabled})
         return out
+
+    def token_count(self, body: dict):
+        """Prompt token count (reference javascript/token-counters.js +
+        update_token_counter): tokens after attention-syntax stripping,
+        and the 75-token chunk count the conditioner will use."""
+        from sdwebui_tpu.text.prompt_parser import parse_prompt_attention
+
+        text = (body or {}).get("text", "")
+        tok = self.engine.sd_model.conditioner.tokenizer
+        n = 0
+        for part, _w in parse_prompt_attention(text):
+            if part == "BREAK":
+                n += 75 - (n % 75 or 75)
+                continue
+            n += len(tok.encode(part))
+        chunks = max((n + 74) // 75, 1)
+        return {"token_count": n, "max_length": chunks * 75}
 
     def ui_config_get(self, body=None):
         """Widget defaults (reference ui-config.json / modules/ui_loadsave)."""

@@ -354,3 +354,15 @@ def test_ui_config_roundtrip(server):
     assert r.status_code == 200 and r.json()["saved"]
     got = requests.get(f"{server}/internal/ui-config").json()
     assert got["steps/value"] == 25 and got["cfg/value"] == 6.5
+
+
+def test_token_count(server):
+    r = requests.post(f"{server}/internal/token-count",
+                      json={"text": "a (cat:1.2) on the mat"})
+    assert r.status_code == 200
+    d = r.json()
+    assert d["token_count"] >= 5 and d["max_length"] == 75
+    # BREAK starts a new 75-token chunk
+    r2 = requests.post(f"{server}/internal/token-count",
+                       json={"text": "a cat BREAK a dog"})
+    assert r2.json()["max_length"] == 150
