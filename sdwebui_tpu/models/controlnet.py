@@ -83,8 +83,11 @@ def apply(params, cfg: UNetConfig, x, timesteps, context, hint, y=None):
 
     mp = params["middle_block"]
     h = unet_model._resblock(mp["0"], h, emb)
-    h = unet_model._spatial_transformer(mp["1"], h, context, cfg, middle_depth)
-    h = unet_model._resblock(mp["2"], h, emb)
+    if "1" in mp:
+        h = unet_model._spatial_transformer(
+            mp["1"], h, context, cfg, len(mp["1"]["transformer_blocks"]))
+    if "2" in mp:
+        h = unet_model._resblock(mp["2"], h, emb)
     middle = conv2d(params["middle_block_out"]["0"], h, padding=0)
     return {"input": tuple(outs), "middle": middle}
 

@@ -239,7 +239,11 @@ def _apply_layers(plan, p, x, emb, context, cfg, hypernet=None):
             if "qkv" in sp:     # legacy AttentionBlock (context-free UNets)
                 x = _legacy_attention_block(sp, x, cfg)
             else:
-                x = _spatial_transformer(sp, x, context, cfg, layer[2],
+                # depth read from the params, not the plan: pruned variants
+                # (SSD-1B, reference convert_sdxl_to_ssd,
+                # modules/sd_hijack.py:191) shrink depth per BLOCK
+                x = _spatial_transformer(sp, x, context, cfg,
+                                         len(sp["transformer_blocks"]),
                                          hypernet)
         elif kind == "down":
             x = conv2d(sp["op"], x, stride=2, circular=cfg.tiling)
@@ -287,12 +291,15 @@ def apply(params, cfg: UNetConfig, x, timesteps, context, y=None, control=None,
 
     mp = params["middle_block"]
     h = _resblock(mp["0"], h, emb, circular=cfg.tiling)
-    if "qkv" in mp["1"]:
-        h = _legacy_attention_block(mp["1"], h, cfg)
-    else:
-        h = _spatial_transformer(mp["1"], h, context, cfg, middle_depth,
-                                 hypernet)
-    h = _resblock(mp["2"], h, emb, circular=cfg.tiling)
+    if "1" in mp:       # SSD-1B deletes the middle attn + second res
+        if "qkv" in mp["1"]:
+            h = _legacy_attention_block(mp["1"], h, cfg)
+        else:
+            h = _spatial_transformer(mp["1"], h, context, cfg,
+                                     len(mp["1"]["transformer_blocks"]),
+                                     hypernet)
+    if "2" in mp:
+        h = _resblock(mp["2"], h, emb, circular=cfg.tiling)
     if control is not None and "middle" in control:
         h = h + control["middle"]
 

@@ -412,3 +412,45 @@ def test_vae_decode_parity_with_torch_twin():
         want = torch_decode(z)
     got = np.asarray(vae_model.decode(params, cfg, jnp.asarray(z)))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_ssd_pruned_unet_forward():
+    """SSD-1B-style pruning (reference convert_sdxl_to_ssd,
+    modules/sd_hijack.py:191): per-block transformer depths shrink and the
+    middle block loses its attn + second res — depths are read from the
+    params, so the pruned tree runs without config surgery."""
+    import copy
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdwebui_tpu.models import unet as unet_model
+    from sdwebui_tpu.models.configs import UNetConfig
+
+    cfg = UNetConfig(model_channels=32, channel_mult=(1, 2),
+                     attention_resolutions=(2,), transformer_depth=(0, 3),
+                     context_dim=64, num_heads=4,
+                     use_linear_in_transformer=True)
+    params = unet_model.init_params(cfg, 0, dtype=jnp.float32)
+
+    pruned = copy.deepcopy(params)
+    # shrink one input block's transformer depth 3 → 1
+    for name, tree in pruned["input_blocks"].items():
+        if "1" in tree and "transformer_blocks" in tree.get("1", {}):
+            tb = tree["1"]["transformer_blocks"]
+            for k in list(tb):
+                if k != "0":
+                    del tb[k]
+            break
+    # SSD middle: only the first resblock remains
+    del pruned["middle_block"]["1"]
+    del pruned["middle_block"]["2"]
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 4), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(np.random.RandomState(1).randn(1, 77, 64), jnp.float32)
+    full = unet_model.apply(params, cfg, x, t, ctx)
+    cut = unet_model.apply(pruned, cfg, x, t, ctx)
+    assert cut.shape == full.shape
+    assert np.all(np.isfinite(np.asarray(cut)))
+    assert not np.allclose(np.asarray(cut), np.asarray(full))
