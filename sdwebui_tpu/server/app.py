@@ -38,6 +38,7 @@ class Engine:
         from sdwebui_tpu.text.styles import StyleDatabase
 
         self.styles = StyleDatabase()
+        from sdwebui_tpu.models.dat import register_dat_dir
         from sdwebui_tpu.models.esrgan import register_esrgan_dir
         from sdwebui_tpu.models.hat import register_hat_dir
         from sdwebui_tpu.models.ldsr import register_ldsr_dir
@@ -49,6 +50,7 @@ class Engine:
         register_scunet_dir()  # models/ScuNET
         register_ldsr_dir()    # models/LDSR
         register_hat_dir()     # models/HAT
+        register_dat_dir()     # models/DAT
 
     def apply_styles(self, p: GenerationParams):
         if p.styles:
