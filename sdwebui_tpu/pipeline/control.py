@@ -21,6 +21,13 @@ import numpy as np
 _MODEL_EXTS = (".safetensors", ".pt", ".ckpt", ".pth", ".bin")
 
 
+_CONTROL_MODES = {
+    "balanced": 0,
+    "my prompt is more important": 1,
+    "controlnet is more important": 2,
+}
+
+
 @dataclasses.dataclass
 class ControlNetUnit:
     """One control tower application (extension UI's unit row)."""
@@ -31,6 +38,13 @@ class ControlNetUnit:
     guidance_start: float = 0.0     # fraction of steps
     guidance_end: float = 1.0
     enabled: bool = True
+    # 0 Balanced / 1 "My prompt is more important" (soft per-layer decay)
+    # / 2 "ControlNet is more important" (cond-only → CFG-amplified)
+    control_mode: Any = 0
+    module: str = "none"            # annotator (pipeline/annotators.py)
+    processor_res: int = 512
+    threshold_a: Any = None         # per-module meaning (canny low, ...)
+    threshold_b: Any = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "ControlNetUnit":
@@ -39,6 +53,13 @@ class ControlNetUnit:
         if "input_image" in d and args.get("image") is None:
             args["image"] = d["input_image"]   # extension API alias
         return cls(**args)
+
+    @property
+    def mode_int(self) -> int:
+        m = self.control_mode
+        if isinstance(m, str):
+            return _CONTROL_MODES.get(m.strip().lower(), 0)
+        return int(m)
 
 
 # --------------------------------------------------------------------------
@@ -156,8 +177,17 @@ def prepare_controls(units, width: int, height: int, n_steps: int,
             raise ValueError(
                 f"ControlNet {u.model!r} expects {cfg.in_channels} latent "
                 f"channels; current model produces {latent_channels}")
-        hint = jnp.asarray(_to_image_array(u.image, width, height, hint_ch))
+        image = u.image
+        if u.module and u.module != "none":
+            from sdwebui_tpu.pipeline.annotators import run_annotator
+
+            arr = _to_image_array(image, width, height, 3)[0]
+            image = run_annotator(u.module, arr, res=0,
+                                  threshold_a=u.threshold_a,
+                                  threshold_b=u.threshold_b)
+        hint = jnp.asarray(_to_image_array(image, width, height, hint_ch))
         scales = jnp.asarray(_step_scales(u, n_steps))
-        control.append((params, hint, scales))
+        control.append((params, hint, scales,
+                        jnp.asarray(u.mode_int, jnp.int32)))
         cfgs.append(cfg)
     return tuple(control), tuple(cfgs)

@@ -45,26 +45,47 @@ def _control_for_step(control, step):
     if not control:
         return control
     out = []
-    for cp, hint, scales in control:
+    for cp, hint, scales, mode in control:
         s = scales[jnp.clip(step, 0, scales.shape[0] - 1)]
-        out.append((cp, hint, s))
+        out.append((cp, hint, s, mode))
     return tuple(out)
 
 
-def _apply_control(control, control_cfgs, x_in, t, ctx, y):
-    """control here carries per-tower scalar scales (already step-indexed)."""
+def _apply_control(control, control_cfgs, x_in, t, ctx, y, n_cond_rows=None):
+    """control here carries per-tower scalar scales (already step-indexed)
+    plus the unit's control_mode:
+
+      0 Balanced — residuals on every CFG row (extension default);
+      1 "My prompt is more important" — soft per-layer decay 0.825^(n-1-i)
+        (sd-webui-controlnet hook.py soft_injection weights);
+      2 "ControlNet is more important" — residuals only on the cond rows,
+        so the CFG combine amplifies them by cond_scale (cfg_injection).
+    """
     from sdwebui_tpu.models import controlnet as controlnet_model
 
     b, hh, ww = x_in.shape[0], x_in.shape[1], x_in.shape[2]
     ctrl = None
-    for (cp, hint, s), ccfg in zip(control, control_cfgs):
+    for (cp, hint, s, mode), ccfg in zip(control, control_cfgs):
         reps = b // hint.shape[0]
         hint_in = jnp.tile(hint, (reps, 1, 1, 1)).astype(x_in.dtype)
 
-        def _run(cp=cp, ccfg=ccfg, hint_in=hint_in, s=s):
+        def _run(cp=cp, ccfg=ccfg, hint_in=hint_in, s=s, mode=mode):
             res = controlnet_model.apply(
                 cp, ccfg, x_in[..., :ccfg.in_channels], t, ctx, hint_in,
                 y=y if ccfg.adm_in_channels else None)
+            n = len(res["input"]) + 1
+            one = jnp.asarray(1.0, x_in.dtype)
+            soft = [jnp.where(mode == 1,
+                              jnp.asarray(0.825 ** (n - 1 - i), x_in.dtype),
+                              one) for i in range(n)]
+            gate = one
+            if n_cond_rows is not None:
+                rows = (jnp.arange(b) < n_cond_rows).astype(x_in.dtype)
+                gate = jnp.where(mode == 2, rows,
+                                 jnp.ones_like(rows))[:, None, None, None]
+            res = {"input": tuple(r * (w * gate)
+                                  for r, w in zip(res["input"], soft[:-1])),
+                   "middle": res["middle"] * (soft[-1] * gate)}
             return controlnet_model.scale_control(res, s.astype(x_in.dtype))
 
         def _zero(ccfg=ccfg):
@@ -114,8 +135,13 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
         x_in = (xb * c_in).astype(compute_dtype)
         ctrl = None
         if control:
+            # cond rows come first in the CFG batch (B*K cond + B uncond);
+            # mode-2 units apply only there
+            n_cond = x_in.shape[0] - x_in.shape[0] // (
+                sched.cond_bank.shape[0] + 1)
             ctrl = _apply_control(_control_for_step(control, step),
-                                  control_cfgs, x_in, t, ctx, y)
+                                  control_cfgs, x_in, t, ctx, y,
+                                  n_cond_rows=n_cond)
         if c_concat is not None:
             x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
         hypernet = (hypernet_tree, hn_meta) if hypernet_tree is not None else None
@@ -179,8 +205,13 @@ def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
         x_in = (xb * c_in).astype(compute_dtype)
         ctrl = None
         if control:
+            # cond rows come first in the CFG batch (B*K cond + B uncond);
+            # mode-2 units apply only there
+            n_cond = x_in.shape[0] - x_in.shape[0] // (
+                sched.cond_bank.shape[0] + 1)
             ctrl = _apply_control(_control_for_step(control, step),
-                                  control_cfgs, x_in, t, ctx, y)
+                                  control_cfgs, x_in, t, ctx, y,
+                                  n_cond_rows=n_cond)
         if c_concat is not None:
             x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
         hypernet = (hypernet_tree, hn_meta) if hypernet_tree is not None else None

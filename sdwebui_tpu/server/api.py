@@ -153,6 +153,8 @@ class Api:
         r("POST", "/sdapi/v1/server-stop", self.server_stop)
         # sd-webui-controlnet extension API compatibility
         r("GET", "/controlnet/model_list", self.controlnet_models)
+        r("GET", "/controlnet/module_list", self.controlnet_modules)
+        r("POST", "/controlnet/detect", self.controlnet_detect)
         r("GET", "/controlnet/version", lambda body: {"version": 2})
         r("GET", "/", self.index_html)
         r("GET", "/internal/ping", lambda body: {})
@@ -520,6 +522,35 @@ class Api:
         from sdwebui_tpu.pipeline.control import list_models
 
         return {"model_list": list_models()}
+
+    def controlnet_modules(self, body=None):
+        from sdwebui_tpu.pipeline.annotators import list_modules
+
+        return {"module_list": list_modules()}
+
+    def controlnet_detect(self, body=None):
+        """sd-webui-controlnet /controlnet/detect: run an annotator on
+        base64 images → base64 hint maps."""
+        import numpy as np
+        from PIL import Image
+
+        from sdwebui_tpu.pipeline.annotators import run_annotator
+        from sdwebui_tpu.server.app import (decode_base64_to_image,
+                                            encode_pil_to_base64)
+
+        body = body or {}
+        module = body.get("controlnet_module", "none")
+        images = body.get("controlnet_input_images") or []
+        res = int(body.get("controlnet_processor_res", 512))
+        ta = body.get("controlnet_threshold_a")
+        tb = body.get("controlnet_threshold_b")
+        out = []
+        for enc in images:
+            arr = np.asarray(decode_base64_to_image(enc).convert("RGB"))
+            hint = run_annotator(module, arr, res=res,
+                                 threshold_a=ta, threshold_b=tb)
+            out.append(encode_pil_to_base64(Image.fromarray(hint)))
+        return {"images": out, "info": f"module={module}"}
 
     def scripts(self, body=None):
         import sdwebui_tpu.scripts.builtin  # noqa: F401

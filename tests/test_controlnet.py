@@ -256,3 +256,98 @@ def test_guidance_range_gates_steps(tmp_path):
     np.testing.assert_allclose(scales, expect.astype(np.float32))
     assert cfgs[0].in_channels == 4
     control_mod.set_model_dirs(["models/ControlNet"])
+
+
+def test_control_modes_produce_distinct_outputs(tmp_path):
+    """control_mode 0/1/2 (Balanced / prompt-important soft decay /
+    cfg-injected cond-only) change the residual application."""
+    from PIL import Image
+
+    from sdwebui_tpu.pipeline import control as control_mod
+    from sdwebui_tpu.pipeline.params import GenerationParams
+    from sdwebui_tpu.pipeline.processing import process_txt2img
+
+    model = _tiny_pipeline_setup(tmp_path)
+    hint = Image.fromarray(
+        (np.random.RandomState(3).rand(64, 64, 3) * 255).astype(np.uint8))
+
+    def run(mode):
+        p = GenerationParams(prompt="a cat", seed=1, steps=3, width=64,
+                             height=64, sampler_name="Euler",
+                             controlnet_units=[{
+                                 "model": "tiny_canny", "image": hint,
+                                 "weight": 1.0, "control_mode": mode}],
+                             do_not_save_samples=True)
+        return np.asarray(process_txt2img(model, p).images[0], np.float32)
+
+    balanced = run(0)
+    prompt_first = run("My prompt is more important")
+    control_first = run(2)
+    assert not np.allclose(balanced, prompt_first)
+    assert not np.allclose(balanced, control_first)
+    assert not np.allclose(prompt_first, control_first)
+    control_mod.set_model_dirs(["models/ControlNet"])
+
+
+def test_control_mode_parsing():
+    from sdwebui_tpu.pipeline.control import ControlNetUnit
+
+    assert ControlNetUnit(control_mode="Balanced").mode_int == 0
+    assert ControlNetUnit(
+        control_mode="My prompt is more important").mode_int == 1
+    assert ControlNetUnit(
+        control_mode="ControlNet is more important").mode_int == 2
+    assert ControlNetUnit.from_dict(
+        {"model": "m", "control_mode": 2}).mode_int == 2
+
+
+def test_annotators():
+    pytest.importorskip("cv2")
+    from sdwebui_tpu.pipeline import annotators
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[16:48, 16:48] = 255                      # white square → edges
+    edges = annotators.run_annotator("canny", img, res=0,
+                                     threshold_a=100, threshold_b=200)
+    assert edges.shape == (64, 64)
+    assert edges.max() == 255 and (edges > 0).sum() > 50
+
+    inv = annotators.run_annotator("invert", img)
+    assert inv[0, 0, 0] == 255 and inv[20, 20, 0] == 0
+
+    blur = annotators.run_annotator("blur_gaussian", img, res=0,
+                                    threshold_a=3)
+    assert blur.shape == img.shape
+    assert 0 < blur[15, 15, 0] < 255             # softened edge
+
+    thr = annotators.run_annotator("threshold", img, res=0, threshold_a=127)
+    assert set(np.unique(thr)) <= {0, 255}
+
+    xdog = annotators.run_annotator("scribble_xdog", img, res=0,
+                                    threshold_a=32)
+    assert xdog.shape == (64, 64)
+    assert set(np.unique(xdog)) <= {0, 255}
+
+    # processor_res resizes short side to /8-rounded multiple
+    out = annotators.run_annotator("canny", img, res=32,
+                                   threshold_a=100, threshold_b=200)
+    assert out.shape == (32, 32)
+
+    assert "canny" in annotators.list_modules()
+
+
+def test_unit_module_preprocesses_hint(tmp_path):
+    pytest.importorskip("cv2")
+    from sdwebui_tpu.pipeline import control as control_mod
+    from sdwebui_tpu.pipeline.control import ControlNetUnit, prepare_controls
+
+    _tiny_pipeline_setup(tmp_path)
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[16:48, 16:48] = 255
+    unit = ControlNetUnit(model="tiny_canny", image=img, module="canny",
+                          threshold_a=100, threshold_b=200)
+    control, cfgs = prepare_controls([unit], 64, 64, 4, latent_channels=4)
+    hint = np.asarray(control[0][1])[0]
+    # canny output is sparse white edges, not the filled square
+    assert hint.max() > 0.99 and hint.mean() < 0.2
+    control_mod.set_model_dirs(["models/ControlNet"])
