@@ -41,11 +41,15 @@ def apply_emphasis(z, multipliers, mode: str = "Original"):
     m = multipliers.astype(jnp.float32)[..., None]
     if mode == "No norm":
         return (z.astype(jnp.float32) * m).astype(z.dtype)
-    original_mean = jnp.mean(z.astype(jnp.float32))
+    # per-item means: the reference takes one mean over the whole chunk
+    # batch (sd_emphasis.py:40), so a prompt's cond depends on what else
+    # rode the same encode batch; per-(chunk,line) means match it exactly
+    # at batch=1 and keep our deduped encode batching composition-invariant
+    original_mean = jnp.mean(z.astype(jnp.float32), axis=(1, 2), keepdims=True)
     zm = z.astype(jnp.float32) * m
-    new_mean = jnp.mean(zm)
-    # the reference divides unguarded (sd_emphasis.py:40); a near-zero global
-    # mean (exact for layer-normed outputs) would poison the run with NaN
+    new_mean = jnp.mean(zm, axis=(1, 2), keepdims=True)
+    # the reference divides unguarded; a near-zero mean (exact for
+    # layer-normed outputs) would poison the run with NaN
     ratio = jnp.where(jnp.abs(new_mean) > 1e-9, original_mean / new_mean, 1.0)
     return (zm * ratio).astype(z.dtype)
 

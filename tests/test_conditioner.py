@@ -210,3 +210,21 @@ def test_build_cond_schedule_and_weights():
     sched = build_cond_schedule(fake_encode, "x AND y:0.3", "", steps=4)
     np.testing.assert_allclose(np.asarray(sched.cond_weights), [1.0, 0.3])
     assert sched.cond_bank.shape[0] == 2
+
+
+def test_emphasis_batch_composition_invariant():
+    """Original-mode renorm uses per-item means: an item's output does not
+    depend on what else rode the encode batch (the reference's global batch
+    mean does — sd_emphasis.py:40 — which made deduped batching unsafe)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    z1 = jnp.asarray(rng.randn(1, 77, 8).astype(np.float32))
+    z2 = jnp.asarray(rng.randn(1, 77, 8).astype(np.float32) * 3 + 1)
+    m1 = jnp.asarray(1 + rng.rand(1, 77).astype(np.float32))
+    m2 = jnp.ones((1, 77), jnp.float32) * 0.5
+    joint = apply_emphasis(jnp.concatenate([z1, z2]),
+                           jnp.concatenate([m1, m2]), "Original")
+    solo = apply_emphasis(z1, m1, "Original")
+    np.testing.assert_allclose(np.asarray(joint[0]), np.asarray(solo[0]),
+                               rtol=1e-6, atol=1e-6)
