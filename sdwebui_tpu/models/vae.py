@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from sdwebui_tpu.models.configs import VAEConfig
-from sdwebui_tpu.models.layers import conv2d, group_norm_p, upsample_nearest_2x
+from sdwebui_tpu.models.layers import (conv2d, group_norm_p, spatial_axis,
+                                       upsample2x_conv, upsample_nearest_2x)
 from sdwebui_tpu.ops import attention
 
 
@@ -126,7 +127,14 @@ def decode(params, cfg: VAEConfig, z):
         for i in range(cfg.num_res_blocks + 1):
             h = _resnet_block(lp["block"][str(i)], h, circ)
         if "upsample" in lp:
-            h = conv2d(lp["upsample"]["conv"], upsample_nearest_2x(h), circular=circ)
+            if circ or spatial_axis() is not None:
+                # tiling (wrap pad) and H-sharded context-parallel decode
+                # keep the explicit upsample + halo-aware conv2d
+                h = conv2d(lp["upsample"]["conv"], upsample_nearest_2x(h),
+                           circular=circ)
+            else:
+                # fused 4-phase upsample-conv (see layers.upsample2x_conv)
+                h = upsample2x_conv(lp["upsample"]["conv"], h)
     h = group_norm_p(p["norm_out"], h, eps=1e-6, silu=True)
     return conv2d(p["conv_out"], h, circular=circ)
 

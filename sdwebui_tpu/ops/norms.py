@@ -23,24 +23,38 @@ def group_norm(x, weight, bias, num_groups: int = 32, eps: float = 1e-5,
     the unsharded op."""
     from sdwebui_tpu.models.layers import spatial_axis
 
+    # All big reductions stay in the native (..., C) layout: reshaping the
+    # activation itself to (B, HW, g, C/g) puts C/g (=10 for SD's C=320) on
+    # the lane axis and forces a full relayout of every activation twice —
+    # measured ~2x on the whole UNet forward.  Instead reduce spatially to
+    # per-channel sums (B, C), then group the tiny (B, C) tensor.
     orig_dtype = x.dtype
     b = x.shape[0]
     c = x.shape[-1]
     g = num_groups
-    xf = x.astype(jnp.float32).reshape(b, -1, g, c // g)
+    xf = x.astype(jnp.float32)
+    red_axes = tuple(range(1, x.ndim - 1))
+    s1 = xf.sum(axis=red_axes)                       # (B, C)
+    s2 = (xf * xf).sum(axis=red_axes)                # (B, C)
+    n_spatial = 1
+    for a in red_axes:
+        n_spatial *= x.shape[a]
     sp_axis = spatial_axis()
     if sp_axis is not None:
-        cnt = xf.shape[1] * xf.shape[3] * jax.lax.psum(1, sp_axis)
-        s1 = jax.lax.psum(xf.sum(axis=(1, 3), keepdims=True), sp_axis)
-        s2 = jax.lax.psum((xf * xf).sum(axis=(1, 3), keepdims=True), sp_axis)
-        mean = s1 / cnt
-        var = s2 / cnt - mean * mean
-    else:
-        mean = xf.mean(axis=(1, 3), keepdims=True)
-        var = xf.var(axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(x.shape)
-    out = xf * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+        n_spatial = n_spatial * jax.lax.psum(1, sp_axis)
+        s1 = jax.lax.psum(s1, sp_axis)
+        s2 = jax.lax.psum(s2, sp_axis)
+    cnt = n_spatial * (c // g)
+    s1g = s1.reshape(b, g, c // g).sum(axis=-1)      # (B, g)
+    s2g = s2.reshape(b, g, c // g).sum(axis=-1)
+    mean_g = s1g / cnt
+    var_g = s2g / cnt - mean_g * mean_g
+    shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    mean_c = jnp.repeat(mean_g, c // g, axis=-1).reshape(shape)
+    rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + eps), c // g,
+                        axis=-1).reshape(shape)
+    out = (xf - mean_c) * rstd_c
+    out = out * weight.astype(jnp.float32) + bias.astype(jnp.float32)
     if silu:
         out = out * jax.nn.sigmoid(out)
     return out.astype(orig_dtype)

@@ -158,6 +158,8 @@ def make_default_templates() -> dict:
         "deepbooru_sort_alpha": OptionInfo(True, "deepbooru: sort tags alphabetically"),
         "auto_backcompat": OptionInfo(True, "Automatic backward compatibility for old infotexts"),
         "sdtpu_vae_bf16": OptionInfo(True, "Decode VAE in bfloat16 (fp32 retry on NaN, like the reference's fp16 VAE + no-half-vae fallback)"),
+        "sdtpu_async_save": OptionInfo(True, "Write images to disk on a background thread (responses carry in-memory images; flush on shutdown)"),
+        "sdtpu_png_compress_level": OptionInfo(1, "PNG compression level 0-9 (1 halves encode time vs PIL's default 6 at ~equal size)"),
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of checkpoints loaded at the same time"),
         "CLIP_stop_at_last_layers": OptionInfo(1, "Clip skip"),
         "enable_emphasis": OptionInfo(True, "Enable emphasis"),

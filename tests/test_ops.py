@@ -110,3 +110,43 @@ def test_layer_norm_matches_torch():
     ref = torch.nn.functional.layer_norm(
         torch.from_numpy(x), (16,), torch.from_numpy(w), torch.from_numpy(b)).numpy()
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_upsample2x_conv_matches_naive():
+    """Fused 4-phase upsample-conv == conv3x3(nearest_up2(x)) exactly
+    (flop-optimal decoder upsample; models/layers.upsample2x_conv)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdwebui_tpu.models.layers import (conv2d, upsample2x_conv,
+                                           upsample_nearest_2x)
+
+    rng = np.random.RandomState(0)
+    for (b, h, w, ci, co) in [(2, 6, 6, 8, 12), (1, 5, 7, 4, 4)]:
+        x = jnp.asarray(rng.randn(b, h, w, ci), jnp.float32)
+        p = {"weight": jnp.asarray(rng.randn(3, 3, ci, co) * 0.2, jnp.float32),
+             "bias": jnp.asarray(rng.randn(co), jnp.float32)}
+        ref = conv2d(p, upsample_nearest_2x(x))
+        got = upsample2x_conv(p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_async_save_flush(tmp_path):
+    """save_image reserves names synchronously and flush_saves makes the
+    bytes durable (utils/images async writer)."""
+    import numpy as np
+    from PIL import Image
+
+    from sdwebui_tpu.utils import images as images_util
+
+    img = Image.fromarray((np.random.RandomState(0).rand(32, 32, 3) * 255)
+                          .astype(np.uint8))
+    paths = [images_util.save_image(img, str(tmp_path), seed=i, info="x")
+             for i in range(3)]
+    assert len(set(paths)) == 3          # collision-free numbering
+    images_util.flush_saves()
+    for p in paths:
+        im = Image.open(p)
+        assert im.size == (32, 32)
+        assert images_util.read_info_from_image(im) == "x"

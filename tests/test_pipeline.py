@@ -107,7 +107,8 @@ def test_save_and_infotext_roundtrip(model, tmp_path):
     p = GenerationParams(prompt="roundtrip test", negative_prompt="neg",
                          seed=11, steps=2, width=64, height=64)
     res = process_txt2img(model, p, outdir=str(tmp_path))
-    files = list(tmp_path.iterdir())
+    images_util.flush_saves()   # saves are async by default
+    files = [f for f in tmp_path.iterdir() if not f.name.endswith(".tmp")]
     assert len(files) == 1
     from PIL import Image
 
