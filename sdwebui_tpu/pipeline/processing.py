@@ -31,6 +31,12 @@ from sdwebui_tpu.sampling.schedulers import get_schedule
 from sdwebui_tpu.text.conditioner import build_cond_schedule
 from sdwebui_tpu.utils import images as images_util
 from sdwebui_tpu.utils import infotext as infotext_util
+from sdwebui_tpu.utils.timer import Timer
+
+#: stage timing of the most recent generation (reference keeps a per-job
+#: wall clock in the UI footer, modules/call_queue.py:96; set
+#: SDTPU_STAGE_TIMING=1 to print the summary per batch)
+last_job_timer: Timer | None = None
 
 MAX_SEED = 2 ** 32 - 1
 
@@ -747,7 +753,12 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
         subseeds = p.all_subseeds[lo: lo + p.batch_size]
         runner.before_process_batch(p, batch_number=n, seeds=seeds)
 
+        import os as _os
+
+        global last_job_timer
+        jt = last_job_timer = Timer()
         sched = _build_conds(model, p, p.steps, prompt=clean_prompt)
+        jt.record("conds")
         runner.process_batch(p, batch_number=n, seeds=seeds)
         runner.process_before_every_sampling(p, batch_number=n)
 
@@ -759,6 +770,7 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
                            "eta_noise_seed_delta", 0))
         x = jnp.asarray(rng.first(), jnp.float32) * float(sigmas[0])
         noise = prepare_noise(spec, len(sigmas) - 1, rng, (p.batch_size, h, w, c))
+        jt.record("noise")
 
         if refiner_model is not None and 0 < p.refiner_switch_at < 1:
             # base → refiner handoff at the switch-point sigma (the reference
@@ -780,13 +792,16 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
                                      step_callback=step_callback,
                                      control=control,
                                      control_cfgs=control_cfgs)
+        jt.record("sample_dispatch")
         if p.enable_hr:
             runner.process_before_every_sampling(p, batch_number=n,
                                                  is_hr_pass=True)
             latents = _hires_pass(model, p, latents, seeds, subseeds)
         runner.post_sample(p, PostSampleArgs(latents))
         images = decode_first_stage_u8(model, latents)
+        jt.record("decode_dispatch")
         pils = images_util.tensor_to_pil(np.asarray(images))
+        jt.record("fetch_and_pil")
         runner.postprocess_batch(p, images=pils, batch_number=n)
         blist = PostprocessBatchListArgs(pils)
         runner.postprocess_batch_list(p, blist)
@@ -801,6 +816,9 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
                 images_util.save_image(img, outdir, seed=seeds[i],
                                        prompt=p.all_prompts[lo + i], info=info)
         all_images.extend(pils)
+        jt.record("postprocess_and_save")
+        if _os.environ.get("SDTPU_STAGE_TIMING"):
+            print("stage timing:", jt.summary(), flush=True)
         if callback is not None:
             callback("batch_done", n, pils)
 
