@@ -463,3 +463,56 @@ class Img2ImgAlternative(Script):
         p.init_noise_override = np.asarray(noise)
         p.denoising_strength = 1.0
         return engine.img2img_inner(p)
+
+
+# ==========================================================================
+# Custom code (reference scripts/custom_code.py — gated behind --allow-code,
+# the same explicit opt-in the reference requires)
+# ==========================================================================
+
+@register_script
+class CustomCode(Script):
+    name = "Custom code"
+
+    def run(self, engine, p: GenerationParams, code="", indent_level=0, *rest):
+        from types import ModuleType
+
+        from sdwebui_tpu.server.cmd_flags import flag
+
+        if not flag("allow_code"):
+            raise RuntimeError(
+                "Custom code requires the server to run with --allow-code "
+                "(reference scripts/custom_code.py gate)")
+
+        display_data = {"images": None, "seed": None, "info": None}
+
+        def display(imgs, s=None, i=None):
+            display_data.update(images=list(imgs), seed=s, info=i)
+
+        module = ModuleType("customcode")
+        module.p = p
+        module.engine = engine
+        module.display = display
+        module.GenerationParams = GenerationParams
+        module.Processed = Processed
+
+        indent = " " * int(indent_level or 0)
+        lines = [indent + line for line in str(code).splitlines()]
+        body = "def __webuitemp__():\n" + "\n".join("    " + l for l in lines) \
+            + "\n__webuitemp__result__ = __webuitemp__()"
+        exec(compile(body, "<custom code>", "exec"), module.__dict__)
+        result = module.__dict__.get("__webuitemp__result__")
+
+        if isinstance(result, Processed):
+            return result
+        if display_data["images"] is None:
+            res = engine.txt2img_inner(p)
+            return res
+        imgs = display_data["images"]
+        return Processed(images=imgs, params=p,
+                         seed=display_data["seed"] if display_data["seed"]
+                         is not None else p.seed,
+                         subseed=p.subseed,
+                         infotexts=[display_data["info"] or ""] * len(imgs),
+                         all_seeds=[p.seed], all_subseeds=[p.subseed],
+                         all_prompts=[p.prompt], width=p.width, height=p.height)

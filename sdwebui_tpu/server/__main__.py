@@ -55,8 +55,10 @@ def main(argv=None):
 
     from sdwebui_tpu.server.api import ApiServer
     from sdwebui_tpu.server.app import Engine
+    from sdwebui_tpu.server.cmd_flags import set_cmd_opts
     from sdwebui_tpu.utils.options import opts
 
+    set_cmd_opts(args)
     opts.load(args.config_path)
 
     credentials = None

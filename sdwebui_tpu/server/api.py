@@ -555,8 +555,12 @@ class Api:
     def scripts(self, body=None):
         import sdwebui_tpu.scripts.builtin  # noqa: F401
         from sdwebui_tpu.scripts.framework import list_selectable_scripts
+        from sdwebui_tpu.server.cmd_flags import flag
 
         names = list_selectable_scripts()
+        if not flag("allow_code"):
+            # reference custom_code.Script.show() == cmd_opts.allow_code
+            names = [n for n in names if n != "custom code"]
         return {"txt2img": names, "img2img": names}
 
     def script_info(self, body=None):

@@ -132,3 +132,22 @@ REFERENCE_FLAGS = [
     ('--filenames-max-length', False, '', 128, 'maximal length of filenames of saved images. If you override it, it can conflict with y...'),
     ('--no-prompt-history', True, '', None, 'disable read prompt from last generation feature; settings this argument will not creat...'),
 ]
+
+
+# --------------------------------------------------------------------------
+# parsed-flag singleton (reference shared.cmd_opts): set once at server
+# start; scripts and routes read gates like allow_code from here.
+# --------------------------------------------------------------------------
+
+import types
+
+cmd_opts = types.SimpleNamespace()
+
+
+def set_cmd_opts(args) -> None:
+    for k, v in vars(args).items():
+        setattr(cmd_opts, k, v)
+
+
+def flag(name: str, default=None):
+    return getattr(cmd_opts, name, default)

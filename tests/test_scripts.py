@@ -436,3 +436,36 @@ def test_xyz_checkpoint_axis(tmp_path):
     a, b = np.asarray(res.images[1]), np.asarray(res.images[2])
     assert not np.array_equal(a, b)        # the two checkpoints differ
     assert eng._model_key.startswith("model-b")
+
+
+def test_custom_code_gated_and_runs(tmp_path):
+    """Custom code: refused without --allow-code, exec's with display()
+    when enabled (reference scripts/custom_code.py semantics)."""
+    import pytest
+
+    from sdwebui_tpu.pipeline.params import GenerationParams
+    from sdwebui_tpu.scripts.framework import get_script
+    from sdwebui_tpu.server import cmd_flags
+
+    script = get_script("Custom code")
+    assert script is not None
+    p = GenerationParams(prompt="x", seed=1, steps=1, width=64, height=64,
+                         do_not_save_samples=True)
+
+    cmd_flags.cmd_opts = type(cmd_flags.cmd_opts)()   # reset
+    with pytest.raises(RuntimeError):
+        script.run(None, p, "display([])")
+
+    cmd_flags.cmd_opts.allow_code = True
+    try:
+        from PIL import Image
+        code = ("import numpy as np\n"
+                "from PIL import Image\n"
+                "img = Image.new('RGB', (8, 8), (255, 0, 0))\n"
+                "display([img], s=p.seed, i='custom')\n")
+        res = script.run(None, p, code)
+        assert len(res.images) == 1
+        assert res.infotexts == ["custom"]
+        assert res.seed == 1
+    finally:
+        cmd_flags.cmd_opts = type(cmd_flags.cmd_opts)()
