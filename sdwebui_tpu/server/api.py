@@ -165,6 +165,7 @@ class Api:
         r("GET", "/internal/ui-config", self.ui_config_get)
         r("POST", "/internal/ui-config", self.ui_config_set)
         r("POST", "/internal/token-count", self.token_count)
+        r("POST", "/internal/parse-infotext", self.parse_infotext)
 
     def add_route(self, method: str, path: str, handler: Callable):
         self.routes[(method, path)] = handler
@@ -584,6 +585,15 @@ class Api:
                         "commit_date": ext.commit_date,
                         "version": ext.version, "enabled": ext.enabled})
         return out
+
+    def parse_infotext(self, body: dict):
+        """Parse a 'parameters' infotext into request fields (the UI's
+        drag-drop / send-to-txt2img paste path, reference
+        modules/infotext_utils.py parse_generation_parameters +
+        paste-field bindings)."""
+        text = (body or {}).get("text", "")
+        parsed = infotext_util.backcompat(infotext_util.parse(text))
+        return {"parsed": {str(k): v for k, v in parsed.items()}}
 
     def token_count(self, body: dict):
         """Prompt token count (reference javascript/token-counters.js +
