@@ -389,24 +389,25 @@ class OutpaintingMk2(Script):
     def run(self, engine, p: GenerationParams, pixels=128, mask_blur=8,
             direction=("left", "right", "up", "down"),
             noise_q=1.0, color_variation=0.05, *rest):
-        """Noise-matched edge extension: new regions are filled with
-        source-statistics-matched noise before the inpainting pass
-        (simplified from the reference's spectral matching)."""
+        """Noise-matched edge extension: the new border is filled with
+        source-spectrum-shaped, histogram-matched noise before the
+        inpainting pass (reference scripts/outpainting_mk_2.py
+        get_matched_noise; math in postprocessing/noise_match.py)."""
+        from sdwebui_tpu.postprocessing.noise_match import matched_noise
+
         assert p.init_images, "outpainting needs an init image"
         init = p.init_images[0]
         if not isinstance(init, Image.Image):
             init = Image.fromarray(np.asarray(init))
         canvas, mask, _ = _expand_canvas(init.convert("RGB"), int(pixels),
                                          direction)
-        src = np.asarray(init.convert("RGB"), np.float32)
-        rng = np.random.default_rng(int(p.seed) if p.seed not in (-1, None) else 0)
-        arr = np.asarray(canvas, np.float32)
+        arr = np.asarray(canvas, np.float32) / 255.0
         m = np.asarray(mask, np.float32)[..., None] / 255.0
-        noise = rng.standard_normal(arr.shape).astype(np.float32)
-        noise = noise * src.std(axis=(0, 1)) * float(noise_q) \
-            + src.mean(axis=(0, 1)) * float(color_variation)
-        blended = arr * (1 - m * 0.5) + noise * (m * 0.5)
-        canvas = Image.fromarray(np.clip(blended, 0, 255).astype(np.uint8))
+        m3 = np.repeat(m, 3, axis=-1)
+        blended = matched_noise(arr, m3, noise_q=float(noise_q),
+                                color_variation=float(color_variation))
+        canvas = Image.fromarray(
+            np.clip(blended * 255.0, 0, 255).astype(np.uint8))
 
         q = _clone(p)
         q.init_images = [canvas]

@@ -469,3 +469,35 @@ def test_custom_code_gated_and_runs(tmp_path):
         assert res.seed == 1
     finally:
         cmd_flags.cmd_opts = type(cmd_flags.cmd_opts)()
+
+
+def test_matched_noise_properties():
+    """Spectral noise fill: untouched pixels preserved; fill region gets
+    histogram-matched texture in [0,1] (outpainting mk2 substrate)."""
+    import numpy as np
+
+    from sdwebui_tpu.postprocessing.noise_match import (match_histograms_1d,
+                                                        matched_noise)
+
+    rng = np.random.RandomState(0)
+    src = rng.rand(32, 48, 3).astype(np.float64) * 0.5 + 0.25
+    mask = np.zeros((32, 48, 3))
+    mask[:, 32:] = 1.0          # outpaint the right strip
+    out = matched_noise(src, mask, noise_q=1.0, color_variation=0.05)
+    np.testing.assert_allclose(out[:, :32], src[:, :32], atol=1e-12)
+    fill = out[:, 32:]
+    assert fill.min() >= 0.0 and fill.max() <= 1.0
+    # histogram matched to the source region → similar quantiles
+    for c in range(3):
+        q_fill = np.quantile(fill[..., c], [0.1, 0.5, 0.9])
+        q_src = np.quantile(src[:, :32, c], [0.1, 0.5, 0.9])
+        np.testing.assert_allclose(q_fill, q_src, atol=0.06)
+    # deterministic
+    out2 = matched_noise(src, mask, noise_q=1.0, color_variation=0.05)
+    np.testing.assert_allclose(out, out2)
+
+    # quantile mapping reproduces a linear transform exactly at the ends
+    v = rng.rand(500)
+    t = rng.rand(400) * 2 + 1
+    m = match_histograms_1d(v, t)
+    assert abs(m.min() - t.min()) < 1e-9 and abs(m.max() - t.max()) < 1e-9
