@@ -1,6 +1,6 @@
 """Image IO: tensor↔PIL, saving with infotext, grids, resize modes.
 
-Pure PIL/numpy (this image has no cv2); behaviour mirrors
+Pure PIL/numpy; behaviour mirrors
 modules/images.py: PNG "parameters" text chunk, filename patterns with
 dedup, grid assembly, resize modes 0-3.
 """
@@ -48,8 +48,11 @@ def sanitize_filename_part(text: str, replace_spaces=True) -> str:
 # tmp-file + atomic os.replace. flush_saves() joins the queue.
 # --------------------------------------------------------------------------
 
+import threading as _threading
+
 _save_queue = None
 _save_thread = None
+_save_init_lock = _threading.Lock()
 
 
 def _writer_loop():
@@ -75,11 +78,12 @@ def _enqueue_save(image, full, kwargs):
     import queue
     import threading
 
-    if _save_thread is None or not _save_thread.is_alive():
-        _save_queue = queue.Queue()
-        _save_thread = threading.Thread(target=_writer_loop, daemon=True)
-        _save_thread.start()
-        atexit.register(flush_saves)
+    with _save_init_lock:
+        if _save_thread is None or not _save_thread.is_alive():
+            _save_queue = queue.Queue()
+            _save_thread = threading.Thread(target=_writer_loop, daemon=True)
+            _save_thread.start()
+            atexit.register(flush_saves)
     _save_queue.put((image, full, kwargs))
 
 
