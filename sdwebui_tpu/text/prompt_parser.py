@@ -17,6 +17,23 @@ from typing import List
 # ==========================================================================
 # schedules: [from:to:when], [to:when], [from::when], [a|b|c]
 # ==========================================================================
+# Faithful to the reference's lark grammar (modules/prompt_parser.py:15-26)
+# as a hand-rolled recursive-descent parser, including its failure
+# semantics, which carry user-visible behavior:
+#   - a bracket that is not a valid schedule/alternation/emphasis is NOT a
+#     construct: its '[' becomes a stray literal char and the *content* is
+#     re-parsed at top level (nested schedules inside stay active);
+#   - a bare '|' outside a valid alternation, or a dangling '\', fails the
+#     whole prompt -> [[steps, prompt]] verbatim (lark.LarkError path);
+#   - plain text consumes escapes ('\]' does not close a bracket) and keeps
+#     them raw (unescaping happens later, in the attention parser);
+#   - the schedule number is lark SIGNED_NUMBER (exponents allowed), and
+#     the int-vs-float distinction is made on the *literal* ('.' present),
+#     not the value — "[x:2.0]" switches at 2.0*steps, "[x:2]" at step 2.
+
+class _ParseFail(Exception):
+    pass
+
 
 @dataclasses.dataclass
 class _Text:
@@ -30,9 +47,10 @@ class _Seq:
 
 @dataclasses.dataclass
 class _Sched:
-    before: "_Seq"
+    before: "_Seq | None"
     after: "_Seq"
-    when: float
+    when_raw: str                 # NUMBER literal as written (ws stripped)
+    when: int = 0                 # resolved bound, filled by _collect_steps
 
 
 @dataclasses.dataclass
@@ -40,155 +58,204 @@ class _Alt:
     options: list
 
 
-def _parse_seq(s: str, pos: int, stop_chars: str):
-    """Parse until one of stop_chars at this nesting level (or end).
+@dataclasses.dataclass
+class _Emph:
+    """!emphasized — tokens are kept, so it renders with its delimiters."""
+    parts: list                   # [p] for (p)/[p], [p1, p2] for (p1:p2)
+    square: bool = False
 
-    '(' ... ')' emphasis groups are opaque: ':' and '|' inside them are
-    plain text (so ``[a|(b:1.1)]`` alternates over 'a' and '(b:1.1)').
-    """
+
+_PLAIN_RE = re.compile(r"(?:[^\\\[\]():|]|\\.)+")
+# lark common.SIGNED_NUMBER: [+-] (INT | INT.INT? | .INT | FLOAT exp forms)
+_NUM_RE = re.compile(r"[+-]?(?:(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)")
+
+
+def _p_prompt(s: str, pos: int):
+    """Grammar `prompt`: zero or more of emphasized/scheduled/alternate/
+    plain/whitespace.  Stops (without failing) at anything else."""
     items = []
-    buf = []
-    paren_depth = 0
     while pos < len(s):
         ch = s[pos]
         if ch == "(":
-            paren_depth += 1
-        elif ch == ")" and paren_depth > 0:
-            paren_depth -= 1
-        elif ch in stop_chars and paren_depth == 0:
-            break
-        elif paren_depth > 0:
-            buf.append(ch)
-            pos += 1
-            continue
-        if ch in "()":
-            buf.append(ch)
-            pos += 1
-            continue
-        if ch == "[":
-            node, pos2 = _parse_bracket(s, pos + 1)
-            if buf:
-                items.append(_Text("".join(buf)))
-                buf = []
+            try:
+                node, pos = _p_paren(s, pos + 1)
+            except _ParseFail:
+                break
             items.append(node)
-            pos = pos2
-            continue
-        buf.append(ch)
-        pos += 1
-    if buf:
-        items.append(_Text("".join(buf)))
+        elif ch == "[":
+            try:
+                node, pos = _p_bracket(s, pos + 1)
+            except _ParseFail:
+                break
+            items.append(node)
+        else:
+            m = _PLAIN_RE.match(s, pos)
+            if m is None:
+                break
+            items.append(_Text(m.group(0)))
+            pos = m.end()
     return _Seq(items), pos
 
 
-_NUM_RE = re.compile(r"\s*[+-]?(\d+\.?\d*|\.\d+)\s*$")
+def _p_paren(s: str, pos: int):
+    """'(' prompt ')' | '(' prompt ':' prompt ')' — after the '('."""
+    p1, pos = _p_prompt(s, pos)
+    if pos < len(s) and s[pos] == ")":
+        return _Emph([p1]), pos + 1
+    if pos < len(s) and s[pos] == ":":
+        p2, pos = _p_prompt(s, pos + 1)
+        if pos < len(s) and s[pos] == ")":
+            return _Emph([p1, p2]), pos + 1
+    raise _ParseFail
 
 
-def _parse_bracket(s: str, pos: int):
-    """Parse the inside of '[...'. Returns (node, pos_after_closing)."""
-    parts = []       # sequences split by top-level ':' or '|'
+def _p_bracket(s: str, pos: int):
+    """scheduled | alternate | '[' prompt ']' — after the '['."""
+    parts = []
     seps = []
+    spans = []
     while True:
-        seq, pos = _parse_seq(s, pos, ":|]")
+        start = pos
+        seq, pos = _p_prompt(s, pos)
         parts.append(seq)
-        if pos >= len(s):        # unbalanced: treat what we got
-            break
+        spans.append(s[start:pos])
+        if pos >= len(s) or s[pos] not in ":|]":
+            raise _ParseFail
         ch = s[pos]
         pos += 1
         if ch == "]":
             break
         seps.append(ch)
 
-    if seps and all(c == "|" for c in seps):
+    if not seps:
+        return _Emph(parts, square=True), pos
+
+    if all(c == "|" for c in seps):
         return _Alt(parts), pos
 
-    if seps and seps[-1] == ":" and not any(c == "|" for c in seps):
-        when_txt = _render_all(parts[-1])
-        if _NUM_RE.fullmatch(when_txt):
-            when = float(when_txt)
-            if len(parts) == 2:          # [to:when] — appears after `when`
-                return _Sched(_Seq([]), parts[0], when), pos
-            before = parts[0]
-            after = _Seq(sum([p.items for p in parts[1:-1]], []))
-            return _Sched(before, after, when), pos
+    def number_part(i):
+        """The when-part must be [WS] NUMBER [WS] — literally, not via
+        nested constructs."""
+        raw = spans[i].strip()
+        ok = (len(parts[i].items) == 1 and isinstance(parts[i].items[0], _Text)
+              and _NUM_RE.fullmatch(raw))
+        return raw if ok else None
 
-    # not a schedule/alternation → literal bracket text
-    lit = "[" + _join_literal(parts, seps) + ("]" if pos <= len(s) and s[pos - 1] == "]" else "")
-    return _Text(lit), pos
-
-
-def _join_literal(parts, seps) -> str:
-    out = []
-    for i, p in enumerate(parts):
-        out.append(_render_all(p))
-        if i < len(seps):
-            out.append(seps[i])
-    return "".join(out)
+    if len(seps) == 1 and seps[0] == ":":
+        raw = number_part(1)
+        if raw is None:
+            raise _ParseFail
+        return _Sched(None, parts[0], raw), pos
+    if len(seps) == 2 and seps == [":", ":"]:
+        raw = number_part(2)
+        if raw is None:
+            raise _ParseFail
+        return _Sched(parts[0], parts[1], raw), pos
+    raise _ParseFail
 
 
-def _render_all(node) -> str:
-    """Render ignoring schedules (used to test if a part is a number, and to
-    reproduce literal text for non-schedule brackets)."""
-    if isinstance(node, _Text):
-        return node.s
-    if isinstance(node, _Seq):
-        return "".join(_render_all(i) for i in node.items)
-    if isinstance(node, _Sched):
-        return _render_all(node.before) + ":" + _render_all(node.after) + f":{node.when:g}"
-    if isinstance(node, _Alt):
-        return "|".join(_render_all(o) for o in node.options)
-    raise TypeError(node)
+def _p_start(s: str):
+    """Grammar `start`: (prompt | stray "][():"+)*.  A '|' or dangling '\\'
+    that no rule covers fails the whole prompt (lark.LarkError path)."""
+    items = []
+    pos = 0
+    while pos < len(s):
+        seq, pos = _p_prompt(s, pos)
+        items.extend(seq.items)
+        if pos >= len(s):
+            break
+        if s[pos] in "[]():":
+            items.append(_Text(s[pos]))
+            pos += 1
+        else:                     # '|' or dangling '\'
+            raise _ParseFail
+    return _Seq(items)
 
 
-def _bound(when: float, steps: int) -> int:
-    return int(when * steps) if when < 1 else int(when)
-
-
-def _collect_steps(node, steps: int, out: set):
+def _collect_steps(node, steps: int, out: set,
+                   int_offset: int, flt_offset: float,
+                   use_old_scheduling: bool):
+    """Visit schedules, resolving each NUMBER literal to an integer bound
+    (mutating node.when, as the reference's CollectSteps visitor does)."""
     if isinstance(node, _Seq):
         for i in node.items:
-            _collect_steps(i, steps, out)
+            _collect_steps(i, steps, out, int_offset, flt_offset,
+                           use_old_scheduling)
+    elif isinstance(node, _Emph):
+        for p in node.parts:
+            _collect_steps(p, steps, out, int_offset, flt_offset,
+                           use_old_scheduling)
     elif isinstance(node, _Sched):
-        b = _bound(node.when, steps)
-        if 0 < b < steps:
-            out.add(b)
-        _collect_steps(node.before, steps, out)
-        _collect_steps(node.after, steps, out)
+        v = float(node.when_raw)
+        if use_old_scheduling:
+            v = v * steps if v < 1 else v
+        elif "." in node.when_raw:
+            v = (v - flt_offset) * steps
+        else:
+            v = v - int_offset
+        node.when = min(steps, int(v))
+        if node.when >= 1:
+            out.add(node.when)
+        if node.before is not None:
+            _collect_steps(node.before, steps, out, int_offset, flt_offset,
+                           use_old_scheduling)
+        _collect_steps(node.after, steps, out, int_offset, flt_offset,
+                       use_old_scheduling)
     elif isinstance(node, _Alt):
-        out.update(range(1, steps))  # boundary at every step
+        out.update(range(1, steps + 1))
         for o in node.options:
-            _collect_steps(o, steps, out)
+            _collect_steps(o, steps, out, int_offset, flt_offset,
+                           use_old_scheduling)
 
 
-def _render_at(node, step: int, steps: int) -> str:
+def _render_at(node, step: int) -> str:
     if isinstance(node, _Text):
         return node.s
     if isinstance(node, _Seq):
-        return "".join(_render_at(i, step, steps) for i in node.items)
+        return "".join(_render_at(i, step) for i in node.items)
+    if isinstance(node, _Emph):
+        inner = (":".join(_render_at(p, step) for p in node.parts))
+        return ("[" + inner + "]") if node.square else ("(" + inner + ")")
     if isinstance(node, _Sched):
-        chosen = node.before if step <= _bound(node.when, steps) else node.after
-        return _render_at(chosen, step, steps)
+        if step <= node.when:
+            return _render_at(node.before, step) if node.before is not None else ""
+        return _render_at(node.after, step)
     if isinstance(node, _Alt):
         opt = node.options[(step - 1) % len(node.options)]
-        return _render_at(opt, step, steps)
+        return _render_at(opt, step)
     raise TypeError(node)
 
 
-def get_prompt_schedule(prompt: str, steps: int) -> List[list]:
+def get_prompt_schedule(prompt: str, steps: int, hires_steps: int | None = None,
+                        use_old_scheduling: bool = False) -> List[list]:
     """[[end_step, prompt_text], ...] — reference
-    get_learned_conditioning_prompt_schedules semantics for one prompt."""
-    tree, _ = _parse_seq(prompt, 0, "")
-    bounds: set = set()
-    _collect_steps(tree, steps, bounds)
-    keypoints = sorted(bounds) + [steps]
-    return [[b, _render_at(tree, b, steps)] for b in keypoints]
+    get_learned_conditioning_prompt_schedules semantics for one prompt.
+
+    With ``hires_steps`` (and new-style scheduling), schedule numbers
+    continue past the first pass: integers are offset by ``steps``, floats
+    by 1.0 — reference modules/prompt_parser.py:69-74."""
+    if hires_steps is None or use_old_scheduling:
+        int_offset, flt_offset, eff_steps = 0, 0.0, steps
+    else:
+        int_offset, flt_offset, eff_steps = steps, 1.0, hires_steps
+    try:
+        tree = _p_start(prompt)
+    except _ParseFail:
+        return [[eff_steps, prompt]]
+    bounds: set = {eff_steps}
+    _collect_steps(tree, eff_steps, bounds, int_offset, flt_offset,
+                   use_old_scheduling)
+    return [[b, _render_at(tree, b)] for b in sorted(bounds)]
 
 
-def get_prompt_schedules(prompts, steps: int):
+def get_prompt_schedules(prompts, steps: int, hires_steps: int | None = None,
+                         use_old_scheduling: bool = False):
     cache = {}
     out = []
     for p in prompts:
         if p not in cache:
-            cache[p] = get_prompt_schedule(p, steps)
+            cache[p] = get_prompt_schedule(p, steps, hires_steps,
+                                           use_old_scheduling)
         out.append(cache[p])
     return out
 
@@ -240,8 +307,10 @@ def parse_prompt_attention(text: str) -> List[list]:
             for i, part in enumerate(parts):
                 if i > 0:
                     res.append(["BREAK", -1])
-                if part:
-                    res.append([part, 1.0])
+                # empty parts are appended too (reference behaviour): they
+                # keep a bracketed BREAK's weight ≠ -1, which downstream
+                # treats as literal text, not a chunk break
+                res.append([part, 1.0])
 
     for pos in round_brackets:
         multiply_range(pos, round_bracket_multiplier)
@@ -254,7 +323,7 @@ def parse_prompt_attention(text: str) -> List[list]:
     # merge runs with identical weight
     i = 0
     while i + 1 < len(res):
-        if res[i][1] == res[i + 1][1] and res[i][0] != "BREAK" and res[i + 1][0] != "BREAK":
+        if res[i][1] == res[i + 1][1]:
             res[i][0] += res[i + 1][0]
             del res[i + 1]
         else:

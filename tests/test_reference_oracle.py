@@ -1,0 +1,498 @@
+"""Parity tests where the oracle is the reference's OWN code, imported
+verbatim from /root/reference (see tests/reference_oracle.py for the import
+mechanics and the exact stub inventory).
+
+These replace builder-authored torch twins for every subsystem whose
+reference implementation runs in-image: Philox RNG, prompt attention +
+schedule parsing, the 12 sigma schedulers, the DeepDanbooru graph, SD3's
+MMDiT, sub-quadratic attention (the flash-kernel math oracle), and the
+in-repo timestep samplers (DDIM/PLMS).  A failure here means real semantic
+drift from AUTOMATIC1111/stable-diffusion-webui, not twin-vs-twin agreement.
+"""
+
+import sys
+import os
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import reference_oracle as ro  # noqa: E402
+
+
+# ===========================================================================
+# 1. Philox RNG — bit-exact vs reference modules/rng_philox.py
+# ===========================================================================
+
+SEEDS = [0, 1, 2, 42, 1234567, 2**31 - 1, 2**31, 2**63 - 1, 0xDEADBEEF]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_philox_bit_exact(seed):
+    ref = ro.load("modules.rng_philox")
+    from sdwebui_tpu.rng.philox import PhiloxGenerator
+
+    g_ref = ref.Generator(seed)
+    g_our = PhiloxGenerator(seed)
+    for shape in [(3, 4), (1,), (2, 3, 5), (64,), (17, 9)]:
+        np.testing.assert_array_equal(g_our.randn(shape), g_ref.randn(shape),
+                                      err_msg=f"seed={seed} shape={shape}")
+
+
+def test_philox_batch_matches_sequential_reference():
+    ref = ro.load("modules.rng_philox")
+    from sdwebui_tpu.rng.philox import PhiloxGenerator
+
+    g_ref = ref.Generator(77)
+    expected = np.stack([g_ref.randn((4, 4, 2)) for _ in range(6)])
+    got = PhiloxGenerator(77).randn_batch(6, (4, 4, 2))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_philox_native_kernel_bit_exact():
+    """The C++ multithreaded path (large contiguous requests) vs reference."""
+    from sdwebui_tpu import native
+
+    if not native.available():  # pragma: no cover
+        pytest.skip("native library not built")
+    ref = ro.load("modules.rng_philox")
+    from sdwebui_tpu.rng.philox import randn_at
+
+    n = 1 << 16  # big enough to route through native.philox_randn
+    got = randn_at(9001, np.arange(8, dtype=np.uint32), n)
+    g_ref = ref.Generator(9001)
+    expected = np.stack([g_ref.randn((n,)) for _ in range(8)])
+    np.testing.assert_array_equal(got, expected)
+
+
+# ===========================================================================
+# 2. Prompt parser — attention weights + editing/alternation schedules
+# ===========================================================================
+
+ATTENTION_CORPUS = [
+    "normal text",
+    "an (important) word",
+    "(unbalanced",
+    r"\(literal\]",
+    "(unnecessary)(parens)",
+    "a (((house:1.3)) [on] a (hill:0.5), sun, (((sky))).",
+    "(a:1.5) ((b)) [[c]] d:2",
+    "a BREAK b",
+    "x (y:0.0) z",
+    "nested ((a (b:1.1) c):0.8) end",
+    "[a|b|c] alternating",
+    "trailing space ",
+    "",
+    "colon in (text: stuff)",
+    "numbers 1.5 raw (2:2.0)",
+    r"escaped \\ backslash \(paren\)",
+    "unic(ode): (тест:1.2) 日本語",
+]
+
+
+def _fuzz_prompts(n, seed, scheduling=False):
+    rng = np.random.default_rng(seed)
+    words = ["cat", "dog", "sky", "a", "masterpiece", "BREAK", "blue,",
+             "0.5", "x:1.2", "tree"]
+    out = []
+    for _ in range(n):
+        parts = []
+        depth_tokens = []
+        for _ in range(rng.integers(1, 14)):
+            r = rng.random()
+            if r < 0.45:
+                parts.append(rng.choice(words))
+            elif r < 0.6:
+                parts.append(rng.choice(["(", "[", ")", "]"]
+                                        if not scheduling else ["[", "]"]))
+            elif r < 0.7 and scheduling:
+                parts.append(f"[{rng.choice(words)}:{rng.choice(words)}:"
+                             f"{rng.choice(['0.3', '0.75', '5', '12', '1'])}]")
+            elif r < 0.8 and scheduling:
+                parts.append(f"[{rng.choice(words)}|{rng.choice(words)}]")
+            elif r < 0.9:
+                parts.append(f"({rng.choice(words)}:{rng.uniform(0, 2):.2f})")
+            else:
+                parts.append(f"[{rng.choice(words)}]")
+        out.append(" ".join(parts))
+        del depth_tokens
+    return out
+
+
+@pytest.mark.parametrize("text", ATTENTION_CORPUS)
+def test_parse_prompt_attention_corpus(text):
+    ref = ro.load("modules.prompt_parser")
+    from sdwebui_tpu.text.prompt_parser import parse_prompt_attention
+
+    assert parse_prompt_attention(text) == ref.parse_prompt_attention(text)
+
+
+def test_parse_prompt_attention_fuzz():
+    ref = ro.load("modules.prompt_parser")
+    from sdwebui_tpu.text.prompt_parser import parse_prompt_attention
+
+    for text in _fuzz_prompts(300, seed=11):
+        assert parse_prompt_attention(text) == ref.parse_prompt_attention(text), \
+            f"attention mismatch on {text!r}"
+
+
+SCHEDULE_CORPUS = [
+    "test",
+    "a [b:3]",
+    "a [b: 3]",
+    "a [[[b]]:2]",
+    "[(a:2):3]",
+    "a [b:c:1] d",
+    "a [b:c:0.3] d",
+    "[a:b:0.5] and [c|d] mix",
+    "[a|b]",
+    "[a|(b:1.1)]",
+    "[a:0.5] fade in",
+    "[a::0.5] fade out",
+    "nested [x:[y:z:0.7]:0.3]",
+    "[unbalanced:0.4",
+    "plain (emphasis:1.2) only",
+]
+
+
+@pytest.mark.parametrize("steps", [1, 7, 10, 20])
+def test_prompt_schedules_corpus(steps):
+    ref = ro.load("modules.prompt_parser")
+    from sdwebui_tpu.text.prompt_parser import get_prompt_schedules
+
+    for text in SCHEDULE_CORPUS:
+        expected = ref.get_learned_conditioning_prompt_schedules([text], steps)[0]
+        got = get_prompt_schedules([text], steps)[0]
+        assert got == expected, f"schedule mismatch steps={steps} on {text!r}"
+
+
+def test_prompt_schedules_fuzz():
+    ref = ro.load("modules.prompt_parser")
+    from sdwebui_tpu.text.prompt_parser import get_prompt_schedules
+
+    for text in _fuzz_prompts(200, seed=23, scheduling=True):
+        for steps in (7, 20):
+            expected = ref.get_learned_conditioning_prompt_schedules(
+                [text], steps)[0]
+            got = get_prompt_schedules([text], steps)[0]
+            assert got == expected, \
+                f"schedule mismatch steps={steps} on {text!r}"
+
+
+def test_multicond_weights():
+    """AND-composition weight parsing (reference re_AND / re_weight)."""
+    ref = ro.load("modules.prompt_parser")
+    from sdwebui_tpu.text.prompt_parser import split_multicond
+
+    for text in ["a AND b", "a :1.5 AND b :0.3", "a AND b :2 AND c",
+                 "no and here", "x:0.0 AND y", "a (b:1.2) AND (c) :0.7"]:
+        res_indexes, flat, _ = ref.get_multicond_prompt_list([text])
+        ref_pairs = [(flat[i], w) for i, w in res_indexes[0]]
+        got = [(sp.text, sp.weight) for sp in split_multicond(text)]
+        assert got == ref_pairs, f"multicond mismatch on {text!r}"
+
+
+# ===========================================================================
+# 3. Sigma schedulers — all 12 vs reference modules/sd_schedulers.py
+# ===========================================================================
+
+def _kdiffusion_inner_model(ac):
+    """k-diffusion DiscreteSchedule contract (the reference wraps ldm models
+    with it; repo cloned at launch — crowsonkb/k-diffusion, sampling.py).
+    Only used to satisfy the reference schedulers' `inner_model` argument."""
+    import torch
+
+    class _KD:
+        def __init__(self, ac):
+            ac = torch.as_tensor(ac, dtype=torch.float32)
+            self.sigmas = ((1 - ac) / ac) ** 0.5
+            self.log_sigmas = self.sigmas.log()
+
+        def get_sigmas(self, n):
+            t_max = len(self.sigmas) - 1
+            t = torch.linspace(t_max, 0, n)
+            return torch.cat([self.t_to_sigma(t), self.sigmas.new_zeros([1])])
+
+        def t_to_sigma(self, t):
+            t = t.float()
+            low_idx, high_idx, w = t.floor().long(), t.ceil().long(), t.frac()
+            log_sigma = ((1 - w) * self.log_sigmas[low_idx]
+                         + w * self.log_sigmas[high_idx])
+            return log_sigma.exp()
+
+        def sigma_to_t(self, sigma):
+            log_sigma = sigma.log()
+            dists = log_sigma - self.log_sigmas[:, None]
+            low_idx = dists.ge(0).cumsum(dim=0).argmax(dim=0).clamp(
+                max=self.log_sigmas.shape[0] - 2)
+            high_idx = low_idx + 1
+            low, high = self.log_sigmas[low_idx], self.log_sigmas[high_idx]
+            w = ((low - log_sigma) / (low - high)).clamp(0, 1)
+            t = (1 - w) * low_idx + w * high_idx
+            return t.view(sigma.shape)
+
+    return _KD(ac)
+
+
+@pytest.mark.parametrize("n", [2, 8, 20, 50])
+def test_schedulers_vs_reference(n):
+    import torch
+
+    ref = ro.load("modules.sd_schedulers")
+    from sdwebui_tpu.sampling.discretization import (Discretization,
+                                                     make_alphas_cumprod)
+    from sdwebui_tpu.sampling.schedulers import get_schedule
+
+    ac = make_alphas_cumprod()
+    disc = Discretization(ac)
+    inner = _kdiffusion_inner_model(ac)
+    smin, smax = float(inner.sigmas[0]), float(inner.sigmas[-1])
+
+    for sched in ref.schedulers:
+        if sched.name == "automatic":
+            continue
+        if sched.need_inner_model:
+            expected = sched.function(n, smin, smax, inner, "cpu")
+        elif sched.name in ("karras", "exponential", "polyexponential"):
+            kw = {"rho": sched.default_rho} if sched.default_rho != -1 else {}
+            expected = sched.function(n, smin, smax, device="cpu", **kw)
+        else:
+            expected = sched.function(n, smin, smax, "cpu")
+        expected = np.asarray(torch.as_tensor(expected), np.float64)
+        got = get_schedule(sched.name, n, disc)
+        # kl_optimal / align_your_steps return n+1 sigmas without a final 0
+        # in the reference too — shapes must agree exactly
+        assert got.shape == expected.shape, \
+            f"{sched.name}: shape {got.shape} != {expected.shape}"
+        np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-6,
+                                   err_msg=f"scheduler {sched.name} n={n}")
+
+
+def test_scheduler_ays_sdxl_table():
+    import torch
+
+    ref = ro.load("modules.sd_schedulers")
+    shared = ro.install_stubs()
+    from sdwebui_tpu.sampling.discretization import (Discretization,
+                                                     make_alphas_cumprod)
+    from sdwebui_tpu.sampling.schedulers import get_schedule
+
+    disc = Discretization(make_alphas_cumprod())
+    try:
+        shared.sd_model.is_sdxl = True
+        expected = np.asarray(torch.as_tensor(
+            ref.get_align_your_steps_sigmas(13, disc.sigma_min,
+                                            disc.sigma_max, "cpu")), np.float64)
+    finally:
+        shared.sd_model.is_sdxl = False
+    got = get_schedule("align_your_steps", 13, disc, is_sdxl=True)
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-6)
+
+
+# ===========================================================================
+# 4. Sub-quadratic attention — math oracle for the flash kernel
+# ===========================================================================
+
+def _attention_case(bh, sq, skv, d, seed):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((bh, sq, d)).astype(np.float32)
+    k = rng.standard_normal((bh, skv, d)).astype(np.float32)
+    v = rng.standard_normal((bh, skv, d)).astype(np.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("shape", [(4, 256, 256, 40), (2, 333, 77, 64),
+                                   (1, 1024, 1024, 40), (3, 100, 500, 8)])
+def test_xla_attention_vs_subquadratic(shape):
+    import torch
+
+    sq_mod = ro.load("modules.sub_quadratic_attention")
+    from sdwebui_tpu.ops.attention import xla_attention
+
+    q, k, v = _attention_case(*shape, seed=5)
+    expected = sq_mod.efficient_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+        query_chunk_size=64, kv_chunk_size=48, use_checkpoint=False).numpy()
+    got = np.asarray(xla_attention(q, k, v))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 256, 256, 40), (1, 300, 500, 64)])
+def test_flash_kernel_vs_subquadratic(shape):
+    """Pallas flash kernel (interpret mode on CPU) vs the reference's
+    chunked-softmax implementation — same math, independent code paths."""
+    import torch
+
+    sq_mod = ro.load("modules.sub_quadratic_attention")
+    from sdwebui_tpu.ops.flash_attention import flash_attention
+
+    q, k, v = _attention_case(*shape, seed=7)
+    expected = sq_mod.efficient_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+        query_chunk_size=96, kv_chunk_size=128, use_checkpoint=False).numpy()
+    got = np.asarray(flash_attention(
+        __import__("jax.numpy", fromlist=["asarray"]).asarray(q),
+        __import__("jax.numpy", fromlist=["asarray"]).asarray(k),
+        __import__("jax.numpy", fromlist=["asarray"]).asarray(v),
+        block_q=128, block_kv=128, interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
+# ===========================================================================
+# 5. DeepDanbooru — reference graph state dict → our loader → forward parity
+# ===========================================================================
+
+@pytest.mark.slow
+def test_deepbooru_reference_state_dict_forward():
+    """Instantiate the reference's full 179-conv DeepDanbooru graph
+    (modules/deepbooru_model.py), push its randomly-initialized state dict
+    through our converter, and compare forwards.  Catches key-mapping and
+    wiring bugs a builder-authored twin structurally cannot."""
+    import torch
+
+    dm = ro.load("modules.deepbooru_model")
+    from sdwebui_tpu.models import deepbooru as db
+
+    torch.manual_seed(0)
+    model = dm.DeepDanbooruModel().eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params, _tags = db.convert_deepbooru(sd)
+
+    rng = np.random.default_rng(3)
+    x = rng.random((1, 128, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(x)).numpy()
+    got = np.asarray(db.apply(params, x))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-4)
+
+
+# ===========================================================================
+# 6. SD3 MMDiT — reference torch model state dict → our loader → forward
+# ===========================================================================
+
+@pytest.mark.slow
+def test_mmdit_reference_state_dict_forward():
+    import torch
+
+    mm = ro.load("modules.models.sd3.mmdit")
+    from sdwebui_tpu.loader.convert import convert_mmdit
+    from sdwebui_tpu.models import mmdit as our_mmdit
+
+    torch.manual_seed(1)
+    depth = 4
+    model = mm.MMDiT(
+        input_size=None, pos_embed_max_size=16, patch_size=2, in_channels=16,
+        depth=depth, num_patches=16 * 16, adm_in_channels=64,
+        context_embedder_config={"target": "torch.nn.Linear",
+                                 "params": {"in_features": 96,
+                                            "out_features": 64 * depth}},
+    ).eval()
+    sd = {"model.diffusion_model." + k: v.numpy()
+          for k, v in model.state_dict().items()}
+    params, cfg = convert_mmdit(sd)
+    assert cfg.depth == depth and cfg.context_dim == 96 and cfg.pooled_dim == 64
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 8, 8, 16)).astype(np.float32)
+    t = np.array([999.0, 350.0], np.float32)
+    ctx = rng.standard_normal((2, 77, 96)).astype(np.float32)
+    y = rng.standard_normal((2, 64)).astype(np.float32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(x).permute(0, 3, 1, 2),
+                         torch.from_numpy(t),
+                         y=torch.from_numpy(y),
+                         context=torch.from_numpy(ctx)
+                         ).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(our_mmdit.apply(params, cfg, x, t, ctx, y))
+    np.testing.assert_allclose(got, expected, rtol=5e-4, atol=5e-4)
+
+
+# ===========================================================================
+# 7. Timestep samplers — DDIM / PLMS trajectory parity (VP ↔ VE mapping)
+# ===========================================================================
+
+def _eps_np(x, t):
+    """Shared analytic 'network': identical formula in torch and jax."""
+    return np.sin(x * 1.7) * 0.9 + 0.05 * x * np.cos(t / 100.0)
+
+
+def _run_reference_timestep_sampler(name, ac, x0, timesteps):
+    import torch
+
+    impl = ro.load("modules.sd_samplers_timesteps_impl")
+
+    class _Chain:
+        def __init__(self):
+            inner2 = type("I2", (), {})()
+            inner2.alphas_cumprod = torch.as_tensor(ac, dtype=torch.float32)
+            inner = type("I1", (), {})()
+            inner.inner_model = inner2
+            self.inner_model = inner
+
+        def __call__(self, x, ts, **kw):
+            t = ts.view(-1, 1, 1, 1).float()
+            return torch.sin(x * 1.7) * 0.9 + 0.05 * x * torch.cos(t / 100.0)
+
+    states = []
+    fn = getattr(impl, name)
+    out = fn(_Chain(), torch.from_numpy(x0.copy()),
+             torch.as_tensor(timesteps), disable=True,
+             callback=lambda d: states.append(d["x"].numpy().copy()))
+    return out.numpy(), states
+
+
+def _run_our_timestep_sampler(solver, disc, x0, timesteps):
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.sampling.sampler import sample
+
+    t_desc = timesteps[::-1].astype(np.float64)          # [951, 901, ..., 1]
+    sigmas = disc.sigmas[t_desc.astype(int)]             # descending σ
+    log_sigmas = jnp.asarray(disc.log_sigmas, jnp.float32)
+
+    def model(x, sigma, i):
+        a = 1.0 / (1.0 + sigma ** 2)
+        t = jnp.argmin(jnp.abs(jnp.log(jnp.maximum(sigma, 1e-12))
+                               - log_sigmas)).astype(jnp.float32)
+        x_vp = x * jnp.sqrt(a)
+        eps = jnp.sin(x_vp * 1.7) * 0.9 + 0.05 * x_vp * jnp.cos(t / 100.0)
+        return x - sigma * eps
+
+    states = []
+    # VP noise (std-normal start) → VE: divide by sqrt(a(sigma_max))
+    a0 = 1.0 / (1.0 + float(sigmas[0]) ** 2)
+    x = jnp.asarray(x0 / np.sqrt(a0), jnp.float32)
+    out = sample(model, x, sigmas.astype(np.float32), solver=solver,
+                 mode="loop", callback=lambda i, xs: states.append(
+                     np.asarray(xs) * np.sqrt(1.0 / (1.0 + float(sigmas[i + 1]) ** 2))))
+    return np.asarray(out) * np.sqrt(1.0 / (1.0 + float(sigmas[-1]) ** 2)), states
+
+
+@pytest.mark.parametrize("name,solver", [("ddim", "ddim"), ("plms", "plms")])
+def test_timestep_sampler_trajectory_parity(name, solver):
+    """The reference's in-repo DDIM/PLMS loops (alphas domain) vs our VE-space
+    scan steps: identical ε-network, identical integer-timestep grid, every
+    intermediate state must map exactly under x_vp = x_ve·√a(σ)."""
+    from sdwebui_tpu.sampling.discretization import (Discretization,
+                                                     make_alphas_cumprod)
+
+    ac = make_alphas_cumprod()
+    disc = Discretization(ac)
+    steps = 20
+    timesteps = np.clip(np.arange(0, 1000, 1000 // steps) + 1, 0, 999)
+
+    rng = np.random.default_rng(9)
+    x0 = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+
+    expected, ref_states = _run_reference_timestep_sampler(
+        name, ac, x0, timesteps)
+    got, our_states = _run_our_timestep_sampler(solver, disc, x0, timesteps)
+
+    assert len(ref_states) == len(our_states) == steps - 1, \
+        (len(ref_states), len(our_states))
+    for i, (r, o) in enumerate(zip(ref_states, our_states)):
+        np.testing.assert_allclose(o, r, rtol=3e-4, atol=3e-5,
+                                   err_msg=f"{name} state {i}")
+    np.testing.assert_allclose(got, expected, rtol=3e-4, atol=3e-5)
