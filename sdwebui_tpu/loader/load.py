@@ -78,10 +78,17 @@ def resolve_vae(checkpoint_path: str, vae_dirs=("models/VAE",)) -> str | None:
     return None
 
 
+loaded_vae_file: str | None = None
+"""Path of the external VAE currently merged into the live model (the
+reference tracks this as sd_vae.loaded_vae_file; [vae_filename] pattern)."""
+
+
 def load_external_vae(path: str, scale_factor: float = 0.18215):
     """Standalone .vae.pt/.safetensors → (vae_tree, VAEConfig) — the
     reference's VAE selection chain (modules/sd_vae.py:168 resolve_vae →
     load_vae). Keys may carry the first_stage_model prefix or be bare."""
+    global loaded_vae_file
+    loaded_vae_file = path
     sd = read_checkpoint(path)
     prefix = "first_stage_model." if any(
         k.startswith("first_stage_model.") for k in sd) else ""

@@ -298,8 +298,11 @@ def _process_img2img(model: SDModel, p: GenerationParams,
                                    extra={"Denoising strength": p.denoising_strength})
             infotexts.append(info)
             if outdir and not p.do_not_save_samples:
+                p.batch_index, p.iteration = i, n
+                p.sd_model_name, p.sd_model_hash = model.title, model.sha256[:10]
                 images_util.save_image(img, outdir, seed=seeds[i],
-                                       prompt=p.all_prompts[lo + i], info=info)
+                                       prompt=p.all_prompts[lo + i], info=info,
+                                       p=p)
         all_images.extend(pils)
         if callback is not None:
             callback("batch_done", n, pils)

@@ -88,6 +88,12 @@ class GenerationParams:
     all_negative_prompts: List[str] = dataclasses.field(default_factory=list)
     all_seeds: List[int] = dataclasses.field(default_factory=list)
     all_subseeds: List[int] = dataclasses.field(default_factory=list)
+    batch_index: int = 0              # index within the current batch
+    iteration: int = 0                # current n_iter loop index
+    job_timestamp: str = ""           # set at job start (filename patterns)
+    user: str = ""                    # API auth user, if any
+    sd_model_name: str = ""           # loaded checkpoint title
+    sd_model_hash: str = ""           # loaded checkpoint short hash
 
     def latent_size(self):
         return self.height // 8, self.width // 8

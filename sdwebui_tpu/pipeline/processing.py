@@ -813,8 +813,11 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
             info = create_infotext(p, model, lo + i)
             infotexts.append(info)
             if outdir and not p.do_not_save_samples:
+                p.batch_index, p.iteration = i, n
+                p.sd_model_name, p.sd_model_hash = model.title, model.sha256[:10]
                 images_util.save_image(img, outdir, seed=seeds[i],
-                                       prompt=p.all_prompts[lo + i], info=info)
+                                       prompt=p.all_prompts[lo + i], info=info,
+                                       p=p)
         all_images.extend(pils)
         jt.record("postprocess_and_save")
         if _os.environ.get("SDTPU_STAGE_TIMING"):

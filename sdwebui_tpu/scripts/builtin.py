@@ -99,9 +99,29 @@ def parse_axis_values(axis: str, values) -> list:
     return out
 
 
+def _ui(name, label, type="text", default="", choices=None):
+    d = {"name": name, "label": label, "type": type, "default": default}
+    if choices is not None:
+        d["choices"] = choices
+    return d
+
+
+_ALL_AXES = list(AXIS_OPTIONS) + list(OPTS_AXES)
+
+
 @register_script
 class XYZPlot(Script):
     name = "X/Y/Z plot"
+    ui_params = [
+        _ui("x_axis", "X type", "select", "Nothing", _ALL_AXES),
+        _ui("x_values", "X values"),
+        _ui("y_axis", "Y type", "select", "Nothing", _ALL_AXES),
+        _ui("y_values", "Y values"),
+        _ui("z_axis", "Z type", "select", "Nothing", _ALL_AXES),
+        _ui("z_values", "Z values"),
+        _ui("draw_legend", "Draw legend", "checkbox", True),
+        _ui("include_sub_grids", "Include Sub Grids", "checkbox", False),
+    ]
 
     def run(self, engine, p: GenerationParams,
             x_axis="Nothing", x_values="", y_axis="Nothing", y_values="",
@@ -171,12 +191,37 @@ class XYZPlot(Script):
                 rows.append(row_imgs)
             cell_rows.append(rows)
 
-        # grid assembly: one big grid per z
+        # grid assembly: one grid per z, annotated like the reference's
+        # draw_xyz_grid (scripts/xyz_grid.py:287-395) — x labels above,
+        # y labels left, z titles on the stacked z-grid
+        from sdwebui_tpu.utils.grid_annotations import (GridAnnotation,
+                                                        draw_grid_annotations)
+
+        def _label(axis, val):
+            return "" if axis == "Nothing" else f"{axis}: {val}"
+
         grids = []
         for rows in cell_rows:
             flat = [im for row in rows for im in row]
-            if flat:
-                grids.append(images_util.image_grid(flat, rows=len(rows)))
+            if not flat:
+                continue
+            grid = images_util.image_grid(flat, rows=len(rows))
+            if draw_legend:
+                w = max(im.width for im in flat)
+                h = max(im.height for im in flat)
+                hor = [[GridAnnotation(_label(x_axis, v))] for v in xs]
+                ver = [[GridAnnotation(_label(y_axis, v))] for v in ys]
+                grid = draw_grid_annotations(grid, w, h, hor, ver)
+            grids.append(grid)
+        if len(grids) > 1:
+            z_grid = images_util.image_grid(grids, rows=1)
+            if draw_legend:
+                w = max(g.width for g in grids)
+                h = max(g.height for g in grids)
+                titles = [[GridAnnotation(_label(z_axis, v))] for v in zs]
+                z_grid = draw_grid_annotations(z_grid, w, h, titles,
+                                               [[GridAnnotation()]])
+            grids = [z_grid] + (grids if include_sub_grids else [])
         result_images = grids + all_images
         return Processed(
             images=result_images, params=p,
@@ -196,6 +241,10 @@ class XYZPlot(Script):
 @register_script
 class PromptMatrix(Script):
     name = "Prompt matrix"
+    ui_params = [
+        _ui("put_at_start", "Put variable parts at start of prompt",
+            "checkbox", False),
+    ]
 
     def run(self, engine, p: GenerationParams, put_at_start=False, *rest):
         parts = [s.strip() for s in p.prompt.split("|")]
@@ -216,6 +265,12 @@ class PromptMatrix(Script):
             all_images.extend(res.images)
             infotexts.extend(res.infotexts)
         grid = images_util.image_grid(all_images, rows=1 << (len(variable) // 2))
+        # legend: active parts plain, inactive struck through (reference
+        # scripts/prompt_matrix.py + modules/images.py:239)
+        from sdwebui_tpu.utils.grid_annotations import draw_prompt_matrix
+
+        grid = draw_prompt_matrix(grid, all_images[0].width,
+                                  all_images[0].height, parts)
         return Processed(images=[grid] + all_images, params=p,
                          seed=first.seed, subseed=first.subseed,
                          infotexts=infotexts[:1] + infotexts,
@@ -230,6 +285,12 @@ class PromptMatrix(Script):
 @register_script
 class PromptsFromFile(Script):
     name = "Prompts from file or textbox"
+    ui_params = [
+        _ui("checkbox_iterate", "Iterate seed every line", "checkbox", False),
+        _ui("checkbox_iterate_batch", "Use same random seed for all lines",
+            "checkbox", False),
+        _ui("prompt_txt", "List of prompt inputs", "textarea", ""),
+    ]
 
     def run(self, engine, p: GenerationParams, checkbox_iterate=False,
             checkbox_iterate_batch=False, prompt_txt="", *rest):
@@ -262,6 +323,13 @@ class PromptsFromFile(Script):
 @register_script
 class Loopback(Script):
     name = "Loopback"
+    ui_params = [
+        _ui("loops", "Loops", "number", 4),
+        _ui("final_denoising_strength", "Final denoising strength",
+            "number", 0.5),
+        _ui("denoising_curve", "Denoising strength curve", "select", "Linear",
+            ["Aggressive", "Linear", "Lazy"]),
+    ]
 
     def run(self, engine, p: GenerationParams, loops=4,
             final_denoising_strength=0.5, denoising_curve="Linear", *rest):
@@ -302,6 +370,11 @@ class Loopback(Script):
 @register_script
 class SDUpscale(Script):
     name = "SD upscale"
+    ui_params = [
+        _ui("tile_overlap", "Tile overlap", "number", 64),
+        _ui("upscaler_name", "Upscaler", "select", "Lanczos", "upscalers"),
+        _ui("scale_factor", "Scale factor", "number", 2.0),
+    ]
 
     def run(self, engine, p: GenerationParams, tile_overlap=64,
             upscaler_name="Lanczos", scale_factor=2.0, *rest):
@@ -362,6 +435,14 @@ def _expand_canvas(image, pixels, directions):
 @register_script
 class PoorMansOutpainting(Script):
     name = "Poor man's outpainting"
+    ui_params = [
+        _ui("pixels", "Pixels to expand", "number", 64),
+        _ui("mask_blur", "Mask blur", "number", 4),
+        _ui("inpainting_fill", "Masked content (0 fill/1 original/2 noise/3 nothing)",
+            "number", 1),
+        _ui("direction", "Outpainting direction (comma separated)", "text",
+            "left, right, up, down"),
+    ]
 
     def run(self, engine, p: GenerationParams, pixels=64, mask_blur=4,
             inpainting_fill=1, direction=("left", "right", "up", "down"), *rest):
@@ -385,6 +466,14 @@ class PoorMansOutpainting(Script):
 @register_script
 class OutpaintingMk2(Script):
     name = "Outpainting mk2"
+    ui_params = [
+        _ui("pixels", "Pixels to expand", "number", 128),
+        _ui("mask_blur", "Mask blur", "number", 8),
+        _ui("direction", "Outpainting direction (comma separated)", "text",
+            "left, right, up, down"),
+        _ui("noise_q", "Fall-off exponent (lower=higher detail)", "number", 1.0),
+        _ui("color_variation", "Color variation", "number", 0.05),
+    ]
 
     def run(self, engine, p: GenerationParams, pixels=128, mask_blur=8,
             direction=("left", "right", "up", "down"),
@@ -422,6 +511,14 @@ class OutpaintingMk2(Script):
 
 @register_script
 class Img2ImgAlternative(Script):
+    ui_params = [
+        _ui("original_prompt", "Original prompt"),
+        _ui("original_negative_prompt", "Original negative prompt"),
+        _ui("override_steps", "Override `Sampling Steps` to the same value as `Decode steps`",
+            "checkbox", True),
+        _ui("st", "Decode steps", "number", 50),
+        _ui("cfg", "Decode CFG scale", "number", 2.0),
+    ]
     """Reverse-Euler reconstruction img2img (reference
     scripts/img2imgalt.py): recover the noise that would produce the init
     image under the ORIGINAL prompt, then denoise with the new prompt.
@@ -473,6 +570,10 @@ class Img2ImgAlternative(Script):
 
 @register_script
 class CustomCode(Script):
+    ui_params = [
+        _ui("code", "Python code", "textarea", ""),
+        _ui("indent_level", "Shift+Enter indent level", "number", 0),
+    ]
     name = "Custom code"
 
     def run(self, engine, p: GenerationParams, code="", indent_level=0, *rest):

@@ -29,15 +29,19 @@ def pil_to_tensor(image: Image.Image) -> np.ndarray:
     return np.asarray(image.convert("RGB"), dtype=np.float32) / 255.0
 
 
-_INVALID_FN = re.compile(r'[\\/:*?"<>|\n\r]')
+_INVALID_FN_CHARS = '#<>:"/\\|?*\n\r\t'
 
 
 def sanitize_filename_part(text: str, replace_spaces=True) -> str:
+    """Reference modules/images.py:343 semantics: invalid chars become '_',
+    leading spaces and trailing ' .' are stripped, 128-char cap."""
     if text is None:
-        return ""
+        return None
     if replace_spaces:
         text = text.replace(" ", "_")
-    return _INVALID_FN.sub("", text).strip()[:128]
+    text = text.translate({ord(x): "_" for x in _INVALID_FN_CHARS})
+    text = text.lstrip(" ")[:128]
+    return text.rstrip(" .")
 
 
 # --------------------------------------------------------------------------
@@ -61,10 +65,7 @@ def _writer_loop():
         try:
             if item is None:
                 return
-            image, full, kwargs = item
-            tmp = full + ".tmp"
-            image.save(tmp, **kwargs)
-            os.replace(tmp, full)
+            item()
         except Exception:   # pragma: no cover - never kill the writer
             import traceback
             traceback.print_exc()
@@ -72,7 +73,7 @@ def _writer_loop():
             _save_queue.task_done()
 
 
-def _enqueue_save(image, full, kwargs):
+def _enqueue_save(fn):
     global _save_queue, _save_thread
     import atexit
     import queue
@@ -84,7 +85,7 @@ def _enqueue_save(image, full, kwargs):
             _save_thread = threading.Thread(target=_writer_loop, daemon=True)
             _save_thread.start()
             atexit.register(flush_saves)
-    _save_queue.put((image, full, kwargs))
+    _save_queue.put(fn)
 
 
 def flush_saves() -> None:
@@ -93,61 +94,212 @@ def flush_saves() -> None:
         _save_queue.join()
 
 
-def save_image(image: Image.Image, path: str, basename: str = "",
-               seed=None, prompt=None, info: str | None = None,
-               extension: str = "png") -> str:
-    """Save with auto-numbered collision-free filename + infotext chunk.
-
-    Returns the full path (written asynchronously when opts
-    sdtpu_async_save is on; flush_saves() guarantees durability).
-    (Reference modules/images.py:624, the filename-pattern subset:
-    [number]-[seed]-[prompt_words].)
-    """
+def save_image_with_geninfo(image: Image.Image, geninfo: str | None,
+                            filename: str, extension: str | None = None,
+                            existing_pnginfo: dict | None = None,
+                            pnginfo_section_name: str = "parameters"):
+    """Format-aware write with infotext embedding (reference
+    modules/images.py:565): PNG text chunk, JPEG/WebP/AVIF EXIF
+    UserComment (utils/exif.py replaces piexif), GIF comment."""
     from sdwebui_tpu.utils.options import opts as _opts
 
+    ext = (extension or os.path.splitext(filename)[1]).lower()
+    if not ext.startswith("."):
+        ext = "." + ext
+    image_format = Image.registered_extensions().get(ext, "PNG")
+
+    if ext == ".png":
+        pnginfo_data = None
+        if _opts.get("enable_pnginfo", True):
+            pnginfo_data = PngImagePlugin.PngInfo()
+            for k, v in (existing_pnginfo or {}).items():
+                pnginfo_data.add_text(k, str(v))
+            if geninfo is not None:
+                pnginfo_data.add_text(pnginfo_section_name, str(geninfo))
+        image.save(filename, format=image_format, pnginfo=pnginfo_data,
+                   compress_level=int(_opts.get("sdtpu_png_compress_level", 1)))
+        return
+
+    if ext in (".jpg", ".jpeg", ".webp", ".avif"):
+        if image.mode == "RGBA":
+            image = image.convert("RGB")
+        elif image.mode == "I;16":
+            image = image.point(lambda p: p * 0.0038910505836576).convert(
+                "RGB" if ext != ".jpg" else "L")
+        kwargs = dict(format=image_format,
+                      quality=int(_opts.get("jpeg_quality", 80)))
+        if ext == ".webp":
+            kwargs["lossless"] = bool(_opts.get("webp_lossless", False))
+        if _opts.get("enable_pnginfo", True) and geninfo is not None:
+            from sdwebui_tpu.utils.exif import build_exif_bytes
+
+            kwargs["exif"] = build_exif_bytes(geninfo)
+        image.save(filename, **kwargs)
+        return
+
+    if ext == ".gif":
+        image.save(filename, format=image_format, comment=geninfo)
+        return
+
+    image.save(filename, format=image_format,
+               quality=int(_opts.get("jpeg_quality", 80)))
+
+
+def save_image(image: Image.Image, path: str, basename: str = "",
+               seed=None, prompt=None, info: str | None = None,
+               extension: str = "png", short_filename: bool = False,
+               no_prompt: bool = False, grid: bool = False,
+               pnginfo_section_name: str = "parameters", p=None,
+               existing_info: dict | None = None,
+               forced_filename: str | None = None, suffix: str = "",
+               save_to_dirs: bool | None = None) -> str:
+    """Reference-faithful image save (modules/images.py:624): filename
+    patterns via FilenameGenerator (samples_filename_pattern /
+    directories_filename_pattern / save_to_dirs / save_images_add_number /
+    save_images_replace_action), format-aware infotext embedding,
+    export_for_4chan downscaled JPG copy, optional .txt sidecar, and the
+    before/after image-saved script callbacks.
+
+    Returns the full path.  The encode+write happens on a background
+    thread when opts.sdtpu_async_save is on (names are reserved
+    synchronously so numbering never collides; flush_saves() joins).
+    """
+    from sdwebui_tpu.utils.filename import (FilenameGenerator,
+                                            get_next_sequence_number)
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    namegen = FilenameGenerator(p, seed, prompt, image, basename=basename)
+
+    if ((image.height > 65535 or image.width > 65535)
+            and extension.lower() in ("jpg", "jpeg")) or \
+            ((image.height > 16383 or image.width > 16383)
+             and extension.lower() == "webp"):
+        extension = "png"
+
+    if save_to_dirs is None:
+        save_to_dirs = (grid and _opts.get("grid_save_to_dirs", False)) or \
+            (not grid and _opts.get("save_to_dirs", False) and not no_prompt)
+
+    if save_to_dirs:
+        dirname = namegen.apply(
+            _opts.get("directories_filename_pattern") or "[prompt_words]"
+        ).lstrip(" ").rstrip("\\ /")
+        path = os.path.join(path, dirname)
+
     os.makedirs(path, exist_ok=True)
-    words = sanitize_filename_part(str(prompt or ""))[:60]
-    base = "-".join(str(x) for x in [basename, seed, words] if x not in (None, ""))
 
-    existing = [f for f in os.listdir(path) if re.match(r"^\d+", f)]
-    nums = [int(re.match(r"^(\d+)", f).group(1)) for f in existing] or [-1]
-    number = max(nums) + 1
+    if forced_filename is None:
+        if short_filename or seed is None:
+            file_decoration = ""
+        elif _opts.get("save_to_dirs", False):
+            file_decoration = _opts.get("samples_filename_pattern") or "[seed]"
+        else:
+            file_decoration = _opts.get("samples_filename_pattern") or \
+                "[seed]-[prompt_spaces]"
 
-    for attempt in range(100):
-        name = f"{number + attempt:05}-{base}.{extension}" if base else \
-            f"{number + attempt:05}.{extension}"
-        full = os.path.join(path, name)
-        if not os.path.exists(full):
-            break
+        file_decoration = namegen.apply(file_decoration) + suffix
 
-    if extension.lower() == "png":
-        pnginfo = PngImagePlugin.PngInfo()
-        if info:
-            pnginfo.add_text("parameters", info)
-        kwargs = dict(format="PNG", pnginfo=pnginfo,
-                      compress_level=int(_opts.get(
-                          "sdtpu_png_compress_level", 1)))
+        add_number = _opts.get("save_images_add_number", True) or \
+            file_decoration == ""
+
+        if file_decoration != "" and add_number:
+            file_decoration = f"-{file_decoration}"
+
+        if add_number:
+            basecount = get_next_sequence_number(path, basename)
+            fullfn = None
+            for i in range(500):
+                fn = f"{basecount + i:05}" if basename == "" else \
+                    f"{basename}-{basecount + i:04}"
+                fullfn = os.path.join(path, f"{fn}{file_decoration}.{extension}")
+                if not os.path.exists(fullfn):
+                    break
+        else:
+            fullfn = os.path.join(path, f"{file_decoration}.{extension}")
+            if os.path.exists(fullfn) and \
+                    _opts.get("save_images_replace_action", "Replace") != "Replace":
+                base_no_ext = os.path.splitext(fullfn)[0]
+                n = 0
+                while os.path.exists(fullfn):
+                    n += 1
+                    fullfn = f"{base_no_ext}-{n}.{extension}"
     else:
-        kwargs = {}
-        if info:
-            try:
-                import piexif  # noqa: F401  (not in image; EXIF path gated)
-            except ImportError:
-                pass
+        fullfn = os.path.join(path, f"{forced_filename}.{extension}")
+
+    pnginfo = dict(existing_info or {})
+    if info is not None:
+        pnginfo[pnginfo_section_name] = info
+
+    # before_image_saved may swap the image or rename the file
+    from sdwebui_tpu.scripts import framework as _fw
+
+    params = _fw.ImageSaveParams(image, p, fullfn, pnginfo)
+    _fw.invoke("before_image_saved", params)
+    image = params.image
+    fullfn = params.filename
+    info = params.pnginfo.get(pnginfo_section_name, None)
+
+    fullfn_no_ext, ext = os.path.splitext(fullfn)
+    if hasattr(os, "statvfs"):
+        max_name_len = os.statvfs(path).f_namemax
+        fullfn_no_ext = fullfn_no_ext[:max_name_len - max(4, len(ext))]
+        fullfn = fullfn_no_ext + ext
+
     # reserve the name synchronously so concurrent numbering never collides
-    open(full, "wb").close()
+    open(fullfn, "wb").close()
+
+    oversize_side = int(_opts.get("target_side_length", 4000))
+    downscale_mb = float(_opts.get("img_downscale_threshold", 4.0))
+    export_4chan = bool(_opts.get("export_for_4chan", False))
+    save_txt = bool(_opts.get("save_txt", False))
+
+    def _write():
+        tmp = fullfn_no_ext + ".tmp"
+        save_image_with_geninfo(image, info, tmp, ext,
+                                existing_pnginfo=params.pnginfo,
+                                pnginfo_section_name=pnginfo_section_name)
+        os.replace(tmp, fullfn)
+
+        oversize = image.width > oversize_side or image.height > oversize_side
+        if export_4chan and (oversize or os.stat(fullfn).st_size >
+                             downscale_mb * 1024 * 1024):
+            ratio = image.width / image.height
+            resize_to = None
+            if oversize and ratio > 1:
+                resize_to = (round(oversize_side),
+                             round(image.height * oversize_side / image.width))
+            elif oversize:
+                resize_to = (round(image.width * oversize_side / image.height),
+                             round(oversize_side))
+            small = image if resize_to is None else \
+                image.resize(resize_to, Image.LANCZOS)
+            try:
+                save_image_with_geninfo(small, info, fullfn_no_ext + ".jpg")
+            except Exception:
+                pass
+
+        if save_txt and info is not None:
+            with open(fullfn_no_ext + ".txt", "w", encoding="utf8") as f:
+                f.write(f"{info}\n")
+
+        _fw.invoke("image_saved", params)
+
     if _opts.get("sdtpu_async_save", True):
-        _enqueue_save(image, full, kwargs)
+        _enqueue_save(_write)
     else:
-        tmp = full + ".tmp"
-        image.save(tmp, **kwargs)
-        os.replace(tmp, full)
-    return full
+        _write()
+    return fullfn
 
 
 def read_info_from_image(image: Image.Image) -> str | None:
-    """PNG-info 'parameters' chunk (reference modules/images.py:777)."""
-    return (image.info or {}).get("parameters")
+    """Infotext from PNG 'parameters' chunk, or JPEG/WebP EXIF UserComment
+    (reference modules/images.py:777)."""
+    geninfo = (image.info or {}).get("parameters")
+    if geninfo is None:
+        from sdwebui_tpu.utils.exif import read_user_comment
+
+        geninfo = read_user_comment(image)
+    return geninfo
 
 
 def image_grid(imgs: list, batch_size: int = 1, rows: int | None = None) -> Image.Image:

@@ -148,6 +148,23 @@ def make_default_templates() -> dict:
         "outdir_txt2img_samples": OptionInfo("outputs/txt2img-images", "txt2img output dir"),
         "outdir_img2img_samples": OptionInfo("outputs/img2img-images", "img2img output dir"),
         "outdir_extras_samples": OptionInfo("outputs/extras-images", "extras output dir"),
+        "font": OptionInfo("", "Font for image grids that have text"),
+        "grid_text_active_color": OptionInfo("#000000", "Text color for image grids"),
+        "grid_text_inactive_color": OptionInfo("#999999", "Inactive text color for image grids"),
+        "grid_background_color": OptionInfo("#ffffff", "Background color for image grids"),
+        "samples_filename_pattern": OptionInfo("", "Images filename pattern"),
+        "save_images_add_number": OptionInfo(True, "Add number to filename when saving"),
+        "save_images_replace_action": OptionInfo("Replace", "Saving the image to an existing file"),
+        "save_to_dirs": OptionInfo(True, "Save images to a subdirectory"),
+        "grid_save_to_dirs": OptionInfo(True, "Save grids to a subdirectory"),
+        "directories_filename_pattern": OptionInfo("[date]", "Directory name pattern"),
+        "directories_max_prompt_words": OptionInfo(8, "Max prompt words for [prompt_words] pattern"),
+        "jpeg_quality": OptionInfo(80, "Quality for saved jpeg and avif images"),
+        "webp_lossless": OptionInfo(False, "Use lossless compression for webp images"),
+        "export_for_4chan": OptionInfo(True, "Save copy of large images as JPG"),
+        "img_downscale_threshold": OptionInfo(4.0, "File size limit for the above option, MB"),
+        "target_side_length": OptionInfo(4000, "Width/height limit for the above option, in pixels"),
+        "save_txt": OptionInfo(False, "Create a text file with infotext next to every generated image"),
     }))
     t.update(options_section(("sd", "Stable Diffusion"), {
         "sd_model_checkpoint": OptionInfo(None, "Stable Diffusion checkpoint", "dropdown"),

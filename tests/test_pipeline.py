@@ -108,7 +108,9 @@ def test_save_and_infotext_roundtrip(model, tmp_path):
                          seed=11, steps=2, width=64, height=64)
     res = process_txt2img(model, p, outdir=str(tmp_path))
     images_util.flush_saves()   # saves are async by default
-    files = [f for f in tmp_path.iterdir() if not f.name.endswith(".tmp")]
+    # save_to_dirs defaults on (reference behavior): outdir/<[date]>/file.png
+    files = [f for f in tmp_path.rglob("*")
+             if f.is_file() and not f.name.endswith(".tmp")]
     assert len(files) == 1
     from PIL import Image
 

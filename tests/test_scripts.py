@@ -98,8 +98,9 @@ def test_parse_axis_values():
 def test_xyz_plot_end_to_end(engine):
     p = GenerationParams(prompt="a cat", seed=1, steps=1, width=64, height=64)
     res = engine.run_script("X/Y/Z plot", p,
-                            ["Seed", "1-2", "CFG Scale", "3,7", "Nothing", ""])
-    # 1 grid + 4 cells
+                            ["Seed", "1-2", "CFG Scale", "3,7", "Nothing", "",
+                             False])
+    # 1 grid + 4 cells (draw_legend off -> bare grid of exact cell size)
     assert len(res.images) == 5
     assert res.images[0].size == (128, 128)
 
