@@ -23,6 +23,16 @@ from typing import Any, Callable
 # ---- hook argument bundles (reference modules/scripts.py:17-43) -----------
 
 @dataclasses.dataclass
+class ImageSaveParams:
+    """reference modules/script_callbacks.py:26 — before/after image save;
+    hooks may swap the image, rename the file, or edit the png info."""
+    image: object
+    p: object
+    filename: str
+    pnginfo: dict
+
+
+@dataclasses.dataclass
 class PostSampleArgs:
     samples: Any                      # latents, before VAE decode
 
@@ -60,6 +70,12 @@ class Script:
     name = "base"
     section = None
     alwayson = False
+    # UI argument spec, in run(*args) order: dicts with name/label/type
+    # ("text" | "number" | "checkbox" | "select" | "textarea"), default,
+    # and optional choices (str list, or a registry key the UI resolves:
+    # "samplers" | "upscalers" | "checkpoints").  Served by
+    # /sdapi/v1/script-info and rendered by the web UI's script form.
+    ui_params: list = []
 
     def title(self) -> str:
         return self.name

@@ -166,6 +166,8 @@ class Api:
         r("POST", "/internal/ui-config", self.ui_config_set)
         r("POST", "/internal/token-count", self.token_count)
         r("POST", "/internal/parse-infotext", self.parse_infotext)
+        r("POST", "/internal/save-style", self.save_style)
+        r("POST", "/internal/img2img-batch", self.img2img_batch)
 
     def add_route(self, method: str, path: str, handler: Callable):
         self.routes[(method, path)] = handler
@@ -462,6 +464,70 @@ class Api:
                  "negative_prompt": s.negative_prompt}
                 for s in self.engine.styles.styles.values()]
 
+    def save_style(self, body: dict):
+        """Create/update a prompt style from the UI (reference
+        modules/ui_prompt_styles.py save_style)."""
+        from sdwebui_tpu.text.styles import PromptStyle
+
+        name = (body or {}).get("name", "").strip()
+        if not name:
+            raise ApiError(400, "style name required")
+        self.engine.styles.styles[name] = PromptStyle(
+            name, body.get("prompt", ""), body.get("negative_prompt", ""))
+        self.engine.styles.save()
+        return {"name": name, "count": len(self.engine.styles.styles)}
+
+    def img2img_batch(self, body: dict):
+        """Server-side img2img over a directory (reference
+        modules/img2img.py:17 process_batch — the UI's Batch sub-tab)."""
+        import glob
+
+        from PIL import Image as PILImage
+
+        body = dict(body or {})
+        input_dir = body.pop("input_dir", "")
+        output_dir = body.pop("output_dir", "")
+        mask_dir = body.pop("inpaint_mask_dir", "")
+        if not input_dir or not os.path.isdir(input_dir):
+            raise ApiError(404, f"input directory not found: {input_dir!r}")
+        files = sorted(f for f in glob.glob(os.path.join(input_dir, "*"))
+                       if f.lower().endswith((".png", ".jpg", ".jpeg",
+                                              ".webp", ".bmp")))
+        if not files:
+            raise ApiError(404, "no images in input directory")
+        done = []
+        for path in files:
+            sub = dict(body)
+            with PILImage.open(path) as im:
+                img = im.convert("RGB")
+            req = schema.Img2ImgRequest(**{k: v for k, v in sub.items()
+                                           if k in schema.Img2ImgRequest.model_fields})
+            fields = _fields_from_request(req)
+            fields["init_images"] = [img]
+            if mask_dir:
+                mpath = os.path.join(mask_dir, os.path.basename(path))
+                if os.path.isfile(mpath):
+                    with PILImage.open(mpath) as mm:
+                        fields["mask"] = mm.convert("L").copy()
+            p = GenerationParams(**fields)
+            res = self.engine.img2img(p, save=False)
+            base = os.path.splitext(os.path.basename(path))[0]
+            outd = output_dir or os.path.join(input_dir, "out")
+            os.makedirs(outd, exist_ok=True)
+            from sdwebui_tpu.utils import images as images_util
+
+            for i, im in enumerate(res.images):
+                full = images_util.save_image(
+                    im, outd, seed=p.all_seeds[i] if i < len(p.all_seeds) else p.seed,
+                    prompt=p.prompt, info=res.infotexts[i] if i < len(res.infotexts) else None,
+                    forced_filename=f"{base}-{i}" if len(res.images) > 1 else base,
+                    p=p, save_to_dirs=False)
+                done.append(full)
+        from sdwebui_tpu.utils.images import flush_saves
+
+        flush_saves()
+        return {"processed": len(files), "outputs": done}
+
     def embeddings(self, body=None):
         db = getattr(self.engine.sd_model.conditioner, "embedding_db", None)
         loaded = {}
@@ -566,10 +632,15 @@ class Api:
 
     def script_info(self, body=None):
         import sdwebui_tpu.scripts.builtin  # noqa: F401
-        from sdwebui_tpu.scripts.framework import list_selectable_scripts
+        from sdwebui_tpu.scripts.framework import (get_script,
+                                                   list_selectable_scripts)
 
-        return [{"name": n, "is_alwayson": False, "is_img2img": True,
-                 "args": []} for n in list_selectable_scripts()]
+        out = []
+        for n in list_selectable_scripts():
+            script = get_script(n)
+            out.append({"name": n, "is_alwayson": False, "is_img2img": True,
+                        "args": list(getattr(script, "ui_params", []))})
+        return out
 
     def extensions(self, body=None):
         """Installed extensions listing (reference get_extensions_list,

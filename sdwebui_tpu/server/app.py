@@ -35,9 +35,9 @@ class Engine:
         self._model_lock = threading.Lock()
         self._requested_ckpt = ckpt
         self._test_model = test_model
-        from sdwebui_tpu.text.styles import StyleDatabase
+        from sdwebui_tpu.text.styles import get_style_database
 
-        self.styles = StyleDatabase()
+        self.styles = get_style_database()
         from sdwebui_tpu.models.dat import register_dat_dir
         from sdwebui_tpu.models.esrgan import register_esrgan_dir
         from sdwebui_tpu.models.hat import register_hat_dir

@@ -91,3 +91,18 @@ class StyleDatabase:
         neg = [self.styles[n].negative_prompt for n in style_names if n in self.styles]
         return (apply_styles_to_prompt(prompt, pos),
                 apply_styles_to_prompt(negative_prompt, neg))
+
+    def get_style_prompts(self, style_names: list):
+        return [self.styles[n].prompt for n in (style_names or [])
+                if n in self.styles]
+
+
+_default_db: "StyleDatabase | None" = None
+
+
+def get_style_database() -> "StyleDatabase":
+    """Process-wide style registry (the Engine shares this instance)."""
+    global _default_db
+    if _default_db is None:
+        _default_db = StyleDatabase()
+    return _default_db

@@ -1,0 +1,130 @@
+"""Static consistency checks for the browser UI shell (server/webui.html).
+
+No JS runtime or browser exists in the image, so these tests validate the
+invariants a smoke-click would: every element id the script references
+exists in the markup, every API route the script fetches is registered on
+the live Api route table, and the script block is structurally balanced.
+Mirrors the coverage intent of the reference's UI tests
+(reference test/test_txt2img.py drives the gradio UI via API).
+"""
+
+import re
+from pathlib import Path
+
+import pytest
+
+HTML = Path(__file__).resolve().parents[1] / "sdwebui_tpu/server/webui.html"
+
+
+@pytest.fixture(scope="module")
+def html():
+    return HTML.read_text()
+
+
+@pytest.fixture(scope="module")
+def script(html):
+    m = re.search(r"<script>(.*)</script>", html, re.S)
+    assert m, "no script block"
+    return m.group(1)
+
+
+def test_every_js_id_ref_exists_in_markup(html, script):
+    ids = set(re.findall(r'id="([^"]+)"', html))
+    # dynamically created elements (appendChild) declare their ids in JS
+    ids |= set(re.findall(r'\.id = "([^"]+)"', script))
+    ids |= set(re.findall(r"id=\"([a-z-]+)\"", script))  # innerHTML templates
+    refs = set(re.findall(r'\$\("([^"]+)"\)', script))
+    refs |= set(re.findall(r"getElementById\('([^']+)'\)", script))
+    refs |= set(re.findall(r'getElementById\("([^"]+)"\)', script))
+    # template-generated ids like "sarg-" + i / "tab-" + t are prefix-checked
+    dynamic_prefixes = ("sarg-", "tab-", "ctx-")
+    missing = {r for r in refs
+               if r not in ids and not r.startswith(dynamic_prefixes)}
+    assert not missing, f"JS references ids absent from markup: {missing}"
+
+
+def test_tab_buttons_exist_for_every_tab(html, script):
+    m = re.search(r'const TABS = \[([^\]]+)\]', script)
+    tabs = re.findall(r'"(\w+)"', m.group(1))
+    ids = set(re.findall(r'id="([^"]+)"', html))
+    for t in tabs:
+        assert f"tab-{t}" in ids, f"missing nav button for tab {t}"
+        if t not in ("txt2img", "img2img"):
+            assert f"{t}-main" in ids, f"missing main panel for tab {t}"
+
+
+def test_img2img_subtabs_cover_reference_modes(html):
+    """reference modules/ui.py:537-575 — the five img2img sub-tabs + batch."""
+    subtabs = set(re.findall(r'data-i2i="([^"]+)"', html))
+    assert subtabs == {"img2img", "sketch", "inpaint", "inpaint-sketch",
+                       "inpaint-upload", "batch"}
+
+
+def test_script_block_balanced(script):
+    """Crude structural check: (), [], {} balance outside strings/templates.
+
+    Catches truncated edits (the practical failure mode for a file edited
+    by hand in many passes) — not a grammar check.
+    """
+    depth = {"(": 0, "[": 0, "{": 0}
+    close = {")": "(", "]": "[", "}": "{"}
+    in_str = None
+    esc = False
+    for ch in script:
+        if esc:
+            esc = False
+            continue
+        if ch == "\\":
+            esc = True
+            continue
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "'\"`":
+            in_str = ch
+            continue
+        if ch in depth:
+            depth[ch] += 1
+        elif ch in close:
+            depth[close[ch]] -= 1
+            assert depth[close[ch]] >= 0, f"unbalanced {ch}"
+    assert not in_str, "unterminated string/template literal"
+    assert all(v == 0 for v in depth.values()), f"unbalanced: {depth}"
+
+
+def test_every_fetched_route_is_registered(script):
+    from sdwebui_tpu.server.api import Api
+
+    class _Eng:  # route table construction only touches attributes lazily
+        def __getattr__(self, k):
+            raise AttributeError(k)
+
+    api = Api.__new__(Api)
+    api.routes = {}
+    api.engine = None
+    try:
+        Api.__init__(api, None)
+    except Exception:
+        # Api.__init__ may touch the engine; fall back to source scan
+        src = Path(HTML).with_name("api.py").read_text()
+        registered = set(re.findall(r'r\("(?:GET|POST)", "([^"]+)"', src))
+    else:
+        registered = {p for (_m, p) in api.routes}
+    fetched = set(re.findall(r'fetch\("([^"$]+?)"', script))
+    fetched |= set(re.findall(r"fetch\('([^'$]+?)'", script))
+    missing = {f for f in fetched if f not in registered}
+    assert not missing, f"UI fetches unregistered routes: {missing}"
+
+
+def test_generate_payload_covers_new_controls(script):
+    """The round-2 controls must actually reach the request body."""
+    gen = script[script.index('$("generate").onclick'):]
+    for field in ["n_iter", "restore_faces", "tiling", "subseed",
+                  "subseed_strength", "styles", "refiner_checkpoint",
+                  "script_name", "script_args", "enable_hr", "hr_scale",
+                  "hr_upscaler", "hr_second_pass_steps", "resize_mode",
+                  "mask_blur", "inpainting_mask_invert", "inpainting_fill",
+                  "inpaint_full_res", "inpaint_full_res_padding",
+                  "input_dir", "output_dir"]:
+        assert re.search(rf"\b{field}\b", gen), f"payload misses {field}"
