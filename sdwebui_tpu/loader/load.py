@@ -13,6 +13,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sdwebui_tpu.loader import convert, sniff
 from sdwebui_tpu.loader.safetensors_io import read_state_dict
@@ -206,12 +207,38 @@ def model_from_state_dict(sd: dict, prediction_type: str | None = None,
     elif info.family == "alt" and cond.tokenizer is None:
         cond.tokenizer = find_spm_tokenizer("models/XLM-R", make="xlmr")
 
+    # SD2 conditioning variants: unclip (CLIP-vision embedder +
+    # noise-augmentor stats → crossattn-adm) and depth2img (MiDaS tower →
+    # hybrid 5ch concat) ship their towers inside the checkpoint
+    emb_tree = emb_cfg = aug_stats = None
+    depth_tree = depth_cfg = None
+    if info.variant == "unclip":
+        from sdwebui_tpu.models.clip_vision import convert_openclip_vision
+
+        emb_tree, emb_cfg = convert_openclip_vision(sd)
+        emb_tree = jax.device_put(convert.cast_tree(emb_tree, jnp.float32))
+        aug_stats = {
+            "mean": np.asarray(sd["noise_augmentor.data_mean"],
+                               np.float32).reshape(-1),
+            "std": np.asarray(sd["noise_augmentor.data_std"],
+                              np.float32).reshape(-1),
+        }
+    elif info.variant == "depth":
+        from sdwebui_tpu.models.midas import convert_dpt
+
+        depth_tree, depth_cfg = convert_dpt(sd, prefix="depth_model.model.")
+        depth_tree = jax.device_put(
+            convert.cast_tree(depth_tree, jnp.float32))
+
     return SDModel(kind=info.family, unet_params=unet_tree, unet_cfg=unet_cfg,
                    vae_params=vae_tree, vae_cfg=vae_cfg, disc=disc,
                    conditioner=cond, conditioner2=cond2,
                    title=f"{title} [{sha256[:10]}]" if sha256 else title,
                    sha256=sha256, t5_params=t5_tree, t5_cfg=t5_cfg,
-                   t5_tokenizer=t5_tok)
+                   t5_tokenizer=t5_tok,
+                   image_embedder_params=emb_tree, image_embedder_cfg=emb_cfg,
+                   noise_aug_stats=aug_stats,
+                   depth_params=depth_tree, depth_cfg=depth_cfg)
 
 
 def find_spm_tokenizer(dirpath: str, make: str = "t5"):

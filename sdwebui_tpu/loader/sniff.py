@@ -16,6 +16,7 @@ class SniffResult:
     family: str            # sd1 | sd2 | alt | sdxl | sdxl-refiner | sd3
     in_channels: int       # 4 normal, 9 inpaint, 5 depth, 8 pix2pix
     prediction_type: str   # eps | v (best-effort; v needs config/override)
+    variant: str = ""      # "" | unclip (crossattn-adm) | depth (hybrid)
 
     @property
     def is_inpaint(self):
@@ -47,9 +48,22 @@ def sniff(sd: dict) -> SniffResult:
     else:
         raise ValueError("unrecognized checkpoint: no known diffusion model keys")
 
+    # SD2 conditioning variants (reference picks these via yaml sniffing,
+    # modules/sd_models_config.py:78-96; here the weights themselves decide):
+    # unclip ships a CLIP-vision embedder + noise-augmentor stats
+    # (v2-1-stable-unclip yaml, conditioning_key crossattn-adm); depth2img
+    # ships a MiDaS DPT tower (v2-midas-inference yaml, key hybrid, 5ch).
+    variant = ""
+    if "embedder.model.visual.class_embedding" in keys or \
+            "noise_augmentor.data_mean" in keys:
+        variant = "unclip"
+    elif any(k.startswith("depth_model.") for k in keys) and in_ch == 5:
+        variant = "depth"
+
     # v-prediction cannot be read off the weights for SD2-768; the webui
     # guesses from config files next to the checkpoint. Heuristic: SD2 at
     # 1024-width text encoder with no depth/inpaint channels and 768-trained
     # checkpoints are usually v — callers can override.
     pred = "eps"
-    return SniffResult(family=family, in_channels=int(in_ch), prediction_type=pred)
+    return SniffResult(family=family, in_channels=int(in_ch),
+                       prediction_type=pred, variant=variant)

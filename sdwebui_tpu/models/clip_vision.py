@@ -56,9 +56,11 @@ def _block(p, x, heads):
     return x + _mlp(p["mlp"], h)
 
 
-def apply(params, cfg: CLIPVisionConfig, pixels):
+def apply(params, cfg: CLIPVisionConfig, pixels, normalize: bool = True):
     """pixels: (B, 224, 224, 3) CLIP-normalized → (B, projection_dim)
-    L2-normalized image features."""
+    image features; L2-normalized for similarity ranking (default), raw
+    projected embeddings for the unclip adm conditioner (normalize=False —
+    open_clip's visual() returns the unnormalized projection)."""
     emb = params["embeddings"]
     x = jax.lax.conv_general_dilated(
         pixels, emb["patch_embedding"]["weight"].astype(pixels.dtype),
@@ -77,6 +79,8 @@ def apply(params, cfg: CLIPVisionConfig, pixels):
     pooled = layer_norm(x[:, 0], params["post_layernorm"]["weight"],
                         params["post_layernorm"]["bias"])
     feat = pooled @ params["visual_projection"]["weight"]
+    if not normalize:
+        return feat
     return feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
 
 
@@ -132,6 +136,87 @@ def convert_clip_vision(sd: dict):
         layers=1 + max(int(i) for i in tree["encoder"]["layers"]),
         heads=heads,
         projection_dim=tree["visual_projection"]["weight"].shape[-1],
+        image_size=int((tree["embeddings"]["position_embedding"]["weight"]
+                        .shape[0] - 1) ** 0.5) * w.shape[0])
+    return tree, cfg
+
+
+def convert_openclip_vision(sd: dict, prefix: str = "embedder.model.visual."):
+    """open_clip VisionTransformer state dict (the unclip checkpoint's
+    FrozenOpenCLIPImageEmbedder tower, keys `embedder.model.visual.*`) →
+    the tree layout `apply` consumes.  Same resblock mapping as the text
+    tower (loader/convert.py convert_clip_openclip)."""
+    import re
+
+    from sdwebui_tpu.loader.convert import convert_leaf
+    from sdwebui_tpu.utils.pytree import unflatten
+
+    flat = {}
+    proj = None
+    for k, v in sd.items():
+        if not k.startswith(prefix):
+            continue
+        sub = k[len(prefix):]
+        arr = np.asarray(v)
+        if sub == "class_embedding":
+            flat["embeddings.class_embedding"] = arr
+        elif sub == "positional_embedding":
+            flat["embeddings.position_embedding.weight"] = arr
+        elif sub == "conv1.weight":                    # (D,3,P,P) → HWIO
+            flat["embeddings.patch_embedding.weight"] = \
+                np.ascontiguousarray(arr.transpose(2, 3, 1, 0))
+        elif sub.startswith("ln_pre."):
+            flat["pre_layrnorm." + sub[len("ln_pre."):]] = arr
+        elif sub.startswith("ln_post."):
+            flat["post_layernorm." + sub[len("ln_post."):]] = arr
+        elif sub == "proj":                            # applied as x @ W
+            proj = np.ascontiguousarray(arr)
+        else:
+            m = re.match(r"transformer\.resblocks\.(\d+)\.(.+)", sub)
+            if not m:
+                continue
+            base = f"encoder.layers.{m.group(1)}."
+            rest = m.group(2)
+            if rest == "attn.in_proj_weight":
+                for name, part in zip(("q", "k", "v"),
+                                      np.split(arr, 3, axis=0)):
+                    flat[base + f"self_attn.{name}_proj.weight"] = \
+                        np.ascontiguousarray(part.T)
+            elif rest == "attn.in_proj_bias":
+                for name, part in zip(("q", "k", "v"),
+                                      np.split(arr, 3, axis=0)):
+                    flat[base + f"self_attn.{name}_proj.bias"] = \
+                        np.ascontiguousarray(part)
+            elif rest.startswith("attn.out_proj."):
+                suffix = rest[len("attn.out_proj."):]
+                flat[base + "self_attn.out_proj." + suffix] = convert_leaf(
+                    "out_proj." + suffix, arr)
+            elif rest.startswith("ln_1."):
+                flat[base + "layer_norm1." + rest[5:]] = arr
+            elif rest.startswith("ln_2."):
+                flat[base + "layer_norm2." + rest[5:]] = arr
+            elif rest.startswith("mlp.c_fc."):
+                flat[base + "mlp.fc1." + rest[9:]] = convert_leaf(
+                    "fc1." + rest[9:], arr)
+            elif rest.startswith("mlp.c_proj."):
+                flat[base + "mlp.fc2." + rest[11:]] = convert_leaf(
+                    "fc2." + rest[11:], arr)
+    tree = unflatten(flat)
+    if proj is None:
+        raise ValueError("open_clip visual tower missing 'proj'")
+    tree["visual_projection"] = {"weight": proj}
+    w = tree["embeddings"]["patch_embedding"]["weight"]
+    width = w.shape[-1]
+    # head count is absent from the weights; open_clip vision towers:
+    # ViT-B 768/12, ViT-L 1024/16, ViT-H 1280/16 (80ch), ViT-bigG 1664/16
+    known_heads = {768: 12, 1024: 16, 1280: 16, 1664: 16}
+    cfg = CLIPVisionConfig(
+        patch_size=w.shape[0], width=width,
+        layers=1 + max(int(i) for i in tree["encoder"]["layers"]),
+        heads=known_heads.get(width,
+                              width // 64 if width >= 256
+                              else max(width // 16, 1)),
+        projection_dim=proj.shape[-1],
         image_size=int((tree["embeddings"]["position_embedding"]["weight"]
                         .shape[0] - 1) ** 0.5) * w.shape[0])
     return tree, cfg

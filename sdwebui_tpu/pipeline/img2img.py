@@ -214,7 +214,13 @@ def _process_img2img(model: SDModel, p: GenerationParams,
         subseeds = p.all_subseeds[lo: lo + b]
         runner.before_process_batch(p, batch_number=n, seeds=seeds)
 
-        sched = _build_conds(model, p, t_enc + 1, prompt=clean_prompt)
+        adm = None
+        if model.is_unclip:     # image-derived adm (processing.py:328)
+            from sdwebui_tpu.pipeline.sd_model import unclip_adm
+            adm = unclip_adm(model, images=mask_info["originals"],
+                             seed=p.all_seeds[0])
+        sched = _build_conds(model, p, t_enc + 1, prompt=clean_prompt,
+                             adm_vector=adm)
         runner.process_batch(p, batch_number=n, seeds=seeds)
         runner.process_before_every_sampling(p, batch_number=n)
         if c_concat is not None:

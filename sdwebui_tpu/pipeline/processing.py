@@ -563,7 +563,8 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
 def _build_conds(model: SDModel, p: GenerationParams, steps: int,
                  cfg_scale: float | None = None,
                  prompt: str | None = None, negative: str | None = None,
-                 width: int | None = None, height: int | None = None):
+                 width: int | None = None, height: int | None = None,
+                 adm_vector=None):
     model.conditioner.clip_skip = max(p.clip_skip,
                                       2 if model.kind != "sd1" else 1)
     if model.conditioner2 is not None:
@@ -584,12 +585,22 @@ def _build_conds(model: SDModel, p: GenerationParams, steps: int,
                 _opts.get("sdxl_refiner_low_aesthetic_score", 2.5)))
     elif model.is_sd3:
         vector_maker = lambda pooled, is_uncond: pooled.astype(jnp.float32)
-    return build_cond_schedule(
+    sched = build_cond_schedule(
         encode_fn,
         prompt if prompt is not None else p.prompt,
         negative if negative is not None else p.negative_prompt,
         steps, cond_scale=cfg_scale if cfg_scale is not None else p.cfg_scale,
         vector_maker=vector_maker)
+    if adm_vector is not None:
+        # unclip (crossattn-adm): one constant image-derived vector shared
+        # by every schedule entry and both CFG branches (reference passes
+        # the same c_adm for cond and uncond)
+        v = jnp.asarray(adm_vector, jnp.float32)
+        k, max_sched = sched.cond_bank.shape[:2]
+        sched.vector_bank = jnp.broadcast_to(v, (k, max_sched) + v.shape)
+        sched.vector_uncond_bank = jnp.broadcast_to(
+            v, (sched.uncond_bank.shape[0],) + v.shape)
+    return sched
 
 
 def _apply_hypertile(model, kind: str = "txt2img"):
@@ -757,7 +768,12 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
 
         global last_job_timer
         jt = last_job_timer = Timer()
-        sched = _build_conds(model, p, p.steps, prompt=clean_prompt)
+        adm = None
+        if model.is_unclip:     # txt2img: zero adm (processing.py:113)
+            from sdwebui_tpu.pipeline.sd_model import unclip_adm
+            adm = unclip_adm(model)
+        sched = _build_conds(model, p, p.steps, prompt=clean_prompt,
+                             adm_vector=adm)
         jt.record("conds")
         runner.process_batch(p, batch_number=n, seeds=seeds)
         runner.process_before_every_sampling(p, batch_number=n)

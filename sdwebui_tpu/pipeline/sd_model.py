@@ -42,6 +42,22 @@ class SDModel:
     t5_cfg: Any = None
     t5_tokenizer: Any = None      # pluggable — SentencePiece data is not
                                   # shipped in this image (see models/t5.py)
+    # SD2 conditioning variants, sniffed from the weights (loader/sniff.py)
+    image_embedder_params: Any = None  # unclip: open_clip vision tower
+    image_embedder_cfg: Any = None
+    noise_aug_stats: Any = None        # unclip: {"mean": (D,), "std": (D,)}
+    depth_params: Any = None           # depth2img: MiDaS DPT-hybrid tower
+    depth_cfg: Any = None
+
+    @property
+    def is_unclip(self) -> bool:
+        """crossattn-adm conditioning (SD2.1-unclip)."""
+        return self.image_embedder_params is not None
+
+    @property
+    def is_depth(self) -> bool:
+        """hybrid depth conditioning (SD2-depth, 5ch UNet)."""
+        return self.depth_params is not None
 
     @property
     def is_sdxl(self) -> bool:
@@ -207,6 +223,50 @@ def sdxl_vector_maker(model: SDModel, width: int, height: int,
         return jnp.concatenate([pooled.astype(jnp.float32), tail], axis=-1)
 
     return maker
+
+
+def unclip_adm(model: SDModel, images=None, noise_level: int = 0,
+               seed: int = 0):
+    """The unclip model's adm vector (reference
+    modules/processing.py:328-334 unclip_image_conditioning +
+    txt2img_image_conditioning:113):
+
+    img2img: CLIP-vision embed of the source image → normalize by the
+    checkpoint's data stats → q_sample at `noise_level` (ldm
+    CLIPEmbeddingNoiseAugmentation; the reference uses level 0 and torch
+    global noise — here Philox(seed) for reproducibility) → un-normalize →
+    concat sinusoid embedding of the noise level.  txt2img: zeros.
+
+    Returns a single (adm_in_channels,) vector (batch items share the init
+    image in the webui flow; the CFG wrapper broadcasts per batch/branch).
+    """
+    adm_ch = int(model.unet_cfg.adm_in_channels)
+    if images is None:
+        return jnp.zeros((adm_ch,), jnp.float32)
+
+    from sdwebui_tpu.models import clip_vision
+    from sdwebui_tpu.models.layers import timestep_embedding
+    from sdwebui_tpu.rng.philox import PhiloxGenerator
+
+    # adm = [noised embed (projection_dim) | timestep emb (the rest)]
+    dim = adm_ch - int(model.image_embedder_cfg.projection_dim)
+    im = images[0]
+    pixels = jnp.asarray(clip_vision.preprocess(
+        im, model.image_embedder_cfg.image_size))
+    emb = clip_vision.apply(model.image_embedder_params,
+                            model.image_embedder_cfg, pixels,
+                            normalize=False).astype(jnp.float32)   # (1, D)
+    mean = jnp.asarray(model.noise_aug_stats["mean"],
+                       jnp.float32).reshape(1, -1)
+    std = jnp.asarray(model.noise_aug_stats["std"],
+                      jnp.float32).reshape(1, -1)
+    x = (emb - mean) / std
+    ac = float(make_alphas_cumprod()[noise_level])
+    noise = jnp.asarray(PhiloxGenerator(seed).randn(x.shape), jnp.float32)
+    z = (ac ** 0.5) * x + ((1.0 - ac) ** 0.5) * noise
+    z = z * std + mean
+    lvl = timestep_embedding(jnp.asarray([float(noise_level)]), dim)
+    return jnp.concatenate([z, lvl.astype(z.dtype)], axis=-1)[0]
 
 
 # --------------------------------------------------------------------------
