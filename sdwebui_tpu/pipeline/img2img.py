@@ -205,6 +205,16 @@ def _process_img2img(model: SDModel, p: GenerationParams,
             masked = init_latent
         c_concat = jnp.concatenate([cond_mask, masked], axis=-1)
 
+    # depth2img (SD2-depth, 5ch hybrid UNet): MiDaS inverse depth of the
+    # source image, min-max normalized to [-1,1] on the latent grid
+    # (reference depth2img_image_conditioning, processing.py:304-321)
+    if model.is_depth and model.unet_cfg.in_channels == 5:
+        from sdwebui_tpu.models import midas
+
+        c_concat = midas.depth_conditioning(
+            model.depth_params, model.depth_cfg, jnp.asarray(image_arr),
+            h, w)
+
     all_images, infotexts = [], []
     for n in range(p.n_iter):
         if callback is not None and callback("batch", n, None) is False:

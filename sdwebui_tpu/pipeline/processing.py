@@ -754,6 +754,22 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
             p.controlnet_units, p.width, p.height, p.steps,
             latent_channels=c)
 
+    # fixed image conditioning for hybrid models in txt2img (reference
+    # txt2img_image_conditioning, modules/processing.py:100-131)
+    t2i_concat = None
+    if model.unet_cfg.in_channels == 9:
+        # inpaint model: everything masked — latent of a 0.5 gray image
+        # under an all-ones mask channel
+        gray = jnp.full((p.batch_size, p.height, p.width, 3), 0.5,
+                        jnp.float32)
+        masked = encode_first_stage(model, gray)
+        t2i_concat = jnp.concatenate(
+            [jnp.ones((p.batch_size, h, w, 1), jnp.float32), masked],
+            axis=-1)
+    elif model.is_depth and model.unet_cfg.in_channels == 5:
+        # depth model without a source image: neutral mid-plane depth
+        t2i_concat = jnp.zeros((p.batch_size, h, w, 1), jnp.float32)
+
     all_images = []
     infotexts = []
     for n in range(p.n_iter):
@@ -774,6 +790,8 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
             adm = unclip_adm(model)
         sched = _build_conds(model, p, p.steps, prompt=clean_prompt,
                              adm_vector=adm)
+        if t2i_concat is not None:
+            sched.c_concat = t2i_concat
         jt.record("conds")
         runner.process_batch(p, batch_number=n, seeds=seeds)
         runner.process_before_every_sampling(p, batch_number=n)
