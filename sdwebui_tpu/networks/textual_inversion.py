@@ -30,6 +30,27 @@ class Embedding:
 
 def load_embedding_file(path: str, name: str | None = None) -> Embedding:
     name = name or os.path.splitext(os.path.basename(path))[0]
+    if path.lower().endswith((".png", ".webp")):
+        # PNG embedding card (reference image_embedding.py data panels,
+        # or 'sd-ti-embedding' text chunk)
+        from PIL import Image
+
+        from sdwebui_tpu.training.image_embedding import (
+            embedding_from_b64, extract_image_data_embed)
+
+        with Image.open(path) as im:
+            data = None
+            text_chunks = getattr(im, "text", None) or {}
+            if "sd-ti-embedding" in text_chunks:
+                data = embedding_from_b64(text_chunks["sd-ti-embedding"])
+            if data is None:
+                data = extract_image_data_embed(im)
+        if not data:
+            raise ValueError(f"no embedded embedding data in {path}")
+        vec = np.atleast_2d(np.asarray(
+            next(iter(data["string_to_param"].values())), np.float32))
+        return Embedding(data.get("name", name), vec,
+                         step=data.get("step"))
     if path.endswith(".safetensors"):
         from sdwebui_tpu.loader.safetensors_io import read_state_dict
 
@@ -91,7 +112,8 @@ class EmbeddingDatabase:
         if not os.path.isdir(dirpath):
             return
         for fn in sorted(os.listdir(dirpath)):
-            if not fn.lower().endswith((".pt", ".safetensors", ".bin")):
+            if not fn.lower().endswith((".pt", ".safetensors", ".bin",
+                                        ".png", ".webp")):
                 continue
             path = os.path.join(dirpath, fn)
             try:

@@ -761,38 +761,44 @@ class Api:
         return {"info": f"create hypernetwork filename: {path}"}
 
     def train_embedding(self, body: dict):
-        """Trains on images in `data_dir` (VAE-encoded at request time)."""
+        """Directory-of-images TI training with the full dataset pipeline
+        (reference TrainEmbedding API: captions/templates, aspect buckets,
+        lr schedules, periodic saves — training/dataset.py)."""
         import os
 
-        import numpy as np
-        from PIL import Image as PILImage
-
-        from sdwebui_tpu.pipeline.processing import encode_first_stage
-        from sdwebui_tpu.training.textual_inversion import train_embedding as _train
+        from sdwebui_tpu.training.textual_inversion import \
+            train_embedding_from_dir
 
         name = body.get("embedding_name", "embedding")
         data_dir = body.get("data_root", "")
         if not os.path.isdir(data_dir):
             raise ApiError(404, f"data_root not found: {data_dir}")
-        imgs = []
         model = self.engine.sd_model
-        size = int(body.get("training_width", 512))
-        for fn in sorted(os.listdir(data_dir))[:64]:
-            if fn.lower().endswith((".png", ".jpg", ".jpeg", ".webp")):
-                im = PILImage.open(os.path.join(data_dir, fn)).convert("RGB")
-                imgs.append(np.asarray(im.resize((size, size)), np.float32) / 255.0)
-        if not imgs:
-            raise ApiError(404, f"no images in {data_dir}")
         os.makedirs("embeddings", exist_ok=True)
-        with self.engine.queue_lock:
-            latents = np.asarray(encode_first_stage(model, np.stack(imgs)))
-            emb, losses = _train(
-                model, name, latents,
-                n_vectors=int(body.get("num_vectors_per_token", 1)),
-                steps=int(body.get("steps", 100)),
-                lr=float(str(body.get("learn_rate", "0.005")).split(":")[0]),
-                batch_size=int(body.get("batch_size", 1)),
-                save_path=os.path.join("embeddings", f"{name}.safetensors"))
+        try:
+            with self.engine.queue_lock:
+                emb, losses = train_embedding_from_dir(
+                    model, name, data_dir,
+                    placeholder=body.get("placeholder") or name,
+                    n_vectors=int(body.get("num_vectors_per_token", 1)),
+                    steps=int(body.get("steps", 100)),
+                    learn_rate=body.get("learn_rate", "0.005"),
+                    batch_size=int(body.get("batch_size", 1)),
+                    template=body.get("template_filename",
+                                      body.get("template", "subject")),
+                    width=int(body.get("training_width", 512)),
+                    height=int(body.get("training_height", 512)),
+                    varsize=bool(body.get("varsize", False)),
+                    use_weight=bool(body.get("use_weight", False)),
+                    shuffle_tags=bool(body.get("shuffle_tags", False)),
+                    tag_drop_out=float(body.get("tag_drop_out", 0.0)),
+                    latent_sampling_method=body.get(
+                        "latent_sampling_method", "once"),
+                    save_every=int(body.get("save_embedding_every", 0)),
+                    save_path=os.path.join("embeddings",
+                                           f"{name}.safetensors"))
+        except (ValueError, AssertionError) as e:
+            raise ApiError(400, str(e))
         # make the new embedding immediately usable in prompts
         self.engine._attach_embeddings(model)
         return {"info": f"train embedding complete: {len(losses)} steps, "

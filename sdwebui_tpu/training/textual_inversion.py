@@ -33,27 +33,35 @@ def prepare_tokens(tokenizer, template: str, placeholder_vectors: int,
     return np.asarray(ids[:max_len], np.int32), pos
 
 
-def make_ti_train_step(model, tokens: np.ndarray, splice_pos: int,
-                       n_vectors: int, lr: float = 5e-3):
-    """Returns (step_fn, opt_state_init). step_fn(emb, opt_state, latents,
-    noise, t, key) -> (emb, opt_state, loss)."""
-    optimizer = optax.adam(lr)
+def make_ti_train_step(model, tokens: np.ndarray | None = None,
+                       splice_pos: int | None = None,
+                       n_vectors: int = 1, lr: float = 5e-3):
+    """Returns (step_fn, opt_state_init).
+
+    step_fn(emb, opt_state, latents, noise, t, tokens (B,77), pos (B,),
+    weights (B,h,w,C)) -> (emb, opt_state, loss).  The legacy fixed
+    (tokens, splice_pos) arguments pre-bake one caption for every step;
+    the dataset pipeline passes per-batch captions instead.  The learn
+    rate lives in the optimizer state (optax.inject_hyperparams) so
+    LearnRateScheduler can retune it without re-jitting."""
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     ac = jnp.asarray(model.disc.alphas_cumprod, jnp.float32)
     sqrt_ac, sqrt_1mac = jnp.sqrt(ac), jnp.sqrt(1.0 - ac)
-    tokens_j = jnp.asarray(tokens)[None]
+    fixed_tokens = None if tokens is None else jnp.asarray(tokens)[None]
     clip_params = model.conditioner.params
     clip_cfg = model.conditioner.cfg
     unet_params = model.unet_params
     unet_cfg = model.unet_cfg
 
-    def loss_fn(emb, latents, noise, t):
+    def loss_fn(emb, latents, noise, t, toks, pos, weights):
         emb_table = clip_params["embeddings"]["token_embedding"]["weight"]
-        b = latents.shape[0]
-        toks = jnp.tile(tokens_j, (b, 1))
+
+        def splice(row_embeds, p):
+            return jax.lax.dynamic_update_slice(
+                row_embeds, emb.astype(row_embeds.dtype), (p, 0))
+
         x_embeds = jnp.take(emb_table, toks, axis=0)
-        x_embeds = jax.lax.dynamic_update_slice(
-            x_embeds, jnp.tile(emb[None].astype(x_embeds.dtype), (b, 1, 1)),
-            (0, splice_pos, 0))
+        x_embeds = jax.vmap(splice)(x_embeds, pos)
         ctx, _ = clip_model.encode(clip_params, clip_cfg, toks,
                                    inputs_embeds=x_embeds)
         a = sqrt_ac[t][:, None, None, None]
@@ -61,18 +69,33 @@ def make_ti_train_step(model, tokens: np.ndarray, splice_pos: int,
         x_t = a * latents + am * noise
         pred = unet_model.apply(unet_params, unet_cfg, x_t,
                                 t.astype(jnp.float32), ctx)
-        return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
+        err = (pred.astype(jnp.float32) - noise) ** 2
+        return jnp.mean(err * weights)
 
     @jax.jit
-    def step(emb, opt_state, latents, noise, t):
-        loss, grads = jax.value_and_grad(loss_fn)(emb, latents, noise, t)
+    def jit_step(emb, opt_state, latents, noise, t, toks, pos, weights):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            emb, latents, noise, t, toks, pos, weights)
         updates, opt_state = optimizer.update(grads, opt_state)
         emb = optax.apply_updates(emb, updates)
         return emb, opt_state, loss
 
+    def step(emb, opt_state, latents, noise, t, toks=None, pos=None,
+             weights=None):
+        b = latents.shape[0]
+        if toks is None:
+            toks = jnp.tile(fixed_tokens, (b, 1))
+            pos = jnp.full((b,), splice_pos, jnp.int32)
+        if weights is None:
+            weights = jnp.ones_like(latents)
+        return jit_step(emb, opt_state, latents, noise, t,
+                        jnp.asarray(toks), jnp.asarray(pos),
+                        jnp.asarray(weights))
+
     def init(emb):
         return optimizer.init(emb)
 
+    step.optimizer = optimizer
     return step, init
 
 
@@ -114,3 +137,124 @@ def train_embedding(model, name: str, latents: np.ndarray,
         write_safetensors(save_path, {"emb_params": result.vec},
                           metadata={"name": name, "step": str(result.step)})
     return result, losses
+
+
+def tokens_for_caption(tokenizer, caption: str, placeholder: str,
+                       n_vectors: int, max_len: int = 77):
+    """Dataset caption (contains the placeholder word) → (tokens (77,),
+    splice position).  The placeholder occupies n_vectors slots, mirroring
+    the reference's EmbeddingDatabase hijack of the placeholder token."""
+    if placeholder in caption:
+        before, _, after = caption.partition(placeholder)
+    else:
+        before, after = caption + " ", ""
+    return prepare_tokens(tokenizer, before + "{}" + after, n_vectors,
+                          max_len)
+
+
+def train_embedding_from_dir(model, name: str, data_root: str,
+                             placeholder: str | None = None,
+                             n_vectors: int = 1, steps: int = 100,
+                             learn_rate="0.005", batch_size: int = 1,
+                             template: str = "subject",
+                             width: int = 512, height: int = 512,
+                             varsize: bool = False, use_weight: bool = False,
+                             shuffle_tags: bool = False,
+                             tag_drop_out: float = 0.0,
+                             flip_p: float = 0.5,
+                             latent_sampling_method: str = "once",
+                             seed: int = 0, save_path: str | None = None,
+                             save_every: int = 0, log_every: int = 0,
+                             initial_vec: np.ndarray | None = None,
+                             callback=None):
+    """Directory-of-images training — the reference's train_embedding flow
+    (modules/textual_inversion/textual_inversion.py:400): dataset prep with
+    captions/templates/buckets (training/dataset.py), piecewise learn-rate
+    schedule, per-caption conditioning, alpha-weighted loss, periodic
+    .safetensors + PNG-card saves.
+
+    Returns (Embedding, losses)."""
+    from sdwebui_tpu.training.dataset import (LearnRateScheduler,
+                                              PersonalizedDataset)
+
+    placeholder = placeholder or name
+    ds = PersonalizedDataset(
+        data_root, model, width=width, height=height,
+        placeholder=placeholder, template=template, flip_p=flip_p,
+        varsize=varsize, use_weight=use_weight, shuffle_tags=shuffle_tags,
+        tag_drop_out=tag_drop_out,
+        latent_sampling_method=latent_sampling_method, seed=seed)
+    schedule = LearnRateScheduler(learn_rate, steps)
+    step_fn, init_fn = make_ti_train_step(model, n_vectors=n_vectors,
+                                          lr=schedule.learn_rate)
+
+    cw = model.conditioner.cfg.width
+    rng = np.random.default_rng(seed)
+    if initial_vec is not None:
+        emb = jnp.asarray(np.asarray(initial_vec, np.float32)
+                          .reshape(n_vectors, cw))
+    else:
+        emb = jnp.asarray(rng.standard_normal((n_vectors, cw)) * 0.01,
+                          jnp.float32)
+    opt_state = init_fn(emb)
+
+    tokenizer = model.conditioner.tokenizer
+    losses = []
+    for i in range(steps):
+        lr_now = schedule.rate_at(i)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr_now,
+                                                             jnp.float32)
+        latents, texts, weights = ds.sample_batch(batch_size)
+        toks, poss = zip(*[tokens_for_caption(tokenizer, t, placeholder,
+                                              n_vectors) for t in texts])
+        noise = rng.standard_normal(latents.shape).astype(np.float32)
+        t = rng.integers(0, len(model.disc.alphas_cumprod),
+                         (latents.shape[0],)).astype(np.int32)
+        emb, opt_state, loss = step_fn(
+            emb, opt_state, jnp.asarray(latents), jnp.asarray(noise),
+            jnp.asarray(t), np.stack(toks), np.asarray(poss, np.int32),
+            None if weights is None else jnp.asarray(weights))
+        losses.append(float(loss))
+        if callback is not None and callback(i, losses[-1]) is False:
+            break
+        if log_every and (i + 1) % log_every == 0:
+            print(f"[TI {name}] step {i + 1}/{steps} "
+                  f"loss {losses[-1]:.4f} lr {lr_now:g}")
+        if save_every and save_path and (i + 1) % save_every == 0 \
+                and (i + 1) < steps:
+            _save_embedding(name, emb, i + 1, save_path)
+
+    result = Embedding(name, np.asarray(jax.device_get(emb)),
+                       step=len(losses))
+    if save_path:
+        _save_embedding(name, emb, result.step, save_path)
+    return result, losses
+
+
+def _save_embedding(name: str, emb, step: int, save_path: str):
+    """.safetensors + a reference-format PNG embedding card next to it."""
+    import os
+
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+
+    vec = np.asarray(jax.device_get(emb), np.float32)
+    write_safetensors(save_path, {"emb_params": vec},
+                      metadata={"name": name, "step": str(step)})
+    try:
+        from PIL import Image, ImageDraw
+
+        from sdwebui_tpu.training.image_embedding import \
+            insert_image_data_embed
+
+        card = Image.new("RGB", (512, 512), (32, 38, 48))
+        draw = ImageDraw.Draw(card)
+        draw.text((24, 230), name, fill=(235, 235, 235))
+        draw.text((24, 260), f"step {step}", fill=(150, 150, 150))
+        data = {"string_to_token": {"*": 265},
+                "string_to_param": {"*": vec},
+                "name": name, "step": step,
+                "sd_checkpoint": None, "sd_checkpoint_name": None}
+        png = insert_image_data_embed(card, data)
+        png.save(os.path.splitext(save_path)[0] + ".png")
+    except Exception:
+        pass

@@ -1,0 +1,236 @@
+"""Training data pipeline: dataset prep, learn schedules (reference-oracle),
+PNG embedding interchange (reference-oracle), directory training e2e."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, str(Path(__file__).parent))
+import reference_oracle as ro  # noqa: E402
+
+from sdwebui_tpu.training.dataset import (  # noqa: E402
+    LearnRateScheduler, PersonalizedDataset, create_text, filename_caption,
+    load_template,
+)
+
+
+# --------------------------------------------------------------------------
+# learn-rate schedule vs the reference's own parser
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("spec,max_steps", [
+    ("0.005", 100),
+    ("0.001:100, 0.00001:1000, 1e-5:10000", 20000),
+    ("0.001:100, 0.00001:1000", 500),
+    ("0.01:50", 100),
+    ("5e-3:-1", 300),
+    ("0.1:10,0.01:20,0.001:30", 100),
+])
+def test_learn_schedule_matches_reference(spec, max_steps):
+    ref_mod = ro.load("modules.textual_inversion.learn_schedule")
+    ref = ref_mod.LearnRateScheduler(spec, max_steps, verbose=False)
+    ours = LearnRateScheduler(spec, max_steps)
+    for step in range(0, max_steps, max(max_steps // 200, 1)):
+        ref.step(step)
+        assert ours.rate_at(step) == pytest.approx(ref.learn_rate), \
+            f"step {step}"
+
+
+def test_learn_schedule_invalid():
+    with pytest.raises(ValueError):
+        LearnRateScheduler("abc", 100)
+
+
+# --------------------------------------------------------------------------
+# captions + templates
+# --------------------------------------------------------------------------
+
+def test_filename_caption(tmp_path):
+    p = tmp_path / "00012-a red fox.png"
+    Image.new("RGB", (8, 8)).save(p)
+    assert filename_caption(str(p)) == "a red fox"
+    # sidecar txt wins
+    (tmp_path / "00012-a red fox.txt").write_text("a painted fox, forest")
+    assert filename_caption(str(p)) == "a painted fox, forest"
+    # word regex re-join
+    p2 = tmp_path / "3_fox_red.png"
+    Image.new("RGB", (8, 8)).save(p2)
+    assert filename_caption(str(p2), word_regex=r"[a-z]+",
+                            join_string=" ") == "fox red"
+
+
+def test_create_text():
+    out = create_text("a photo of [filewords], by [name]", "fox, forest",
+                      "mytok")
+    assert out == "a photo of fox, forest, by mytok"
+    rng = np.random.default_rng(0)
+    dropped = create_text("[filewords]", ",".join(f"t{i}" for i in range(50)),
+                          "x", tag_drop_out=0.9, rng=rng)
+    assert len(dropped.split(",")) < 25
+
+
+def test_templates_registry(tmp_path):
+    for name in ("none", "subject", "style", "subject_filewords",
+                 "style_filewords", "hypernetwork"):
+        lines = load_template(name)
+        assert lines
+    f = tmp_path / "custom.txt"
+    f.write_text("a [name] photo\nanother [name]\n")
+    assert load_template(str(f)) == ["a [name] photo", "another [name]"]
+    with pytest.raises(ValueError):
+        load_template("no-such-template")
+
+
+# --------------------------------------------------------------------------
+# PNG embedding interchange vs the reference implementation
+# --------------------------------------------------------------------------
+
+def _embedding_dict(vec):
+    return {"string_to_token": {"*": 265},
+            "string_to_param": {"*": vec},
+            "name": "interop-test", "step": 5,
+            "sd_checkpoint": None, "sd_checkpoint_name": None}
+
+
+def test_png_embedding_roundtrip_ours():
+    from sdwebui_tpu.training.image_embedding import (
+        extract_image_data_embed, insert_image_data_embed)
+
+    vec = np.random.default_rng(0).standard_normal((2, 64)).astype(np.float32)
+    card = insert_image_data_embed(Image.new("RGB", (256, 256), (40, 40, 60)),
+                                   _embedding_dict(vec))
+    out = extract_image_data_embed(card)
+    np.testing.assert_allclose(out["string_to_param"]["*"], vec, atol=1e-6)
+    assert out["name"] == "interop-test" and out["step"] == 5
+
+
+def test_png_embedding_ours_to_reference():
+    """A card we write must extract with the reference's own reader."""
+    import torch
+
+    from sdwebui_tpu.training.image_embedding import insert_image_data_embed
+
+    ref = ro.load("modules.textual_inversion.image_embedding")
+    vec = np.random.default_rng(1).standard_normal((1, 32)).astype(np.float32)
+    card = insert_image_data_embed(Image.new("RGB", (128, 128), (10, 20, 30)),
+                                   _embedding_dict(vec))
+    data = ref.extract_image_data_embed(card)
+    assert data is not None
+    got = data["string_to_param"]["*"]
+    got = got.numpy() if isinstance(got, torch.Tensor) else np.asarray(got)
+    np.testing.assert_allclose(got, vec, atol=1e-6)
+
+
+def test_png_embedding_reference_to_ours():
+    """A reference-written card must load through our reader and the
+    embedding DB file loader."""
+    import torch
+
+    from sdwebui_tpu.networks.textual_inversion import load_embedding_file
+    from sdwebui_tpu.training.image_embedding import extract_image_data_embed
+
+    ref = ro.load("modules.textual_inversion.image_embedding")
+    vec = torch.randn(2, 48)
+    card = ref.insert_image_data_embed(
+        Image.new("RGB", (128, 128), (5, 5, 5)), _embedding_dict(vec))
+    out = extract_image_data_embed(card)
+    np.testing.assert_allclose(out["string_to_param"]["*"], vec.numpy(),
+                               atol=1e-6)
+    # and through the loader (as a file on disk)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/interop-test.png"
+        card.save(p)
+        emb = load_embedding_file(p)
+        np.testing.assert_allclose(emb.vec, vec.numpy(), atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# dataset + end-to-end directory training (tiny model)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def model():
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+
+    return create_tiny_sd(seed=0)
+
+
+@pytest.fixture()
+def data_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    for i, name in enumerate(["1-red fox.png", "2-blue bird.png",
+                              "3-green frog.png"]):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / name)
+    return tmp_path
+
+
+def test_personalized_dataset(model, data_dir):
+    ds = PersonalizedDataset(str(data_dir), model, width=64, height=64,
+                             placeholder="tok", template="subject",
+                             flip_p=0.0, seed=1)
+    assert len(ds) == 3
+    assert all(e.latent.shape == (8, 8, 4) for e in ds.entries)
+    captions = {e.filename_text for e in ds.entries}
+    assert captions == {"red fox", "blue bird", "green frog"}
+    lat, texts, weights = ds.sample_batch(2)
+    assert lat.shape == (2, 8, 8, 4) and len(texts) == 2
+    assert all("tok" in t for t in texts)
+    assert weights is None
+
+
+def test_personalized_dataset_varsize_buckets(model, tmp_path):
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)) \
+        .save(tmp_path / "a.png")
+    Image.fromarray(rng.integers(0, 255, (64, 128, 3), dtype=np.uint8)) \
+        .save(tmp_path / "b.png")
+    ds = PersonalizedDataset(str(tmp_path), model, varsize=True,
+                             flip_p=0.0, seed=1)
+    assert set(ds.buckets) == {(64, 64), (128, 64)}
+    lat, _, _ = ds.sample_batch(2)   # batch stays within one bucket
+    assert lat.shape[0] >= 1
+    assert lat.shape[1:3] in ((8, 8), (8, 16))
+
+
+def test_personalized_dataset_alpha_weights(model, tmp_path):
+    arr = np.zeros((64, 64, 4), np.uint8)
+    arr[..., :3] = 128
+    arr[:32, :, 3] = 255          # top half opaque
+    Image.fromarray(arr, "RGBA").save(tmp_path / "w.png")
+    ds = PersonalizedDataset(str(tmp_path), model, width=64, height=64,
+                             use_weight=True, flip_p=0.0, seed=1)
+    w = ds.entries[0].weight
+    assert w is not None and w.shape == (8, 8, 4)
+    assert w[:4].mean() > w[4:].mean()          # opaque half weighs more
+    assert np.isclose(w.mean(), 1.0, atol=1e-5)  # normalized to mean 1
+
+
+def test_train_embedding_from_dir(model, data_dir, tmp_path):
+    from sdwebui_tpu.networks.textual_inversion import load_embedding_file
+    from sdwebui_tpu.training.textual_inversion import \
+        train_embedding_from_dir
+
+    save = str(tmp_path / "out" / "tok.safetensors")
+    import os
+
+    os.makedirs(os.path.dirname(save), exist_ok=True)
+    emb, losses = train_embedding_from_dir(
+        model, "tok", str(data_dir), n_vectors=2, steps=12,
+        learn_rate="0.05:6, 0.005:12", batch_size=2, width=64, height=64,
+        template="subject", save_path=save, save_every=6, seed=0)
+    assert emb.vec.shape == (2, model.conditioner.cfg.width)
+    assert len(losses) == 12
+    # the embedding moved and training is numerically sane
+    assert np.isfinite(losses).all()
+    assert np.abs(emb.vec).max() > 0.01
+    # periodic + final saves: safetensors and the PNG card both load
+    st = load_embedding_file(save)
+    np.testing.assert_allclose(st.vec, emb.vec, atol=1e-6)
+    card = load_embedding_file(str(tmp_path / "out" / "tok.png"))
+    np.testing.assert_allclose(card.vec, emb.vec, atol=1e-4)
