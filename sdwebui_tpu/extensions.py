@@ -84,6 +84,107 @@ def active_extensions(dirs=("extensions", "extensions-builtin")) -> list:
     return [e for e in list_extensions(dirs) if e.enabled]
 
 
+def _topo_sort(exts: list) -> list:
+    """Stable topological order honoring metadata.ini [Extension] Requires
+    (reference modules/extensions.py:228 ExtensionMetadata + scripts.py
+    topological_sort)."""
+    import configparser
+
+    requires = {}
+    for ext in exts:
+        reqs = []
+        meta = os.path.join(ext.path, "metadata.ini")
+        if os.path.isfile(meta):
+            cp = configparser.ConfigParser()
+            try:
+                cp.read(meta)
+                raw = cp.get("Extension", "Requires", fallback="")
+                reqs = [r.strip() for r in raw.split(",") if r.strip()]
+            except configparser.Error:
+                pass
+        requires[ext.name] = reqs
+    by_name = {e.name: e for e in exts}
+    done, out = set(), []
+
+    def visit(name, chain=()):
+        if name in done or name not in by_name or name in chain:
+            return
+        for req in requires.get(name, []):
+            visit(req, chain + (name,))
+        done.add(name)
+        out.append(by_name[name])
+
+    for ext in exts:
+        visit(ext.name)
+    return out
+
+
+def load_extension_scripts(dirs=("extensions", "extensions-builtin"),
+                           allow: bool | None = None) -> dict:
+    """Execute enabled extensions' `scripts/*.py` through the Script
+    framework (reference modules/scripts.py:487 load_scripts).
+
+    Policy-gated: runs only with --allow-code or the
+    `enable_extension_scripts` option (third-party code execution needs
+    explicit consent here, unlike the reference's always-on model).
+    Scripts see the reference's `modules.*` script API via
+    scripts/compat.py; Script subclasses they define self-register.
+
+    Returns {extension: [script files]} for what actually loaded.
+    """
+    import importlib.util
+    import traceback
+
+    from sdwebui_tpu.scripts.compat import shim_installed
+    from sdwebui_tpu.scripts.framework import (Script, _SCRIPT_REGISTRY,
+                                               register_script)
+    from sdwebui_tpu.server.cmd_flags import flag
+    from sdwebui_tpu.utils.options import opts
+
+    if allow is None:
+        allow = bool(flag("allow_code")) or \
+            bool(opts.get("enable_extension_scripts", False))
+    if not allow:
+        return {}
+
+    loaded: dict[str, list] = {}
+    for ext in _topo_sort(active_extensions(dirs)):
+        script_dir = os.path.join(ext.path, "scripts")
+        if not os.path.isdir(script_dir):
+            continue
+        for fn in sorted(os.listdir(script_dir)):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(script_dir, fn)
+            mod_name = f"sdwebui_ext.{ext.name}.{fn[:-3]}".replace("-", "_")
+            try:
+                before = set(_SCRIPT_REGISTRY.values())
+                with shim_installed(ext.path):
+                    spec = importlib.util.spec_from_file_location(mod_name,
+                                                                  path)
+                    module = importlib.util.module_from_spec(spec)
+                    import sys
+
+                    sys.modules[mod_name] = module
+                    spec.loader.exec_module(module)
+                # auto-register Script subclasses the file defined but did
+                # not register itself (the reference collects them by scan)
+                for obj in vars(module).values():
+                    if isinstance(obj, type) and issubclass(obj, Script) \
+                            and obj is not Script \
+                            and obj not in before \
+                            and obj not in _SCRIPT_REGISTRY.values():
+                        if getattr(obj, "name", None) in (None, "base"):
+                            obj.name = getattr(
+                                obj(), "title", lambda: fn[:-3])() or fn[:-3]
+                        register_script(obj)
+                loaded.setdefault(ext.name, []).append(fn)
+            except Exception:
+                print(f"Error loading extension script {path}:")
+                traceback.print_exc()
+    return loaded
+
+
 def load_extension_assets(engine, dirs=("extensions", "extensions-builtin")):
     """Load declarative assets from enabled extensions: per-extension
     embeddings/ dirs and styles.csv files (the safe subset of what the

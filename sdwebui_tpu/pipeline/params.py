@@ -90,6 +90,8 @@ class GenerationParams:
     all_subseeds: List[int] = dataclasses.field(default_factory=list)
     batch_index: int = 0              # index within the current batch
     iteration: int = 0                # current n_iter loop index
+    extra_generation_params: dict = dataclasses.field(default_factory=dict)
+    # ^ script/extension infotext contributions (reference processing.py)
     job_timestamp: str = ""           # set at job start (filename patterns)
     user: str = ""                    # API auth user, if any
     sd_model_name: str = ""           # loaded checkpoint title

@@ -553,6 +553,8 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
     if p.subseed_strength > 0:
         pairs["Variation seed"] = p.all_subseeds[index] if p.all_subseeds else p.subseed
         pairs["Variation seed strength"] = p.subseed_strength
+    # script/extension-contributed pairs (reference p.extra_generation_params)
+    pairs.update(p.extra_generation_params)
     pairs.update(extra or {})
     return infotext_util.build(
         p.all_prompts[index] if p.all_prompts else p.prompt,

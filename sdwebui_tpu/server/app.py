@@ -52,6 +52,14 @@ class Engine:
         register_hat_dir()     # models/HAT
         register_dat_dir()     # models/DAT
 
+        # third-party extensions: scripts execute only with --allow-code /
+        # enable_extension_scripts consent (sdwebui_tpu/extensions.py);
+        # declarative assets (styles.csv) always load — per-extension
+        # embeddings load once a model is attached (load_extension_assets)
+        from sdwebui_tpu.extensions import load_extension_scripts
+
+        self.extension_scripts = load_extension_scripts()
+
     def apply_styles(self, p: GenerationParams):
         if p.styles:
             p.prompt, p.negative_prompt = self.styles.apply(
@@ -77,11 +85,18 @@ class Engine:
 
     @property
     def sd_model(self) -> SDModel:
+        loaded = False
         with self._model_lock:
             if self._model is None:
                 self._model = self._load_initial()
                 self._attach_embeddings(self._model)
-            return self._model
+                loaded = True
+        if loaded:
+            # outside the lock: load_extension_assets reads engine.sd_model
+            from sdwebui_tpu.extensions import load_extension_assets
+
+            load_extension_assets(self)
+        return self._model
 
     def _attach_embeddings(self, model: SDModel, dirpath: str = "embeddings"):
         from sdwebui_tpu.networks.textual_inversion import EmbeddingDatabase

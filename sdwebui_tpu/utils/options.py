@@ -225,11 +225,6 @@ def make_default_templates() -> dict:
         "hypertile_enable_unet": OptionInfo(False, "Enable Hypertile U-Net"),
         "hypertile_max_tile_unet": OptionInfo(256, "Hypertile U-Net max tile size"),
     }))
-    t.update(options_section(("extensions", "Extensions"), {
-        "disabled_extensions": OptionInfo([], "Disable these extensions"),
-        "disable_all_extensions": OptionInfo("none", "Disable all extensions (preserves the list of disabled extensions)"),
-        "enable_extension_scripts": OptionInfo(False, "Execute python scripts shipped by extensions"),
-    }))
     t.update(options_section(("optimizations", "Optimizations"), {
         "token_merging_ratio": OptionInfo(0.0, "Token merging ratio"),
         "token_merging_ratio_img2img": OptionInfo(0.0, "Token merging ratio for img2img"),

