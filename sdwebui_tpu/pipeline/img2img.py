@@ -290,10 +290,19 @@ def _process_img2img(model: SDModel, p: GenerationParams,
         blist = PostprocessBatchListArgs(pils)
         runner.postprocess_batch_list(p, blist)
         pils = blist.images
+        from sdwebui_tpu.pipeline.processing import save_extra_copies
+
+        if p.restore_faces and _opts.get(
+                "save_images_before_face_restoration", False):
+            save_extra_copies(pils, p, model, outdir, seeds,
+                              "-before-face-restoration", lo)
         pils = _maybe_restore_faces(p, pils)
         if color_corrections is not None:
             from sdwebui_tpu.utils.color import apply_color_correction
 
+            if _opts.get("save_images_before_color_correction", False):
+                save_extra_copies(pils, p, model, outdir, seeds,
+                                  "-before-color-correction", lo)
             pils = [apply_color_correction(
                         color_corrections[min(idx, len(color_corrections) - 1)], img)
                     for idx, img in enumerate(pils)]
@@ -308,6 +317,24 @@ def _process_img2img(model: SDModel, p: GenerationParams,
             ppi = PostprocessImageArgs(pils[idx], idx)
             runner.postprocess_image_after_composite(p, ppi)
             pils[idx] = ppi.image
+
+        # inpainting mask copies (reference processing.py:1086-1090)
+        if mask_info.get("mask") is not None and outdir \
+                and not p.do_not_save_samples:
+            from PIL import Image as PILImage
+
+            mask_l = mask_info["mask"].convert("L")
+            if _opts.get("save_mask", False):
+                save_extra_copies([mask_l] * len(pils), p, model, outdir,
+                                  seeds, "-mask", lo)
+            if _opts.get("save_mask_composite", False):
+                comps = [PILImage.composite(
+                    img.convert("RGBA").convert("RGBa"),
+                    PILImage.new("RGBa", img.size),
+                    mask_l.resize(img.size)).convert("RGBA")
+                    for img in pils]
+                save_extra_copies(comps, p, model, outdir, seeds,
+                                  "-mask-composite", lo)
 
         for i, img in enumerate(pils):
             info = create_infotext(p, model, lo + i,

@@ -511,6 +511,20 @@ def _resolve_seeds(p: GenerationParams):
     p.all_negative_prompts = [p.negative_prompt] * n
 
 
+def save_extra_copies(pils: list, p: GenerationParams, model,
+                      outdir: str | None, seeds, suffix: str, lo: int = 0):
+    """Save \"-before-*\" / mask copies next to the main samples (reference
+    modules/processing.py:1037-1090 save_intermediate / save_mask blocks)."""
+    if not outdir or p.do_not_save_samples:
+        return
+    for i, img in enumerate(pils):
+        images_util.save_image(
+            img, outdir, seed=seeds[i] if i < len(seeds) else p.seed,
+            prompt=p.all_prompts[lo + i] if lo + i < len(p.all_prompts)
+            else p.prompt,
+            info=create_infotext(p, model, lo + i), p=p, suffix=suffix)
+
+
 def _maybe_restore_faces(p: GenerationParams, pils: list) -> list:
     """reference process_images_inner face restoration stage
     (modules/processing.py:1043) — applied before color correction."""
@@ -832,6 +846,14 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
         if p.enable_hr:
             runner.process_before_every_sampling(p, batch_number=n,
                                                  is_hr_pass=True)
+            from sdwebui_tpu.utils.options import opts as _hr_opts
+
+            if _hr_opts.get("save_images_before_highres_fix", False) \
+                    and outdir and not p.do_not_save_samples:
+                lowres = images_util.tensor_to_pil(
+                    np.asarray(decode_first_stage(model, latents)))
+                save_extra_copies(lowres, p, model, outdir, seeds,
+                                  "-before-highres-fix", lo)
             latents = _hires_pass(model, p, latents, seeds, subseeds)
         runner.post_sample(p, PostSampleArgs(latents))
         images = decode_first_stage_u8(model, latents)
@@ -842,6 +864,12 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
         blist = PostprocessBatchListArgs(pils)
         runner.postprocess_batch_list(p, blist)
         pils = blist.images
+        from sdwebui_tpu.utils.options import opts as _sv_opts
+
+        if p.restore_faces and _sv_opts.get(
+                "save_images_before_face_restoration", False):
+            save_extra_copies(pils, p, model, outdir, seeds,
+                              "-before-face-restoration", lo)
         pils = _maybe_restore_faces(p, pils)
         pils = [runner.postprocess_image(p, img) for img in pils]
 

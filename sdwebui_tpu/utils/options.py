@@ -165,6 +165,11 @@ def make_default_templates() -> dict:
         "img_downscale_threshold": OptionInfo(4.0, "File size limit for the above option, MB"),
         "target_side_length": OptionInfo(4000, "Width/height limit for the above option, in pixels"),
         "save_txt": OptionInfo(False, "Create a text file with infotext next to every generated image"),
+        "save_images_before_face_restoration": OptionInfo(False, "Save a copy of image before doing face restoration."),
+        "save_images_before_highres_fix": OptionInfo(False, "Save a copy of image before applying highres fix."),
+        "save_images_before_color_correction": OptionInfo(False, "Save a copy of image before applying color correction to img2img results"),
+        "save_mask": OptionInfo(False, "For inpainting, save a copy of the greyscale mask"),
+        "save_mask_composite": OptionInfo(False, "For inpainting, save a masked composite"),
     }))
     t.update(options_section(("sd", "Stable Diffusion"), {
         "sd_model_checkpoint": OptionInfo(None, "Stable Diffusion checkpoint", "dropdown"),
