@@ -39,29 +39,64 @@ def apply_hypernetwork_module(layers, x, activation: str = "linear",
             h = h + layer["bias"].astype(jnp.float32)
         if i < n - 1 or activate_output:
             h = act(h)
+        if "ln_weight" in layer:     # add_layer_norm (after activation,
+            mean = jnp.mean(h, axis=-1, keepdims=True)   # reference order)
+            var = jnp.var(h, axis=-1, keepdims=True)
+            h = (h - mean) / jnp.sqrt(var + 1e-5)
+            h = h * layer["ln_weight"].astype(jnp.float32) \
+                + layer["ln_bias"].astype(jnp.float32)
     return (x.astype(jnp.float32) + h * multiplier).astype(x.dtype)
 
 
-def init_module(dim: int, layer_structure=(1, 2, 1), seed: int = 0) -> list:
+def _init_weight(rng, cin: int, cout: int, weight_init: str) -> np.ndarray:
+    """Reference HypernetworkModule init variants
+    (modules/hypernetworks/hypernetwork.py:54-74)."""
+    if weight_init == "Normal" or weight_init == "Default":
+        w = rng.standard_normal((cin, cout)) * 0.01
+    elif weight_init == "KaimingUniform":
+        bound = np.sqrt(6.0 / cin)
+        w = rng.uniform(-bound, bound, (cin, cout))
+    elif weight_init == "KaimingNormal":
+        w = rng.standard_normal((cin, cout)) * np.sqrt(2.0 / cin)
+    elif weight_init == "XavierUniform":
+        bound = np.sqrt(6.0 / (cin + cout))
+        w = rng.uniform(-bound, bound, (cin, cout))
+    elif weight_init == "XavierNormal":
+        w = rng.standard_normal((cin, cout)) * np.sqrt(2.0 / (cin + cout))
+    else:
+        raise ValueError(f"unknown weight init {weight_init!r}")
+    return w.astype(np.float32)
+
+
+def init_module(dim: int, layer_structure=(1, 2, 1), seed: int = 0,
+                weight_init: str = "Normal",
+                add_layer_norm: bool = False) -> list:
     """Random-init MLP layer list (reference HypernetworkModule __init__)."""
     rng = np.random.default_rng(seed)
     dims = [int(dim * m) for m in layer_structure]
     layers = []
     for cin, cout in zip(dims[:-1], dims[1:]):
-        layers.append({
-            "weight": (rng.standard_normal((cin, cout)) * 0.01).astype(np.float32),
+        layer = {
+            "weight": _init_weight(rng, cin, cout, weight_init),
             "bias": np.zeros((cout,), np.float32),
-        })
+        }
+        if add_layer_norm:
+            layer["ln_weight"] = np.ones((cout,), np.float32)
+            layer["ln_bias"] = np.zeros((cout,), np.float32)
+        layers.append(layer)
     return layers
 
 
 def create_hypernetwork(dims=(768, 320, 640, 1280), layer_structure=(1, 2, 1),
-                        seed: int = 0) -> dict:
+                        seed: int = 0, weight_init: str = "Normal",
+                        add_layer_norm: bool = False) -> dict:
     """{dim_str: (k_layers, v_layers)} — arrays-only pytree."""
     out = {}
     for i, d in enumerate(dims):
-        out[str(d)] = (init_module(d, layer_structure, seed + 2 * i),
-                       init_module(d, layer_structure, seed + 2 * i + 1))
+        out[str(d)] = (init_module(d, layer_structure, seed + 2 * i,
+                                   weight_init, add_layer_norm),
+                       init_module(d, layer_structure, seed + 2 * i + 1,
+                                   weight_init, add_layer_norm))
     return out
 
 
@@ -78,9 +113,10 @@ def save_hypernetwork(hn: dict, path: str, name: str = "", step: int = 0,
     for dim, (k_mod, v_mod) in hn.items():
         for tag, mod in (("k", k_mod), ("v", v_mod)):
             for li, layer in enumerate(mod):
-                tensors[f"{dim}.{tag}.linear.{li}.weight"] = np.asarray(layer["weight"])
-                if "bias" in layer:
-                    tensors[f"{dim}.{tag}.linear.{li}.bias"] = np.asarray(layer["bias"])
+                for kind in ("weight", "bias", "ln_weight", "ln_bias"):
+                    if kind in layer:
+                        tensors[f"{dim}.{tag}.linear.{li}.{kind}"] = \
+                            np.asarray(layer[kind])
     write_safetensors(path, tensors, metadata={
         "name": name, "step": str(step),
         "layer_structure": ",".join(str(x) for x in layer_structure),

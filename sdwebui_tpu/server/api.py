@@ -755,9 +755,17 @@ class Api:
 
         name = body.get("name", "hypernetwork")
         dims = tuple(int(x) for x in body.get("enable_sizes", [768, 320, 640, 1280]))
+        layer_structure = tuple(
+            float(x) for x in body.get("layer_structure", (1, 2, 1)))
         os.makedirs("models/hypernetworks", exist_ok=True)
         path = os.path.join("models/hypernetworks", f"{name}.safetensors")
-        save_hypernetwork(create_hypernetwork(dims=dims), path, name=name)
+        hn = create_hypernetwork(
+            dims=dims, layer_structure=layer_structure,
+            weight_init=body.get("weight_init", "Normal"),
+            add_layer_norm=bool(body.get("add_layer_norm", False)))
+        save_hypernetwork(hn, path, name=name,
+                          layer_structure=layer_structure,
+                          activation=body.get("activation_func", "linear"))
         return {"info": f"create hypernetwork filename: {path}"}
 
     def train_embedding(self, body: dict):
@@ -805,40 +813,41 @@ class Api:
                         f"final loss {losses[-1]:.4f}"}
 
     def train_hypernetwork(self, body: dict):
+        """Directory-of-images hypernetwork training with the dataset
+        pipeline (reference TrainHypernetwork API)."""
         import os
 
-        import numpy as np
-        from PIL import Image as PILImage
-
-        from sdwebui_tpu.pipeline.processing import encode_first_stage
-        from sdwebui_tpu.training.hypernetwork import train_hypernetwork as _train
+        from sdwebui_tpu.training.hypernetwork import \
+            train_hypernetwork_from_dir
 
         name = body.get("hypernetwork_name", "hypernetwork")
         data_dir = body.get("data_root", "")
         if not os.path.isdir(data_dir):
             raise ApiError(404, f"data_root not found: {data_dir}")
         model = self.engine.sd_model
-        size = int(body.get("training_width", 512))
-        imgs, caps = [], []
-        for fn in sorted(os.listdir(data_dir))[:64]:
-            if fn.lower().endswith((".png", ".jpg", ".jpeg", ".webp")):
-                im = PILImage.open(os.path.join(data_dir, fn)).convert("RGB")
-                imgs.append(np.asarray(im.resize((size, size)), np.float32) / 255.0)
-                caps.append(os.path.splitext(fn)[0].replace("_", " "))
-        if not imgs:
-            raise ApiError(404, f"no images in {data_dir}")
-        with self.engine.queue_lock:
-            latents = np.asarray(encode_first_stage(model, np.stack(imgs)))
-            enc = model.encode_texts(caps)
-            conds = np.asarray(enc[0] if isinstance(enc, tuple) else enc)
-            os.makedirs("models/hypernetworks", exist_ok=True)
-            _, losses = _train(
-                model, name, latents, conds,
-                steps=int(body.get("steps", 100)),
-                lr=float(str(body.get("learn_rate", "0.0001")).split(":")[0]),
-                batch_size=int(body.get("batch_size", 1)),
-                save_path=os.path.join("models/hypernetworks",
-                                       f"{name}.safetensors"))
+        try:
+            with self.engine.queue_lock:
+                os.makedirs("models/hypernetworks", exist_ok=True)
+                _, losses = train_hypernetwork_from_dir(
+                    model, name, data_dir,
+                    steps=int(body.get("steps", 100)),
+                    learn_rate=body.get("learn_rate", "0.00001"),
+                    batch_size=int(body.get("batch_size", 1)),
+                    template=body.get("template_filename",
+                                      body.get("template", "hypernetwork")),
+                    width=int(body.get("training_width", 512)),
+                    height=int(body.get("training_height", 512)),
+                    varsize=bool(body.get("varsize", False)),
+                    use_weight=bool(body.get("use_weight", False)),
+                    shuffle_tags=bool(body.get("shuffle_tags", False)),
+                    tag_drop_out=float(body.get("tag_drop_out", 0.0)),
+                    latent_sampling_method=body.get(
+                        "latent_sampling_method", "once"),
+                    save_every=int(body.get("save_hypernetwork_every", 0)),
+                    save_path=os.path.join("models/hypernetworks",
+                                           f"{name}.safetensors"))
+        except (ValueError, AssertionError) as e:
+            raise ApiError(400, str(e))
         return {"info": f"train hypernetwork complete: {len(losses)} steps, "
                         f"final loss {losses[-1]:.4f}"}
 

@@ -72,3 +72,101 @@ def train_hypernetwork(model, name: str, latents: np.ndarray, conds: np.ndarray,
         save_hypernetwork(hn_host, save_path, name=name, step=len(losses),
                           layer_structure=layer_structure)
     return hn_host, losses
+
+
+def train_hypernetwork_from_dir(model, name: str, data_root: str,
+                                dims=None, layer_structure=(1, 2, 1),
+                                activation: str = "linear",
+                                weight_init: str = "Normal",
+                                add_layer_norm: bool = False,
+                                steps: int = 100, learn_rate="0.00001",
+                                batch_size: int = 1,
+                                template: str = "hypernetwork",
+                                width: int = 512, height: int = 512,
+                                varsize: bool = False,
+                                use_weight: bool = False,
+                                shuffle_tags: bool = False,
+                                tag_drop_out: float = 0.0,
+                                latent_sampling_method: str = "once",
+                                seed: int = 0, save_path: str | None = None,
+                                save_every: int = 0, callback=None):
+    """Directory-of-images hypernetwork training (reference
+    modules/hypernetworks/hypernetwork.py:472 train_hypernetwork) — dataset
+    captions condition each step; layer structure / activation /
+    weight-init / layer-norm options mirror the reference's create UI.
+    Dropout is not implemented (would thread rng through the jitted UNet).
+    """
+    from sdwebui_tpu.training.dataset import (LearnRateScheduler,
+                                              PersonalizedDataset)
+
+    if dims is None:
+        dims = (model.unet_cfg.context_dim,)
+    ds = PersonalizedDataset(
+        data_root, model, width=width, height=height, placeholder=name,
+        template=template, varsize=varsize, use_weight=use_weight,
+        shuffle_tags=shuffle_tags, tag_drop_out=tag_drop_out,
+        latent_sampling_method=latent_sampling_method, seed=seed)
+    schedule = LearnRateScheduler(learn_rate, steps)
+    hn = create_hypernetwork(dims=dims, layer_structure=layer_structure,
+                             seed=seed, weight_init=weight_init,
+                             add_layer_norm=add_layer_norm)
+    hn = jax.tree_util.tree_map(jnp.asarray, hn)
+
+    optimizer = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=schedule.learn_rate)
+    ac = jnp.asarray(model.disc.alphas_cumprod, jnp.float32)
+    sqrt_ac, sqrt_1mac = jnp.sqrt(ac), jnp.sqrt(1.0 - ac)
+    unet_params, unet_cfg = model.unet_params, model.unet_cfg
+    hn_meta = (activation, 1.0, False)
+
+    def loss_fn(hn_tree, latents, noise, t, ctx, weights):
+        a = sqrt_ac[t][:, None, None, None]
+        am = sqrt_1mac[t][:, None, None, None]
+        x_t = a * latents + am * noise
+        pred = unet_model.apply(unet_params, unet_cfg, x_t,
+                                t.astype(jnp.float32), ctx,
+                                hypernet=(hn_tree, hn_meta))
+        return jnp.mean((pred.astype(jnp.float32) - noise) ** 2 * weights)
+
+    @jax.jit
+    def step_fn(hn_tree, opt_state, latents, noise, t, ctx, weights):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            hn_tree, latents, noise, t, ctx, weights)
+        updates, opt_state = optimizer.update(grads, opt_state, hn_tree)
+        return optax.apply_updates(hn_tree, updates), opt_state, loss
+
+    opt_state = optimizer.init(hn)
+    rng = np.random.default_rng(seed)
+    losses = []
+    for i in range(steps):
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            schedule.rate_at(i), jnp.float32)
+        latents, texts, weights = ds.sample_batch(batch_size)
+        ctx = model.encode_texts(texts)
+        if isinstance(ctx, tuple):
+            ctx = ctx[0]
+        noise = rng.standard_normal(latents.shape).astype(np.float32)
+        t = rng.integers(0, len(model.disc.alphas_cumprod),
+                         (latents.shape[0],)).astype(np.int32)
+        w = np.ones_like(latents) if weights is None else weights
+        hn, opt_state, loss = step_fn(hn, opt_state, jnp.asarray(latents),
+                                      jnp.asarray(noise), jnp.asarray(t),
+                                      ctx, jnp.asarray(w))
+        losses.append(float(loss))
+        if callback is not None and callback(i, losses[-1]) is False:
+            break
+        if save_every and save_path and (i + 1) % save_every == 0 \
+                and (i + 1) < steps:
+            host = jax.tree_util.tree_map(
+                lambda x: np.asarray(jax.device_get(x)), hn)
+            save_hypernetwork(host, save_path, name=name, step=i + 1,
+                              layer_structure=layer_structure,
+                              activation=activation)
+
+    hn_host = jax.tree_util.tree_map(
+        lambda x: np.asarray(jax.device_get(x)), hn)
+    if save_path:
+        save_hypernetwork(hn_host, save_path, name=name, step=len(losses),
+                          layer_structure=layer_structure,
+                          activation=activation)
+    return hn_host, losses

@@ -234,3 +234,60 @@ def test_train_embedding_from_dir(model, data_dir, tmp_path):
     np.testing.assert_allclose(st.vec, emb.vec, atol=1e-6)
     card = load_embedding_file(str(tmp_path / "out" / "tok.png"))
     np.testing.assert_allclose(card.vec, emb.vec, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# hypernetwork: structure options + directory training
+# --------------------------------------------------------------------------
+
+def test_hypernetwork_structure_options():
+    from sdwebui_tpu.networks.hypernetwork import (
+        apply_hypernetwork_module, create_hypernetwork, load_hypernetwork,
+        save_hypernetwork)
+
+    hn = create_hypernetwork(dims=(64,), layer_structure=(1, 1.5, 1),
+                             weight_init="XavierNormal", add_layer_norm=True)
+    k_mod, v_mod = hn["64"]
+    assert len(k_mod) == 2
+    assert k_mod[0]["weight"].shape == (64, 96)
+    assert "ln_weight" in k_mod[0]
+    x = np.random.default_rng(0).standard_normal((2, 7, 64)).astype(np.float32)
+    out = apply_hypernetwork_module(k_mod, x, activation="swish")
+    assert out.shape == x.shape
+    assert not np.allclose(np.asarray(out), x)
+
+    # layer-norm params survive a save/load roundtrip
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        save_hypernetwork(hn, f"{d}/hn.safetensors",
+                          layer_structure=(1, 1.5, 1), activation="swish")
+        loaded, activation = load_hypernetwork(f"{d}/hn.safetensors")
+        assert activation == "swish"
+        np.testing.assert_allclose(loaded["64"][0][0]["ln_weight"],
+                                   k_mod[0]["ln_weight"])
+
+
+@pytest.mark.parametrize("init", ["Normal", "KaimingUniform", "KaimingNormal",
+                                  "XavierUniform", "XavierNormal"])
+def test_hypernetwork_weight_inits(init):
+    from sdwebui_tpu.networks.hypernetwork import init_module
+
+    mod = init_module(64, (1, 2, 1), weight_init=init)
+    w = mod[0]["weight"]
+    assert w.shape == (64, 128) and np.abs(w).max() > 0
+
+
+def test_train_hypernetwork_from_dir(model, data_dir, tmp_path):
+    from sdwebui_tpu.networks.hypernetwork import load_hypernetwork
+    from sdwebui_tpu.training.hypernetwork import train_hypernetwork_from_dir
+
+    save = str(tmp_path / "hn.safetensors")
+    hn, losses = train_hypernetwork_from_dir(
+        model, "hn", str(data_dir), layer_structure=(1, 2, 1),
+        activation="relu", steps=6, learn_rate="0.001:3, 0.0001:6",
+        batch_size=2, width=64, height=64, save_path=save, seed=0)
+    assert len(losses) == 6 and np.isfinite(losses).all()
+    loaded, activation = load_hypernetwork(save)
+    assert activation == "relu"
+    assert str(model.unet_cfg.context_dim) in loaded
