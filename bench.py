@@ -46,7 +46,7 @@ def main():
                 raise
             time.sleep(30)
     times = []
-    for i in range(3):
+    for i in range(5):   # median of 5: the axon tunnel adds ±10% noise
         t0 = time.perf_counter()
         res = run(2 + i)
         times.append(time.perf_counter() - t0)

@@ -101,6 +101,13 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     dp = _round_up(d, 128)
     bq = min(block_q, _round_up(sq, 16))
     bk = min(block_kv, _round_up(skv, 16))
+    if _round_up(skv, 16) <= block_kv:
+        # single kv block (cross-attention, Skv=77·chunks): the score block
+        # is only (bq, bk≤block_kv), so a whole-sequence q block amortizes
+        # grid/scratch overhead — measured 0.73→0.49 ms at (64,4096,40)/77
+        # (bq 1024→4096); bk=2048 for self-attention measured SLOWER
+        # (4.30 vs 4.14 ms), so only the small-skv case changes
+        bq = min(_round_up(sq, 16), 4096)
     # shrink blocks until the VMEM working set fits (double-buffered input
     # blocks + fp32 accumulator + score matrix); large-dp fp32 cases (VAE
     # mid-attention at batch>1) exceed 16MB at the default 1024² blocks

@@ -823,11 +823,21 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
         jt.record("noise")
 
         if refiner_model is not None and 0 < p.refiner_switch_at < 1:
-            # base → refiner handoff at the switch-point sigma (the reference
-            # swaps checkpoints inside a step, apply_refiner
-            # sd_samplers_common.py:158; we split the schedule — multistep
-            # history resets at the boundary, matching a fresh sampler)
-            s_idx = max(int(p.steps * p.refiner_switch_at), 1)
+            # base → refiner handoff at the switch-point sigma.  The
+            # reference decides per step in the NOISE domain (apply_refiner,
+            # sd_samplers_common.py:156-167: completed_ratio =
+            # (999 - timestep(σ))/1000, switch once it reaches switch_at) —
+            # not at int(steps·switch_at).  Compute the same boundary from
+            # the schedule's sigmas; we split the fused run there (multistep
+            # history resets at the boundary, matching a fresh sampler).
+            log_s = np.log(np.maximum(np.asarray(sigmas[:-1]), 1e-12))
+            tsteps = np.argmin(
+                np.abs(log_s[:, None]
+                       - np.asarray(model.disc.log_sigmas)[None, :]), axis=1)
+            ratios = (999.0 - tsteps) / 1000.0
+            hit = np.nonzero(ratios >= p.refiner_switch_at)[0]
+            s_idx = int(hit[0]) if hit.size else len(log_s) - 1
+            s_idx = min(max(s_idx, 1), p.steps - 1)
             latents = sample_latents(model, sched, x, sigmas[: s_idx + 1],
                                      noise[:s_idx], sampler.solver,
                                      _solver_extra(p, sampler), hypernet=hypernet)

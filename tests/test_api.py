@@ -2,6 +2,10 @@
 test strategy verbatim (SURVEY.md §4: tiny sizes, random weights, schema
 validation not image quality)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import base64
 import io
 

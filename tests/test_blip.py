@@ -1,6 +1,10 @@
 """BLIP captioner: parity against HF BlipForConditionalGeneration (random
 weights), plus original-BLIP key translation and WordPiece round trip."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import pytest
 

@@ -4,6 +4,10 @@ The twin is written from the published CodeFormer / VQGAN architecture
 description (flat blocks lists, GroupNorm-swish ResBlocks, single-head attn,
 pre-norm transformer over codebook logits, SFT fusion)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import math
 
 import numpy as np

@@ -2,6 +2,10 @@
 rectangle-window attention + channel attention, AIM interactions, SGFN,
 dynamic position bias), plus config derivation from checkpoint buffers."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import pytest
 

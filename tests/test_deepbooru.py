@@ -1,5 +1,9 @@
 """DeepDanbooru ResNet: wiring parity vs a torch twin, full-plan shapes."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -4,6 +4,10 @@ The twin below is written directly from the published GFPGANv1Clean /
 StyleGAN2-clean architecture description (bilinear resampling, modulated
 convs, CSFT) — it shares no code with either the JAX module or upstream."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import math
 
 import numpy as np

@@ -1,6 +1,10 @@
 """HAT: forward parity against an independent torch twin (window attention +
 CAB channel branch, overlapping cross-attention, pixelshuffle upsampler)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,9 @@
 """LDSR: checkpoint conversion, legacy attention, VQ quantize, 4x output."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -6,6 +6,10 @@ is not in the reference image, so the oracle here is a torch twin built
 from the public DPT structure (Ranftl et al., isl-org/DPT dpt_hybrid).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import pytest
 

@@ -10,6 +10,10 @@ in-repo timestep samplers (DDIM/PLMS).  A failure here means real semantic
 drift from AUTOMATIC1111/stable-diffusion-webui, not twin-vs-twin agreement.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import sys
 import os
 

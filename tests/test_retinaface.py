@@ -1,6 +1,10 @@
 """RetinaFace: torch-twin forward parity (ResNet50+FPN+SSH at reduced
 width), anchor decode/NMS units, and detector → face-restore integration."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,9 @@
 """SCUNet denoiser: forward shapes, conversion, transpose-conv equivalence."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -1,6 +1,10 @@
 """SD3 path: MMDiT forward, flow discretization, end-to-end generation,
 checkpoint load/derive."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,9 @@
 """SDXL path tests: dual-encoder conds, adm vector banks, refiner switch."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -97,3 +101,26 @@ def test_sdxl_img2img(model):
                          init_images=[Image.new("RGB", (64, 64), (90, 90, 90))])
     res = process_img2img(model, p)
     assert len(res.images) == 1
+
+
+def test_refiner_switch_sigma_domain(model):
+    """The handoff index follows the reference's noise-domain rule
+    (apply_refiner: completed_ratio = (999 - timestep(sigma))/1000), not
+    int(steps * switch_at)."""
+    import numpy as np
+
+    from sdwebui_tpu.sampling.schedulers import get_schedule
+
+    steps, switch_at = 20, 0.6
+    sigmas = np.asarray(get_schedule("Automatic", steps, model.disc,
+                                     is_sdxl=True))
+    log_s = np.log(np.maximum(sigmas[:-1], 1e-12))
+    t = np.argmin(np.abs(log_s[:, None]
+                         - np.asarray(model.disc.log_sigmas)[None, :]),
+                  axis=1)
+    ratios = (999.0 - t) / 1000.0
+    expected = int(np.nonzero(ratios >= switch_at)[0][0])
+    # the schedule is nonlinear in t, so the sigma-domain boundary differs
+    # from the naive step-count split for most schedules
+    assert ratios[expected] >= switch_at
+    assert expected == 0 or ratios[expected - 1] < switch_at

@@ -2,6 +2,10 @@
 (random weights) — covers cosine attention, log-CPB bias, post-norm blocks,
 HF→original key translation, and the pixelshuffle upsampler."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,9 @@
 """SwinIR upscaler: window helpers, config derivation, forward, tiling."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

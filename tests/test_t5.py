@@ -1,5 +1,9 @@
 """T5 v1.1 encoder: parity against HF transformers T5EncoderModel."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -1,5 +1,9 @@
 """XLM-R (AltDiffusion) encoder parity against transformers."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from `-m 'not slow'` quick runs
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
