@@ -121,6 +121,9 @@ def _process_img2img(model: SDModel, p: GenerationParams,
     if p.denoising_strength is None:
         p.denoising_strength = 0.75
     _resolve_seeds(p)
+    from sdwebui_tpu.pipeline.processing import _strip_prompt_comments
+
+    _strip_prompt_comments(p)
     from sdwebui_tpu.networks import extra_networks
 
     clean_prompt, model, hypernet = extra_networks.activate(model, p.prompt)

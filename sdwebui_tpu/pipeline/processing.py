@@ -293,8 +293,14 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
             lms_coefficients(np.asarray(sigmas, np.float64)), jnp.float32)
     elif solver == "unipc":
         from sdwebui_tpu.sampling.solvers import unipc_coefficients
+        from sdwebui_tpu.utils.options import opts as _uopts
 
-        coeffs = unipc_coefficients(np.asarray(sigmas, np.float64))
+        coeffs = unipc_coefficients(
+            np.asarray(sigmas, np.float64),
+            order=int(_uopts.get("uni_pc_order", 3)),
+            variant=_uopts.get("uni_pc_variant", "bh1"),
+            lower_order_final=bool(
+                _uopts.get("uni_pc_lower_order_final", True)))
         lms_coeffs = {k: jnp.asarray(v) for k, v in coeffs.items()}
     elif solver == "restart":
         from sdwebui_tpu.sampling.solvers import build_restart_plan
@@ -498,6 +504,22 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
 # ==========================================================================
 # orchestration
 # ==========================================================================
+
+def _strip_prompt_comments(p: GenerationParams):
+    """# comments in prompts (reference processing_scripts/comments.py,
+    gated on enable_prompt_comments — default on)."""
+    from sdwebui_tpu.text.prompt_parser import strip_comments
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if not _opts.get("enable_prompt_comments", True):
+        return
+    if "#" not in p.prompt and "#" not in p.negative_prompt:
+        return
+    p.prompt = strip_comments(p.prompt)
+    p.negative_prompt = strip_comments(p.negative_prompt)
+    p.all_prompts = [strip_comments(x) for x in p.all_prompts]
+    p.all_negative_prompts = [strip_comments(x) for x in p.all_negative_prompts]
+
 
 def _resolve_seeds(p: GenerationParams):
     if p.seed in (-1, None):
@@ -738,6 +760,7 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
     runner.setup_scripts(p)
     runner.before_process(p)
     _resolve_seeds(p)
+    _strip_prompt_comments(p)
     # extra networks: strip <lora:...> tags, swap in merged param trees
     from sdwebui_tpu.networks import extra_networks
 

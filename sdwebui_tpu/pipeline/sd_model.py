@@ -144,10 +144,13 @@ def make_denoise_fn(model: SDModel):
     wrapper: k-diffusion CompVis(V)Denoiser scalings + quantized σ→t lookup
     done on-device (the reference keeps sigmas on CPU and indexes per step;
     here the whole table rides in the compiled program)."""
+    from sdwebui_tpu.utils import devices as _dv
+
     log_sigmas = jnp.asarray(model.disc.log_sigmas, jnp.float32)
     prediction_type = model.disc.prediction_type
     unet_cfg = model.unet_cfg
     unet_params = model.unet_params
+    compute_dtype = _dv.get_policy().compute_dtype
 
     def denoise(x, sigma, ctx, y=None, c_concat=None):
         sigma = sigma.astype(jnp.float32)
@@ -155,7 +158,7 @@ def make_denoise_fn(model: SDModel):
             jnp.abs(jnp.log(jnp.maximum(sigma, 1e-12))[:, None] - log_sigmas[None, :]),
             axis=-1).astype(jnp.float32)
         c_in = (1.0 / jnp.sqrt(sigma ** 2 + 1.0))[:, None, None, None]
-        x_in = (x * c_in).astype(jnp.bfloat16)
+        x_in = (x * c_in).astype(compute_dtype)
         if c_concat is not None:
             x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
         out = unet_model.apply(unet_params, unet_cfg, x_in, t, ctx, y=y)

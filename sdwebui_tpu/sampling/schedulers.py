@@ -132,6 +132,18 @@ def get_schedule(name: str, n: int, disc: Discretization,
     if key not in SCHEDULERS:
         raise ValueError(f"unknown scheduler {name!r}")
     fn = SCHEDULERS[key]
+    # opts overrides (reference sd_samplers_kdiffusion.get_sigmas: nonzero
+    # sigma_min/sigma_max/rho options replace the model/scheduler defaults;
+    # drives the XYZ "Schedule min/max sigma" and "Schedule rho" axes)
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if sigma_min is None and float(_opts.get("sigma_min", 0.0) or 0.0) > 0:
+        sigma_min = float(_opts.get("sigma_min"))
+    if sigma_max is None and float(_opts.get("sigma_max", 0.0) or 0.0) > 0:
+        sigma_max = float(_opts.get("sigma_max"))
+    if "rho" not in kw and float(_opts.get("rho", 0.0) or 0.0) > 0 \
+            and key in ("karras", "polyexponential"):
+        kw["rho"] = float(_opts.get("rho"))
     return fn(n, sigma_min if sigma_min is not None else disc.sigma_min,
               sigma_max if sigma_max is not None else disc.sigma_max,
               disc, **kw).astype(np.float64)

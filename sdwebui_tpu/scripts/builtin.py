@@ -70,6 +70,7 @@ AXIS_OPTIONS = {
 # reference xyz_grid apply_override)
 OPTS_AXES = {
     "Checkpoint name": "sd_model_checkpoint",   # engine swaps per cell
+    "VAE": "sd_vae",                            # engine re-resolves per cell
     "Token merging ratio": "token_merging_ratio",
     "Token merging ratio high-res": "token_merging_ratio_hr",
     "RNG source": "randn_source",
@@ -77,6 +78,12 @@ OPTS_AXES = {
     "Beta schedule beta": "beta_dist_beta",
     "Emphasis": "emphasis_mode",
     "Eta noise seed delta": "eta_noise_seed_delta",
+    "Schedule min sigma": "sigma_min",
+    "Schedule max sigma": "sigma_max",
+    "Schedule rho": "rho",
+    "UniPC Order": "uni_pc_order",
+    "UniPC Variant": "uni_pc_variant",
+    "Face restore model": "face_restoration_model",
 }
 
 

@@ -168,6 +168,7 @@ class Api:
         r("POST", "/internal/parse-infotext", self.parse_infotext)
         r("POST", "/internal/save-style", self.save_style)
         r("POST", "/internal/img2img-batch", self.img2img_batch)
+        r("GET", "/internal/options-metadata", self.options_metadata)
 
     def add_route(self, method: str, path: str, handler: Callable):
         self.routes[(method, path)] = handler
@@ -463,6 +464,19 @@ class Api:
         return [{"name": s.name, "prompt": s.prompt,
                  "negative_prompt": s.negative_prompt}
                 for s in self.engine.styles.styles.values()]
+
+    def options_metadata(self, body=None):
+        """Option labels + section grouping for the settings UI (the
+        reference renders settings grouped by shared_options sections)."""
+        from sdwebui_tpu.utils.options import opts as _opts
+
+        out = {}
+        for key, info in _opts.data_labels.items():
+            sec = info.section or (None, None)
+            out[key] = {"label": info.label,
+                        "section": sec[0] or "other",
+                        "section_title": sec[1] or "Other"}
+        return out
 
     def save_style(self, body: dict):
         """Create/update a prompt style from the UI (reference

@@ -117,7 +117,11 @@ class Engine:
                                              resolve_vae)
 
         model = load_model(path, title=title, sha256=sha256)
+        # keep the embedded VAE so a live sd_vae switch can restore it
+        self._embedded_vae = (model.vae_params, model.vae_cfg)
+        self._ckpt_path = path
         vae_path = resolve_vae(path)
+        self._vae_key = vae_path or "embedded"
         if vae_path:
             import dataclasses as _dc
 
@@ -189,11 +193,44 @@ class Engine:
         if self.registry.find(want) is not None:
             self.reload_checkpoint(want)
 
+    def _maybe_switch_vae(self, p: GenerationParams):
+        """Live VAE selection (reference modules/sd_vae.py reload_vae_weights
+        + per-request override_settings.sd_vae; drives the XYZ VAE axis).
+        Re-resolves the sd_vae chain and swaps the model's VAE params; the
+        checkpoint's embedded VAE is kept for restoring on 'None'."""
+        if self._model is None:
+            return     # resolution happens at first load
+        want = (p.override_settings or {}).get(
+            "sd_vae", opts.get("sd_vae", "Automatic"))
+        from sdwebui_tpu.loader.load import load_external_vae, resolve_vae
+
+        if not hasattr(self, "_embedded_vae"):
+            self._embedded_vae = (self._model.vae_params, self._model.vae_cfg)
+            self._vae_key = "embedded"
+        with opts.override({"sd_vae": want}):
+            path = resolve_vae(getattr(self, "_ckpt_path", "") or "")
+        key = path or "embedded"
+        if key == getattr(self, "_vae_key", "embedded"):
+            return
+        import dataclasses as _dc
+
+        if path is None:
+            params, cfg = self._embedded_vae
+            self._model = _dc.replace(self._model, vae_params=params,
+                                      vae_cfg=cfg)
+        else:
+            tree, cfg = load_external_vae(
+                path, scale_factor=self._model.vae_cfg.scale_factor)
+            self._model = _dc.replace(self._model, vae_params=tree,
+                                      vae_cfg=cfg)
+        self._vae_key = key
+
     def txt2img(self, p: GenerationParams, save: bool = False):
         from sdwebui_tpu.pipeline.processing import process_txt2img
 
         self.apply_styles(p)
         self._maybe_switch_checkpoint(p)
+        self._maybe_switch_vae(p)
         self._apply_runtime_opts()
         with self.queue_lock:
             state.begin("txt2img")
@@ -233,6 +270,7 @@ class Engine:
 
         self.apply_styles(p)
         self._maybe_switch_checkpoint(p)
+        self._maybe_switch_vae(p)
         self._apply_runtime_opts()
         with self.queue_lock:
             state.begin("img2img")

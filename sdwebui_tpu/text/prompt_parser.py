@@ -35,6 +35,14 @@ class _ParseFail(Exception):
     pass
 
 
+def strip_comments(text: str) -> str:
+    """# line comments (reference processing_scripts/comments.py
+    strip_comments, gated on opts.enable_prompt_comments)."""
+    text = re.sub(r"(^|\n)#[^\n]*(\n|$)", "\n", text)
+    text = re.sub(r"#[^\n]*(\n|$)", "\n", text)
+    return text
+
+
 @dataclasses.dataclass
 class _Text:
     s: str

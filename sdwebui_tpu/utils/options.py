@@ -185,6 +185,7 @@ def make_default_templates() -> dict:
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of checkpoints loaded at the same time"),
         "CLIP_stop_at_last_layers": OptionInfo(1, "Clip skip"),
         "enable_emphasis": OptionInfo(True, "Enable emphasis"),
+        "enable_prompt_comments": OptionInfo(True, "Enable comments (# lines stripped from prompts)"),
         "emphasis_mode": OptionInfo("Original", "Emphasis mode"),
         "comma_padding_backtrack": OptionInfo(20, "Prompt word wrap length limit"),
         "randn_source": OptionInfo("NV", "Random number generator source",

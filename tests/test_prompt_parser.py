@@ -67,3 +67,42 @@ def test_split_multicond_no_and():
 def test_schedule_out_of_range_bound():
     # bound beyond steps: single segment
     assert get_prompt_schedule("a [b:20]", 10) == [[10, "a "]]
+
+
+def test_strip_comments_matches_reference():
+    """# comment stripping (reference processing_scripts/comments.py)."""
+    import ast
+    import re as _re
+
+    from sdwebui_tpu.text.prompt_parser import strip_comments
+
+    # comments.py imports modules.scripts (gradio) at top level; lift only
+    # the pure strip_comments function out of the reference source
+    src = open("/root/reference/modules/processing_scripts/comments.py").read()
+    tree = ast.parse(src)
+    fn = next(n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "strip_comments")
+    ns = {"re": _re}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), "<ref>", "exec"), ns)
+
+    class ref:
+        strip_comments = staticmethod(ns["strip_comments"])
+
+    for text in ["a cat # fluffy\non a mat",
+                 "# whole line\nreal prompt",
+                 "no comments at all",
+                 "trailing # gone",
+                 "a\n# b\nc # d\ne"]:
+        assert strip_comments(text) == ref.strip_comments(text), repr(text)
+
+
+def test_comments_stripped_in_pipeline():
+    from sdwebui_tpu.pipeline.params import GenerationParams
+    from sdwebui_tpu.pipeline.processing import _strip_prompt_comments
+
+    p = GenerationParams(prompt="a cat # fluffy", negative_prompt="bad # x")
+    p.all_prompts = [p.prompt]
+    p.all_negative_prompts = [p.negative_prompt]
+    _strip_prompt_comments(p)
+    assert "#" not in p.prompt and "fluffy" not in p.prompt
+    assert p.all_prompts == [p.prompt]

@@ -502,3 +502,70 @@ def test_matched_noise_properties():
     t = rng.rand(400) * 2 + 1
     m = match_histograms_1d(v, t)
     assert abs(m.min() - t.min()) < 1e-9 and abs(m.max() - t.max()) < 1e-9
+
+
+def test_xyz_schedule_sigma_axis(engine):
+    """Option-sweep axes actually change the schedule (sigma_max override).
+    Applies to named schedulers; 'Automatic' spaces over the model's
+    quantized t-table and ignores the overrides, as in the reference."""
+    p = GenerationParams(prompt="a cat", seed=1, steps=2, width=64, height=64,
+                         scheduler="Karras")
+    res = engine.run_script("X/Y/Z plot", p,
+                            ["Schedule max sigma", "5,14.6", "Nothing", "",
+                             "Nothing", "", False])
+    assert len(res.images) == 3   # 1 grid + 2 cells
+    import numpy as np
+    a, b = np.asarray(res.images[1]), np.asarray(res.images[2])
+    assert not np.array_equal(a, b)
+
+
+def test_xyz_unipc_order_axis(engine):
+    p = GenerationParams(prompt="a cat", seed=1, steps=4, width=64, height=64,
+                         sampler_name="UniPC")
+    res = engine.run_script("X/Y/Z plot", p,
+                            ["UniPC Order", "1,3", "Nothing", "",
+                             "Nothing", "", False])
+    import numpy as np
+    assert not np.array_equal(np.asarray(res.images[1]),
+                              np.asarray(res.images[2]))
+
+
+def test_vae_axis_live_swap(tmp_path, monkeypatch):
+    """The VAE axis / override_settings.sd_vae swaps VAE weights per request
+    and restores the embedded VAE afterwards (reference sd_vae chain +
+    xyz_grid VAE axis)."""
+    import numpy as np
+
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+    from sdwebui_tpu.models import vae as vae_model
+    from sdwebui_tpu.models.configs import VAEConfig
+    from sdwebui_tpu.utils.pytree import flatten
+
+    monkeypatch.chdir(tmp_path)
+    eng = Engine(test_model=True)
+    base = eng.txt2img(GenerationParams(prompt="a cat", seed=3, steps=1,
+                                        width=64, height=64))
+    # an external VAE with different random weights, torch-layout keys
+    params = vae_model.init_params(
+        VAEConfig(ch=32, ch_mult=(1, 2, 2, 2), num_res_blocks=1), 99)
+    sd = {}
+    for k, v in flatten(params).items():
+        arr = np.asarray(v)
+        if k.endswith(".weight") and arr.ndim == 4:
+            arr = np.ascontiguousarray(arr.transpose(3, 2, 0, 1))
+        sd["first_stage_model." + k] = arr
+    (tmp_path / "models" / "VAE").mkdir(parents=True)
+    write_safetensors(str(tmp_path / "models" / "VAE" / "other.safetensors"),
+                      sd)
+
+    p = GenerationParams(prompt="a cat", seed=3, steps=1, width=64, height=64,
+                         override_settings={"sd_vae": "other"})
+    swapped = eng.txt2img(p)
+    assert not np.array_equal(np.asarray(base.images[0]),
+                              np.asarray(swapped.images[0]))
+
+    # no override -> embedded VAE restored, matches the first run
+    again = eng.txt2img(GenerationParams(prompt="a cat", seed=3, steps=1,
+                                         width=64, height=64))
+    np.testing.assert_array_equal(np.asarray(base.images[0]),
+                                  np.asarray(again.images[0]))
