@@ -589,6 +589,46 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
     if p.subseed_strength > 0:
         pairs["Variation seed"] = p.all_subseeds[index] if p.all_subseeds else p.subseed
         pairs["Variation seed strength"] = p.subseed_strength
+    # hires fix fields (reference processing.py:1224-1305 via
+    # extra_generation_params)
+    if p.enable_hr:
+        if p.hr_resize_x or p.hr_resize_y:
+            pairs["Hires resize"] = f"{p.hr_resize_x}x{p.hr_resize_y}"
+        else:
+            pairs["Hires upscale"] = p.hr_scale
+        if p.hr_second_pass_steps:
+            pairs["Hires steps"] = p.hr_second_pass_steps
+        if p.hr_upscaler:
+            pairs["Hires upscaler"] = p.hr_upscaler
+        if p.hr_sampler_name:
+            pairs["Hires sampler"] = p.hr_sampler_name
+        if p.hr_cfg_scale and p.hr_cfg_scale != p.cfg_scale:
+            pairs["Hires CFG Scale"] = p.hr_cfg_scale
+    if p.refiner_checkpoint and 0 < (p.refiner_switch_at or 0) < 1:
+        pairs["Refiner"] = p.refiner_checkpoint
+        pairs["Refiner switch at"] = p.refiner_switch_at
+    if _opts.get("add_vae_name_to_info", True):
+        from sdwebui_tpu.loader import load as _load_mod
+
+        if _load_mod.loaded_vae_file:
+            import os as _os2
+
+            pairs["VAE"] = _os2.path.splitext(
+                _os2.path.basename(_load_mod.loaded_vae_file))[0]
+    if p.eta:
+        pairs["Eta"] = p.eta
+    ensd = p.override_settings.get(
+        "eta_noise_seed_delta", _opts.get("eta_noise_seed_delta", 0))
+    if ensd:
+        pairs["ENSD"] = ensd
+    if p.tiling:
+        pairs["Tiling"] = "True"
+    tome = float(_opts.get("token_merging_ratio", 0.0) or 0.0)
+    if tome > 0:
+        pairs["Token merging ratio"] = tome
+    emphasis = _opts.get("emphasis_mode", "Original")
+    if emphasis != "Original":
+        pairs["Emphasis"] = emphasis
     # script/extension-contributed pairs (reference p.extra_generation_params)
     pairs.update(p.extra_generation_params)
     pairs.update(extra or {})

@@ -56,6 +56,14 @@ _INFOTEXT_FIELD_MAP = {
     "Variation seed": ("subseed", int),
     "Variation seed strength": ("subseed_strength", float),
     "Clip skip": ("clip_skip", int),
+    "Hires upscale": ("hr_scale", float),
+    "Hires steps": ("hr_second_pass_steps", int),
+    "Hires upscaler": "hr_upscaler",
+    "Hires sampler": "hr_sampler_name",
+    "Hires CFG Scale": ("hr_cfg_scale", float),
+    "Refiner": "refiner_checkpoint",
+    "Refiner switch at": ("refiner_switch_at", float),
+    "Eta": ("eta", float),
 }
 
 

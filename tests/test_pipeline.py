@@ -214,3 +214,19 @@ def test_infotext_backcompat_versions():
           "Sampler": "DDIM"}
     backcompat(d3)
     assert "Old prompt editing timelines" not in d3
+
+
+def test_infotext_hires_refiner_fields(model):
+    """Round-2 infotext completeness: hires/refiner/eta/tiling fields
+    (reference extra_generation_params at processing.py:1224-1305)."""
+    p = GenerationParams(prompt="x", seed=1, steps=1, width=64, height=64,
+                         enable_hr=True, hr_scale=2.0, hr_upscaler="Latent",
+                         hr_second_pass_steps=3, denoising_strength=0.6,
+                         eta=0.5, tiling=True)
+    res = process_txt2img(model, p)
+    info = res.infotexts[0]
+    for frag in ["Hires upscale: 2.0", "Hires upscaler: Latent",
+                 "Hires steps: 3", "Eta: 0.5", "Tiling: True"]:
+        assert frag in info, (frag, info)
+    parsed = infotext_util.parse(info)
+    assert parsed["Hires upscaler"] == "Latent"
