@@ -79,6 +79,34 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
 
 
+def _kernel_single_kv(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                      kv_len: int, block_kv: int):
+    """One kv block covers the whole sequence (cross-attention, Skv≤block):
+    the softmax is exact in one pass, so the running-max/denominator scratch
+    and the rescale of the accumulator are pure overhead — do the whole
+    softmax in registers and write out directly."""
+    q = q_ref[0]  # (Bq, D)
+    k = k_ref[0]  # (Bk, D)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale  # (Bq, Bk) fp32
+
+    if kv_len % block_kv != 0:  # static: mask only if padding exists
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: float | None = None,
@@ -134,6 +162,28 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     nq = sq_p // bq
     nk = skv_p // bk
 
+    cost = pl.CostEstimate(
+        flops=4 * bh * sq_p * skv_p * dp,
+        bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+        transcendentals=bh * sq_p * skv_p,
+    )
+    if nk == 1:
+        out = pl.pallas_call(
+            functools.partial(_kernel_single_kv, scale=scale, kv_len=skv,
+                              block_kv=bk),
+            grid=(bh, nq),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, bk, d), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, bk, d), lambda b, i: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qp, kp, vp)
+        return out[:, :sq]
+
     kernel = functools.partial(
         _kernel, scale=scale, kv_len=skv, block_kv=bk, num_kv_blocks=nk)
 
@@ -152,11 +202,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             pltpu.VMEM((bq, 128), jnp.float32),   # running denominator
             pltpu.VMEM((bq, d), jnp.float32),     # output accumulator
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * sq_p * skv_p * dp,
-            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=bh * sq_p * skv_p,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(qp, kp, vp)
 
