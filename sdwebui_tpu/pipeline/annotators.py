@@ -1,11 +1,14 @@
-"""ControlNet annotators (hint preprocessors) — the weight-free subset.
+"""ControlNet annotators (hint preprocessors).
 
 The reference ecosystem's sd-webui-controlnet extension preprocesses the
-control image with a `module` (canny/depth/pose/...).  Model-based
-annotators (midas depth, openpose, hed, lineart) need external weights; the
-cv2-only ones are implemented here and exposed both as the
-`ControlNetUnit.module` field and the extension-compatible
-`POST /controlnet/detect` route (server/api.py).
+control image with a `module` (canny/depth/pose/...).  The cv2-only ones
+are implemented directly here; the model-based ones (depth_midas /
+openpose / hed + scribble_hed) run the NHWC JAX ports in `models/` with
+user-supplied weights discovered under `models/Annotators/` (the
+extension's download directory — ControlNetHED.pth, body_pose_model.pth,
+dpt_hybrid-*.pt).  All are exposed both as the `ControlNetUnit.module`
+field and the extension-compatible `POST /controlnet/detect` route
+(server/api.py).
 
 Every annotator: np.uint8 RGB (H,W,3) → np.uint8 (H,W) or (H,W,3) hint
 whose WHITE pixels are the feature (the convention the control towers are
@@ -93,6 +96,101 @@ def shuffle(img, res: int = 512, a: float = 0, b: float = 0, seed: int = 0):
     return cv2.remap(img, xs, ys, cv2.INTER_LINEAR)
 
 
+# --------------------------------------------------------------------------
+# model-based annotators (weights user-supplied under models/Annotators)
+# --------------------------------------------------------------------------
+
+_model_dirs = ["models/Annotators", "models/annotator"]
+_loaded: dict = {}
+
+
+def set_annotator_dirs(dirs):
+    _model_dirs[:] = list(dirs)
+    _loaded.clear()
+
+
+def _find_weights(*substrings) -> str | None:
+    import os
+    for d in _model_dirs:
+        if not os.path.isdir(d):
+            continue
+        for fn in sorted(os.listdir(d)):
+            low = fn.lower()
+            if any(s in low for s in substrings) and \
+                    low.endswith((".pth", ".pt", ".safetensors", ".ckpt")):
+                return os.path.join(d, fn)
+    return None
+
+
+def _load(name: str, substrings, convert):
+    if name not in _loaded:
+        path = _find_weights(*substrings)
+        if path is None:
+            raise RuntimeError(
+                f"annotator '{name}' needs weights matching {substrings} "
+                f"under {_model_dirs} — download the extension's model "
+                f"file there")
+        from sdwebui_tpu.loader.load import read_checkpoint
+        _loaded[name] = convert(read_checkpoint(path))
+    return _loaded[name]
+
+
+def hed(img, res: int = 512, a: float = 0, b: float = 0):
+    """HED soft edges (models/hed.py; ControlNetHED.pth weights)."""
+    from sdwebui_tpu.models import hed as hed_model
+    _require_cv2()
+    img = _resize_for_detect(img, res)
+    params = _load("hed", ("controlnethed", "hed"), hed_model.convert_hed)
+    edge = hed_model.estimate(params, img)
+    return (edge * 255.0).clip(0, 255).astype(np.uint8)
+
+
+def hed_safe(img, res: int = 512, a: float = 0, b: float = 0):
+    from sdwebui_tpu.models.hed import safe_step
+    return (safe_step(hed(img, res) / 255.0) * 255).clip(0, 255) \
+        .astype(np.uint8)
+
+
+def scribble_hed(img, res: int = 512, a: float = 0, b: float = 0):
+    """HED → directional NMS → binary scribble (the extension's post)."""
+    from sdwebui_tpu.models.hed import nms
+    detected = nms(hed(img, res), 127, 3.0)
+    detected[detected > 4] = 255
+    detected[detected < 255] = 0
+    return detected
+
+
+def depth_midas(img, res: int = 512, a: float = 0, b: float = 0):
+    """MiDaS DPT-hybrid inverse depth, min-max normalized (white = near)."""
+    from sdwebui_tpu.models import midas
+    import jax
+    import jax.numpy as jnp
+    _require_cv2()
+    img = _resize_for_detect(img, res)
+    params, cfg = _load(
+        "depth_midas", ("dpt_hybrid", "midas"),
+        lambda sd: midas.convert_dpt(sd, prefix=""))
+    h, w = img.shape[:2]
+    x = jnp.asarray(img, jnp.float32)[None] / 127.5 - 1.0
+    x = jax.image.resize(x, (1, cfg.image_size, cfg.image_size, 3),
+                         "bicubic")
+    depth = np.asarray(midas.apply(params, cfg, x))[0, :, :, 0]
+    depth = cv2.resize(depth, (w, h), interpolation=cv2.INTER_CUBIC)
+    lo, hi = float(depth.min()), float(depth.max())
+    return ((depth - lo) / max(hi - lo, 1e-8) * 255).astype(np.uint8)
+
+
+def openpose(img, res: int = 512, a: float = 0, b: float = 0):
+    """Body-pose skeleton rendering (models/openpose.py;
+    body_pose_model.pth weights)."""
+    from sdwebui_tpu.models import openpose as pose
+    _require_cv2()
+    img = _resize_for_detect(img, res)
+    params = _load("openpose", ("body_pose",), pose.convert_openpose)
+    candidate, subset = pose.estimate(params, img)
+    return pose.draw_bodypose(img.shape[0], img.shape[1], candidate, subset)
+
+
 ANNOTATORS = {
     "none": None,
     "canny": canny,
@@ -102,6 +200,13 @@ ANNOTATORS = {
     "threshold": threshold,
     "scribble_xdog": scribble_xdog,
     "shuffle": shuffle,
+    "hed": hed,
+    "hed_safe": hed_safe,
+    "softedge_hed": hed,
+    "scribble_hed": scribble_hed,
+    "depth": depth_midas,
+    "depth_midas": depth_midas,
+    "openpose": openpose,
 }
 
 
