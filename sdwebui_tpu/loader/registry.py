@@ -30,29 +30,36 @@ class CheckpointInfo:
     def calculate_sha256(self, cache_path: str | None = None) -> str:
         if self.sha256:
             return self.sha256
-        cache = {}
-        if cache_path and os.path.exists(cache_path):
-            try:
-                with open(cache_path) as f:
-                    cache = json.load(f)
-            except Exception:
-                cache = {}
-        st = os.stat(self.filename)
-        cache_key = f"{self.filename}:{st.st_mtime}:{st.st_size}"
-        if cache_key in cache:
-            self.sha256 = cache[cache_key]
-            return self.sha256
-        h = hashlib.sha256()
-        with open(self.filename, "rb") as f:
-            for chunk in iter(lambda: f.read(1 << 22), b""):
-                h.update(chunk)
-        self.sha256 = h.hexdigest()
-        if cache_path:
-            cache[cache_key] = self.sha256
-            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
-            with open(cache_path, "w") as f:
-                json.dump(cache, f)
+        self.sha256 = file_sha256(self.filename, cache_path)
         return self.sha256
+
+
+def file_sha256(path: str, cache_path: str | None = None) -> str:
+    """sha256 of a file with the mtime+size-keyed json cache (reference
+    modules/hashes.py sha256 + cache.json; also used for VAE infotext
+    hashes)."""
+    cache = {}
+    if cache_path and os.path.exists(cache_path):
+        try:
+            with open(cache_path) as f:
+                cache = json.load(f)
+        except Exception:
+            cache = {}
+    st = os.stat(path)
+    cache_key = f"{path}:{st.st_mtime}:{st.st_size}"
+    if cache_key in cache:
+        return cache[cache_key]
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 22), b""):
+            h.update(chunk)
+    digest = h.hexdigest()
+    if cache_path:
+        cache[cache_key] = digest
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        with open(cache_path, "w") as f:
+            json.dump(cache, f)
+    return digest
 
 
 class CheckpointRegistry:

@@ -139,8 +139,12 @@ def _process_img2img(model: SDModel, p: GenerationParams,
     from sdwebui_tpu.pipeline.processing import _apply_hypertile
 
     model = _apply_hypertile(model, kind="img2img")
+    from sdwebui_tpu.pipeline.processing import (
+        _apply_schedule_overrides, _resolve_scheduler, _skip_uncond_mask)
+
+    model = _apply_schedule_overrides(model, p)
     sampler = get_sampler(p.sampler_name)
-    scheduler = sampler.scheduler_override or p.scheduler
+    scheduler = _resolve_scheduler(sampler, p.scheduler)
     spec = SOLVERS[sampler.solver]
     h, w = p.latent_size()
     c = model.latent_channels
@@ -185,7 +189,11 @@ def _process_img2img(model: SDModel, p: GenerationParams,
 
     # schedule: last t_enc+1 sigmas
     steps, t_enc = setup_img2img_steps(p.steps, p.denoising_strength)
-    sigmas_full = get_schedule(scheduler, steps, model.disc, is_sdxl=model.is_sdxl)
+    from sdwebui_tpu.sampling.registry import build_sigmas
+
+    sigmas_full = build_sigmas(sampler, scheduler, steps, model.disc,
+                               extra_params_out=p.extra_generation_params,
+                               is_sdxl=model.is_sdxl)
     sigma_sched = sigmas_full[steps - t_enc - 1:]
 
     # instruct-pix2pix (8-channel UNet): unscaled init-latent conditioning
@@ -256,9 +264,21 @@ def _process_img2img(model: SDModel, p: GenerationParams,
             xi = s0 * x + (1.0 - s0) * init_latent
         else:
             xi = init_latent + x * float(sigma_sched[0])
+        extra_noise = float(_opts.get("img2img_extra_noise", 0.0) or 0.0)
+        if extra_noise > 0:
+            # un-scheduled extra noise on top of the σ₀ injection (reference
+            # sd_samplers_kdiffusion.py:145-150)
+            p.extra_generation_params["Extra noise"] = extra_noise
+            xi = xi + x * extra_noise
 
-        noise = prepare_noise(spec, len(sigma_sched) - 1, rng, (b, h, w, c))
         extra = _solver_extra(p, sampler)
+        if extra.get("s_churn"):
+            import dataclasses as _dc_spec
+
+            spec = _dc_spec.replace(
+                spec, noises_per_step=max(spec.noises_per_step, 1))
+        sched.skip_uncond = _skip_uncond_mask(sigma_sched, p)
+        noise = prepare_noise(spec, len(sigma_sched) - 1, rng, (b, h, w, c))
         if p.soft_inpainting and nmask is not None:
             extra["soft_inpainting"] = (float(p.mask_blend_power),
                                         float(p.mask_blend_scale),

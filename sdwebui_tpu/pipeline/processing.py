@@ -449,7 +449,7 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
     denoising = p.denoising_strength if p.denoising_strength is not None else 0.7
     steps = p.hr_second_pass_steps or p.steps
     sampler = get_sampler(p.hr_sampler_name or p.sampler_name)
-    scheduler = sampler.scheduler_override or (p.hr_scheduler or p.scheduler)
+    scheduler = _resolve_scheduler(sampler, p.hr_scheduler or p.scheduler)
     spec = SOLVERS[sampler.solver]
     cfg = p.hr_cfg_scale or p.cfg_scale
 
@@ -470,9 +470,18 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
         up = encode_first_stage(model, jnp.asarray(arr))
 
     sched_steps, t_enc = setup_img2img_steps(steps, denoising)
-    sigmas_full = get_schedule(scheduler, sched_steps, model.disc,
+    from sdwebui_tpu.sampling.registry import build_sigmas
+
+    sigmas_full = build_sigmas(sampler, scheduler, sched_steps, model.disc,
+                               extra_params_out=p.extra_generation_params,
                                is_sdxl=model.is_sdxl)
     sigma_sched = sigmas_full[sched_steps - t_enc - 1:]
+    hr_extra = _solver_extra(p, sampler)
+    if hr_extra.get("s_churn"):
+        import dataclasses as _dc_spec
+
+        spec = _dc_spec.replace(
+            spec, noises_per_step=max(spec.noises_per_step, 1))
 
     cond = _build_conds(model, p, t_enc + 1, cfg_scale=cfg,
                         prompt=p.hr_prompt or p.prompt,
@@ -487,6 +496,14 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
         xi = s0 * noise0 + (1.0 - s0) * up
     else:
         xi = up + noise0 * float(sigma_sched[0])
+    from sdwebui_tpu.utils.options import opts as _en_opts
+
+    extra_noise = float(_en_opts.get("img2img_extra_noise", 0.0) or 0.0)
+    if extra_noise > 0:
+        # "Extra noise multiplier for img2img and hires fix" (reference
+        # sd_samplers_kdiffusion.py:145-150, shared by the hires pass)
+        p.extra_generation_params["Extra noise"] = extra_noise
+        xi = xi + noise0 * extra_noise
     noise = prepare_noise(spec, len(sigma_sched) - 1, rng, (b, th, tw, c))
     control, control_cfgs = (), ()
     if p.controlnet_units:
@@ -496,8 +513,9 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
 
         control, control_cfgs = prepare_controls(
             p.controlnet_units, hr_w, hr_h, t_enc + 1, latent_channels=c)
+    cond.skip_uncond = _skip_uncond_mask(sigma_sched, p)
     return sample_latents(model, cond, xi, sigma_sched, noise,
-                          sampler.solver, _solver_extra(p, sampler),
+                          sampler.solver, hr_extra,
                           control=control, control_cfgs=control_cfgs)
 
 
@@ -578,13 +596,16 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
         "CFG scale": p.cfg_scale,
         "Seed": p.all_seeds[index] if p.all_seeds else p.seed,
         "Size": f"{p.width}x{p.height}",
-        "Model hash": model.sha256[:10] if model.sha256 else None,
-        "Model": model.title.split(" [")[0] if model.title else None,
+        "Model hash": (model.sha256[:10] if model.sha256
+                       and _opts.get("add_model_hash_to_info", True) else None),
+        "Model": (model.title.split(" [")[0] if model.title
+                  and _opts.get("add_model_name_to_info", True) else None),
         "Denoising strength": p.denoising_strength,
         "Face restoration": (_opts.get("face_restoration_model", "CodeFormer")
                              if p.restore_faces else None),
         "Clip skip": p.clip_skip if p.clip_skip > 1 else None,
-        "Version": f"sdwebui-tpu-{__version__}",
+        "Version": (f"sdwebui-tpu-{__version__}"
+                    if _opts.get("add_version_to_infotext", True) else None),
     }
     if p.subseed_strength > 0:
         pairs["Variation seed"] = p.all_subseeds[index] if p.all_subseeds else p.subseed
@@ -607,12 +628,20 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
     if p.refiner_checkpoint and 0 < (p.refiner_switch_at or 0) < 1:
         pairs["Refiner"] = p.refiner_checkpoint
         pairs["Refiner switch at"] = p.refiner_switch_at
-    if _opts.get("add_vae_name_to_info", True):
-        from sdwebui_tpu.loader import load as _load_mod
+    from sdwebui_tpu.loader import load as _load_mod
 
-        if _load_mod.loaded_vae_file:
-            import os as _os2
+    if _load_mod.loaded_vae_file:
+        import os as _os2
 
+        if _opts.get("add_vae_hash_to_info", True):
+            from sdwebui_tpu.loader.registry import file_sha256
+
+            try:
+                pairs["VAE hash"] = file_sha256(
+                    _load_mod.loaded_vae_file, "cache.json")[:10]
+            except OSError:
+                pass
+        if _opts.get("add_vae_name_to_info", True):
             pairs["VAE"] = _os2.path.splitext(
                 _os2.path.basename(_load_mod.loaded_vae_file))[0]
     if p.eta:
@@ -761,13 +790,110 @@ def invert_noise(model: SDModel, sched, init_latent, sigmas):
         model.unet_cfg, model.disc.prediction_type)
 
 
+_TIMESTEP_SOLVERS = ("ddim", "ddim_cfgpp", "plms", "unipc")
+_CHURN_SOLVERS = ("euler", "heun", "dpm_2")
+
+
 def _solver_extra(p: GenerationParams, sampler) -> dict:
+    """Per-run solver knobs: eta (request > eta_ddim/eta_ancestral options >
+    per-solver default), s_noise, and Karras churn for the samplers the
+    reference forwards s_churn/s_tmin/s_tmax into
+    (sd_samplers_kdiffusion.py extra_params)."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
     extra = dict(sampler.extra)
     if p.eta is not None and p.eta > 0:
         extra["eta"] = float(p.eta)
+    elif sampler.solver in _TIMESTEP_SOLVERS:
+        v = float(_opts.get("eta_ddim", 0.0) or 0.0)
+        if v > 0:
+            extra["eta"] = v
+    else:
+        v = float(_opts.get("eta_ancestral", 1.0))
+        if v != 1.0:
+            extra["eta"] = v
     if p.s_noise not in (None, 1.0):
         extra["s_noise"] = float(p.s_noise)
+    if sampler.solver in _CHURN_SOLVERS:
+        churn = float(p.s_churn or _opts.get("s_churn", 0.0) or 0.0)
+        if churn > 0:
+            extra["s_churn"] = churn
+            extra["s_tmin"] = float(p.s_tmin or _opts.get("s_tmin", 0.0) or 0.0)
+            extra["s_tmax"] = float(p.s_tmax or _opts.get("s_tmax", 0.0) or 0.0)
+            p.extra_generation_params["Sigma churn"] = churn
     return extra
+
+
+def _skip_uncond_mask(sigmas, p: GenerationParams):
+    """Per-step uncond-skip plan: NGMS (skip the negative prompt on
+    alternating steps once σ < s_min_uncond; every step with
+    s_min_uncond_all) + skip_early_cond (ignore the negative prompt for the
+    first fraction of steps) — reference
+    sd_samplers_cfg_denoiser.py:219-229, precomputed host-side here because
+    the CFG combine is scan-fused."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    smu = float(p.s_min_uncond or _opts.get("s_min_uncond", 0.0) or 0.0)
+    early = float(_opts.get("skip_early_cond", 0.0) or 0.0)
+    if smu <= 0 and early <= 0:
+        return None
+    all_steps = bool(_opts.get("s_min_uncond_all", False))
+    n = len(sigmas) - 1
+    mask = np.zeros((n,), bool)
+    for i in range(n):
+        if early > 0 and i / n <= early:
+            mask[i] = True
+            p.extra_generation_params["Skip Early CFG"] = early
+        elif smu > 0 and (i % 2 or all_steps) and float(sigmas[i]) < smu:
+            mask[i] = True
+            p.extra_generation_params["NGMS"] = smu
+            if all_steps:
+                p.extra_generation_params["NGMS all steps"] = "True"
+    return jnp.asarray(mask) if mask.any() else None
+
+
+def _apply_schedule_overrides(model: SDModel, p: GenerationParams) -> SDModel:
+    """sd_noise_schedule='Zero Terminal SNR' + use_downcasted_alpha_bar
+    rebuild the model's sigma table for this run (reference
+    modules/sd_models.py apply_alpha_schedule_override)."""
+    import dataclasses as _dc
+
+    from sdwebui_tpu.sampling.discretization import (
+        Discretization, rescale_zero_terminal_snr_abar)
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    disc = model.disc
+    if getattr(disc, "alphas_cumprod", None) is None:
+        return model     # rectified flow (SD3): no ᾱ schedule
+    abar = disc.alphas_cumprod
+    changed = False
+    if _opts.get("use_downcasted_alpha_bar", False):
+        abar = abar.astype(np.float16).astype(np.float64)
+        p.extra_generation_params["Downcast alphas_cumprod"] = "True"
+        changed = True
+    if _opts.get("sd_noise_schedule", "Default") == "Zero Terminal SNR":
+        abar = rescale_zero_terminal_snr_abar(abar)
+        p.extra_generation_params["Noise Schedule"] = "Zero Terminal SNR"
+        changed = True
+    if not changed:
+        return model
+    return _dc.replace(model, disc=Discretization(
+        abar, prediction_type=disc.prediction_type, quantize=disc.quantize))
+
+
+def _resolve_scheduler(sampler, requested: str):
+    """Sampler-forced scheduler, with UniPC's skip-type option mapped onto
+    the equivalent schedule (reference uni_pc skip_type: time_uniform =
+    the DDIM uniform grid; logSNR = uniform in λ = −log σ, i.e. the
+    exponential schedule; time_quadratic = √t-space spacing)."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    scheduler = sampler.scheduler_override or requested
+    if sampler.solver == "unipc":
+        skip = _opts.get("uni_pc_skip_type", "time_uniform")
+        scheduler = {"logSNR": "exponential",
+                     "time_quadratic": "unipc_quadratic"}.get(skip, scheduler)
+    return scheduler
 
 
 def process_txt2img(model: SDModel, p: GenerationParams,
@@ -815,15 +941,26 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
             unet_cfg=_dc.replace(model.unet_cfg, tiling=True),
             vae_cfg=_dc.replace(model.vae_cfg, tiling=True))
     model = _apply_hypertile(model)
+    model = _apply_schedule_overrides(model, p)
     sampler = get_sampler(p.sampler_name)
-    scheduler = sampler.scheduler_override or p.scheduler
+    scheduler = _resolve_scheduler(sampler, p.scheduler)
     h, w = p.latent_size()
     c = model.latent_channels
 
-    sigmas = get_schedule(scheduler, p.steps, model.disc, is_sdxl=model.is_sdxl)
+    from sdwebui_tpu.sampling.registry import build_sigmas
+
+    sigmas = build_sigmas(sampler, scheduler, p.steps, model.disc,
+                          extra_params_out=p.extra_generation_params,
+                          is_sdxl=model.is_sdxl)
     from sdwebui_tpu.sampling.solvers import SOLVERS
 
     spec = SOLVERS[sampler.solver]
+    solver_extra = _solver_extra(p, sampler)
+    if solver_extra.get("s_churn"):
+        import dataclasses as _dc_spec
+
+        spec = _dc_spec.replace(
+            spec, noises_per_step=max(spec.noises_per_step, 1))
 
     control, control_cfgs = (), ()
     if p.controlnet_units:
@@ -869,6 +1006,7 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
             adm = unclip_adm(model)
         sched = _build_conds(model, p, p.steps, prompt=clean_prompt,
                              adm_vector=adm)
+        sched.skip_uncond = _skip_uncond_mask(sigmas, p)
         if t2i_concat is not None:
             sched.c_concat = t2i_concat
         jt.record("conds")
@@ -881,7 +1019,16 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
                        seed_resize_from_w=max(p.seed_resize_from_w, 0),
                        eta_noise_seed_delta=p.override_settings.get(
                            "eta_noise_seed_delta", 0))
-        x = jnp.asarray(rng.first(), jnp.float32) * float(sigmas[0])
+        from sdwebui_tpu.utils.options import opts as _sgm_opts
+
+        if _sgm_opts.get("sgm_noise_multiplier", False):
+            # SGM/CosXL initial-noise convention: ·√(1+σ₀²) instead of ·σ₀
+            # (reference sd_samplers_kdiffusion.py:234)
+            p.extra_generation_params["SGM noise multiplier"] = "True"
+            x_scale = float(np.sqrt(1.0 + float(sigmas[0]) ** 2))
+        else:
+            x_scale = float(sigmas[0])
+        x = jnp.asarray(rng.first(), jnp.float32) * x_scale
         noise = prepare_noise(spec, len(sigmas) - 1, rng, (p.batch_size, h, w, c))
         jt.record("noise")
 
@@ -903,14 +1050,16 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
             s_idx = min(max(s_idx, 1), p.steps - 1)
             latents = sample_latents(model, sched, x, sigmas[: s_idx + 1],
                                      noise[:s_idx], sampler.solver,
-                                     _solver_extra(p, sampler), hypernet=hypernet)
+                                     solver_extra, hypernet=hypernet)
             r_sched = _build_conds(refiner_model, p, p.steps - s_idx)
+            if sched.skip_uncond is not None:
+                r_sched.skip_uncond = sched.skip_uncond[s_idx:]
             latents = sample_latents(refiner_model, r_sched, latents,
                                      sigmas[s_idx:], noise[s_idx:],
-                                     sampler.solver, _solver_extra(p, sampler))
+                                     sampler.solver, solver_extra)
         else:
             latents = sample_latents(model, sched, x, sigmas, noise,
-                                     sampler.solver, _solver_extra(p, sampler),
+                                     sampler.solver, solver_extra,
                                      hypernet=hypernet,
                                      step_callback=step_callback,
                                      control=control,

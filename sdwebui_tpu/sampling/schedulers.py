@@ -101,8 +101,20 @@ def beta(n, sigma_min, sigma_max, disc=None, beta_alpha=0.6, beta_beta=0.6, **kw
     return np.append(sigmas, 0.0)
 
 
+def unipc_quadratic(n, sigma_min, sigma_max, disc: Discretization, **kw):
+    """UniPC skip_type='time_quadratic': timesteps spaced quadratically in
+    √t (reference modules/models/diffusion/uni_pc/uni_pc.py
+    get_time_steps); internal — selected via the uni_pc_skip_type option,
+    not the scheduler dropdown."""
+    t_max = disc.sigma_to_t(np.float64(sigma_max), do_quantize=False)
+    t_min = disc.sigma_to_t(np.float64(sigma_min), do_quantize=False)
+    ts = np.linspace(np.sqrt(t_max), np.sqrt(t_min), n) ** 2
+    return np.append(disc.t_to_sigma(ts), 0.0)
+
+
 SCHEDULERS = {
     "automatic": uniform,
+    "unipc_quadratic": unipc_quadratic,
     "uniform": uniform,
     "karras": karras,
     "exponential": exponential,

@@ -55,8 +55,28 @@ def _log(s):
 # first order
 # --------------------------------------------------------------------------
 
+def _apply_churn(x, s, sigmas, noise, extra):
+    """Karras stochastic churn (k-diffusion sample_euler/heun/dpm_2; the
+    reference forwards s_churn/s_tmin/s_tmax/s_noise into exactly those
+    samplers, sd_samplers_kdiffusion.py extra_params).  Adds noise to lift
+    σ → σ̂ = σ·(γ+1) when s_tmin ≤ σ ≤ s_tmax.  Returns (x̂, σ̂).
+    `extra` is compile-time static, so the no-churn path costs nothing."""
+    s_churn = float(extra.get("s_churn", 0.0) or 0.0)
+    if s_churn <= 0:
+        return x, s
+    s_tmin = float(extra.get("s_tmin", 0.0) or 0.0)
+    s_tmax = float(extra.get("s_tmax", 0.0) or 0.0) or float("inf")
+    s_noise = extra.get("s_noise", 1.0)
+    gamma_max = min(s_churn / (sigmas.shape[0] - 1), 2 ** 0.5 - 1)
+    gamma = jnp.where((s >= s_tmin) & (s <= s_tmax), gamma_max, 0.0)
+    s_hat = s * (gamma + 1.0)
+    x = x + noise[0] * s_noise * jnp.sqrt(jnp.maximum(s_hat ** 2 - s ** 2, 0.0))
+    return x, s_hat
+
+
 def euler_step(model, x, i, sigmas, noise, state, extra):
     s, s_next = sigmas[i], sigmas[i + 1]
+    x, s = _apply_churn(x, s, sigmas, noise, extra)
     denoised = model(x, s, i)
     x = x + _to_d(x, s, denoised) * (s_next - s)
     return x, state
@@ -78,6 +98,7 @@ def euler_ancestral_step(model, x, i, sigmas, noise, state, extra):
 
 def heun_step(model, x, i, sigmas, noise, state, extra):
     s, s_next = sigmas[i], sigmas[i + 1]
+    x, s = _apply_churn(x, s, sigmas, noise, extra)
     denoised = model(x, s, i)
     d = _to_d(x, s, denoised)
     dt = s_next - s
@@ -91,6 +112,7 @@ def heun_step(model, x, i, sigmas, noise, state, extra):
 
 def dpm_2_step(model, x, i, sigmas, noise, state, extra):
     s, s_next = sigmas[i], sigmas[i + 1]
+    x, s = _apply_churn(x, s, sigmas, noise, extra)
     denoised = model(x, s, i)
     d = _to_d(x, s, denoised)
     # midpoint in Karras rho=3 space

@@ -193,16 +193,63 @@ def make_default_templates() -> dict:
         "tiling": OptionInfo(False, "Tiling"),
     }))
     t.update(options_section(("sampler-params", "Sampler parameters"), {
+        "hide_samplers": OptionInfo([], "Hide samplers in user interface"),
         "eta_ancestral": OptionInfo(1.0, "Eta for k-diffusion samplers"),
+        "eta_ddim": OptionInfo(0.0, "Eta for DDIM"),
         "eta_noise_seed_delta": OptionInfo(0, "Eta noise seed delta (ENSD)"),
         "s_churn": OptionInfo(0.0, "sigma churn"),
+        "s_tmin": OptionInfo(0.0, "sigma tmin"),
+        "s_tmax": OptionInfo(0.0, "sigma tmax"),
         "s_noise": OptionInfo(1.0, "sigma noise"),
+        "sigma_min": OptionInfo(0.0, "sigma min"),
+        "sigma_max": OptionInfo(0.0, "sigma max"),
+        "rho": OptionInfo(0.0, "rho"),
+        "always_discard_next_to_last_sigma": OptionInfo(
+            False, "Always discard next-to-last sigma"),
+        "sgm_noise_multiplier": OptionInfo(False, "SGM noise multiplier"),
+        "sd_noise_schedule": OptionInfo(
+            "Default", "Noise schedule for sampling",
+            component_args={"choices": ["Default", "Zero Terminal SNR"]}),
+        "skip_early_cond": OptionInfo(
+            0.0, "Ignore negative prompt during early sampling"),
+        "uni_pc_variant": OptionInfo(
+            "bh1", "UniPC variant", component_args={"choices": ["bh1", "bh2"]}),
+        "uni_pc_skip_type": OptionInfo(
+            "time_uniform", "UniPC skip type",
+            component_args={"choices": ["time_uniform", "time_quadratic",
+                                        "logSNR"]}),
+        "uni_pc_order": OptionInfo(3, "UniPC order"),
+        "uni_pc_lower_order_final": OptionInfo(True, "UniPC lower order final"),
         "beta_dist_alpha": OptionInfo(0.6, "Beta scheduler alpha"),
         "beta_dist_beta": OptionInfo(0.6, "Beta scheduler beta"),
+    }))
+    t.update(options_section(("compatibility", "Compatibility"), {
+        "use_old_karras_scheduler_sigmas": OptionInfo(
+            False, "Use old karras scheduler sigmas (0.1 to 10)."),
+        "use_downcasted_alpha_bar": OptionInfo(
+            False, "Downcast model alphas_cumprod to fp16 before sampling. "
+                   "For reproducing old seeds."),
+    }))
+    t.update(options_section(("sdxl", "Stable Diffusion XL"), {
+        "sdxl_crop_top": OptionInfo(0, "crop top coordinate"),
+        "sdxl_crop_left": OptionInfo(0, "crop left coordinate"),
+        "sdxl_refiner_low_aesthetic_score": OptionInfo(
+            2.5, "SDXL low aesthetic score"),
+        "sdxl_refiner_high_aesthetic_score": OptionInfo(
+            6.0, "SDXL high aesthetic score"),
+    }))
+    t.update(options_section(("infotext", "Infotext"), {
+        "add_model_name_to_info": OptionInfo(True, "Add model name to infotext"),
+        "add_model_hash_to_info": OptionInfo(True, "Add model hash to infotext"),
+        "add_vae_name_to_info": OptionInfo(True, "Add VAE name to infotext"),
+        "add_vae_hash_to_info": OptionInfo(True, "Add VAE hash to infotext"),
+        "add_version_to_infotext": OptionInfo(True, "Add program version to infotext"),
     }))
     t.update(options_section(("img2img", "img2img"), {
         "inpainting_mask_weight": OptionInfo(1.0, "Inpainting conditioning mask strength"),
         "initial_noise_multiplier": OptionInfo(1.0, "Noise multiplier for img2img"),
+        "img2img_extra_noise": OptionInfo(
+            0.0, "Extra noise multiplier for img2img and hires fix"),
         "img2img_fix_steps": OptionInfo(False, "With img2img, do exactly the amount of steps specified"),
         "img2img_color_correction": OptionInfo(False, "Apply color correction"),
     }))
@@ -215,6 +262,8 @@ def make_default_templates() -> dict:
         "cross_attention_optimization": OptionInfo("Automatic", "Cross attention optimization",
                                                    component_args={"choices": ["Automatic", "flash", "xla"]}),
         "s_min_uncond": OptionInfo(0.0, "Negative Guidance minimum sigma"),
+        "s_min_uncond_all": OptionInfo(
+            False, "Negative Guidance minimum sigma all steps"),
         "batch_cond_uncond": OptionInfo(True, "Batch cond/uncond"),
     }))
     t.update(options_section(("upscaling", "Upscaling"), {
