@@ -102,6 +102,27 @@ def _apply_control(control, control_cfgs, x_in, t, ctx, y, n_cond_rows=None):
     return ctrl
 
 
+def _sigma_to_t_traced(sigma, log_sigmas, quantize: bool):
+    """σ → model timestep inside jit.  quantize=False (the reference's
+    default: k-diffusion CompVisDenoiser built with
+    quantize=opts.enable_quantization, modules/sd_samplers_kdiffusion.py)
+    interpolates a fractional t between table entries; True snaps to the
+    nearest trained timestep ("sharper and cleaner results. This may change
+    existing seeds")."""
+    log_sigma = jnp.log(jnp.maximum(sigma, 1e-12))
+    dists = log_sigma[:, None] - log_sigmas[None, :]
+    if quantize:
+        return jnp.argmin(jnp.abs(dists), axis=-1).astype(jnp.float32)
+    ge = (dists >= 0).astype(jnp.int32)
+    low_idx = jnp.clip(jnp.argmax(jnp.cumsum(ge, axis=-1), axis=-1),
+                       0, log_sigmas.shape[0] - 2)
+    high_idx = low_idx + 1
+    low = log_sigmas[low_idx]
+    high = log_sigmas[high_idx]
+    w = jnp.clip((low - log_sigma) / (low - high), 0.0, 1.0)
+    return ((1 - w) * low_idx + w * high_idx).astype(jnp.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("solver", "unet_cfg", "prediction_type", "extra_items",
@@ -114,6 +135,7 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
 
     compute_dtype = _dv.get_policy().compute_dtype
     extra = dict(extra_items)
+    quantize_t = bool(extra.pop("quantize_t", True))
     if lms_coeffs is not None:
         # traced aux channel: LMS / restart / UniPC host-precomputed arrays
         if solver == "restart":
@@ -134,9 +156,7 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
                                     xb.astype(compute_dtype), sigma * 1000.0,
                                     ctx, y).astype(jnp.float32)
             return xb - out * sig
-        t = jnp.argmin(
-            jnp.abs(jnp.log(jnp.maximum(sigma, 1e-12))[:, None] - log_sigmas[None, :]),
-            axis=-1).astype(jnp.float32)
+        t = _sigma_to_t_traced(sigma, log_sigmas, quantize_t)
         c_in = (1.0 / jnp.sqrt(sigma ** 2 + 1.0))[:, None, None, None]
         x_in = (xb * c_in).astype(compute_dtype)
         ctrl = None
@@ -186,6 +206,7 @@ def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
 
     compute_dtype = _dv.get_policy().compute_dtype
     extra = dict(extra_items)
+    quantize_t = bool(extra.pop("quantize_t", True))
     if lms_coeffs is not None:
         if solver == "restart":
             extra["restart_pairs"], extra["restart_noise_scale"] = lms_coeffs
@@ -204,9 +225,7 @@ def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
                                     xb.astype(compute_dtype), sigma * 1000.0,
                                     ctx, y).astype(jnp.float32)
             return xb - out * sig
-        t = jnp.argmin(
-            jnp.abs(jnp.log(jnp.maximum(sigma, 1e-12))[:, None] - log_sigmas[None, :]),
-            axis=-1).astype(jnp.float32)
+        t = _sigma_to_t_traced(sigma, log_sigmas, quantize_t)
         c_in = (1.0 / jnp.sqrt(sigma ** 2 + 1.0))[:, None, None, None]
         x_in = (xb * c_in).astype(compute_dtype)
         ctrl = None
@@ -284,7 +303,14 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
                    solver: str, extra: dict | None = None,
                    mask=None, nmask=None, init_latent=None, hypernet=None,
                    step_callback=None, control=None, control_cfgs=()):
-    extra_items = tuple(sorted((extra or {}).items()))
+    from sdwebui_tpu.utils.options import opts as _q_opts
+
+    extra = dict(extra or {})
+    # reference default: CONTINUOUS σ→t (CompVisDenoiser quantize =
+    # opts.enable_quantization, off by default)
+    extra.setdefault("quantize_t",
+                     bool(_q_opts.get("enable_quantization", False)))
+    extra_items = tuple(sorted(extra.items()))
     lms_coeffs = None
     if solver == "lms":
         from sdwebui_tpu.sampling.solvers import lms_coefficients

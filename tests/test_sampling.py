@@ -39,6 +39,21 @@ def test_quantized_t_integer():
     assert np.all(t == np.round(t))
 
 
+def test_traced_sigma_to_t_matches_host():
+    # _sigma_to_t_traced (used inside the fused sampling jit) must agree with
+    # the host-side Discretization.sigma_to_t in both quantize modes.
+    from sdwebui_tpu.pipeline.processing import _sigma_to_t_traced
+
+    log_sigmas = jnp.asarray(np.log(DISC.sigmas))
+    sig = np.exp(np.random.default_rng(0).uniform(
+        np.log(DISC.sigma_min), np.log(DISC.sigma_max), size=32))
+    for quantize in (False, True):
+        host = DISC.sigma_to_t(sig, do_quantize=quantize)
+        traced = np.asarray(_sigma_to_t_traced(jnp.asarray(sig), log_sigmas,
+                                               quantize))
+        np.testing.assert_allclose(traced, host, atol=2e-4)
+
+
 def test_v_prediction_scalings():
     d = Discretization(make_alphas_cumprod(), prediction_type="v")
     c_in, c_out, c_skip = d.scalings(2.0)
