@@ -373,10 +373,14 @@ def _process_img2img(model: SDModel, p: GenerationParams,
         if callback is not None:
             callback("batch_done", n, pils)
 
+    from sdwebui_tpu.pipeline.processing import apply_grid_stage
+
+    first_idx = apply_grid_stage(all_images, infotexts, p, model)
     res = Processed(images=all_images, params=p, seed=p.all_seeds[0],
                     subseed=p.all_subseeds[0], infotexts=infotexts,
                     all_seeds=p.all_seeds, all_subseeds=p.all_subseeds,
-                    all_prompts=p.all_prompts, width=p.width, height=p.height)
+                    all_prompts=p.all_prompts, width=p.width, height=p.height,
+                    index_of_first_image=first_idx)
     runner.postprocess(p, res)
     return res
 

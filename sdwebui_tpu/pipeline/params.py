@@ -38,6 +38,7 @@ class GenerationParams:
     clip_skip: int = 1
     do_not_save_samples: bool = False
     do_not_save_grid: bool = False
+    outpath_grids: str | None = None  # reference processing.py:140
     override_settings: dict = dataclasses.field(default_factory=dict)
 
     # refiner (reference processing_scripts/refiner.py + apply_refiner)
@@ -116,6 +117,9 @@ class Processed:
     width: int = 0
     height: int = 0
     comments: str = ""
+    # 1 when a grid image was prepended via opts.return_grid
+    # (reference processing.py:1127)
+    index_of_first_image: int = 0
 
     @property
     def infotext(self) -> str:
@@ -137,4 +141,5 @@ class Processed:
             "steps": self.params.steps,
             "batch_size": self.params.batch_size,
             "infotexts": self.infotexts,
+            "index_of_first_image": self.index_of_first_image,
         }

@@ -591,6 +591,42 @@ def save_extra_copies(pils: list, p: GenerationParams, model,
             info=create_infotext(p, model, lo + i), p=p, suffix=suffix)
 
 
+def apply_grid_stage(all_images: list, infotexts: list, p: GenerationParams,
+                     model) -> int:
+    """Grid assembly + return/save stage at the end of process_images
+    (reference modules/processing.py:1118-1130): build an n_iter×batch grid
+    when opts.return_grid/grid_save ask for one, prepend it to the result
+    images (return_grid), and save it to p.outpath_grids honoring
+    grid_format / grid_extended_filename / grid_only_if_multiple.
+
+    Mutates all_images/infotexts in place; returns index_of_first_image."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    index_of_first_image = 0
+    unwanted = len(all_images) < 2 and _opts.get("grid_only_if_multiple", True)
+    return_grid = _opts.get("return_grid", True)
+    grid_save = _opts.get("grid_save", True)
+    if not ((return_grid or grid_save) and not p.do_not_save_grid
+            and not unwanted):
+        return index_of_first_image
+
+    grid = images_util.image_grid(all_images, p.batch_size)
+    text = infotexts[0] if infotexts else create_infotext(p, model, 0)
+    if return_grid:
+        infotexts.insert(0, text)
+        all_images.insert(0, grid)
+        index_of_first_image = 1
+    if grid_save and p.outpath_grids:
+        images_util.save_image(
+            grid, p.outpath_grids, basename="grid",
+            seed=p.all_seeds[0] if p.all_seeds else p.seed,
+            prompt=p.all_prompts[0] if p.all_prompts else p.prompt,
+            info=text, extension=_opts.get("grid_format", "png") or "png",
+            short_filename=not _opts.get("grid_extended_filename", False),
+            p=p, grid=True)
+    return index_of_first_image
+
+
 def _maybe_restore_faces(p: GenerationParams, pils: list) -> list:
     """reference process_images_inner face restoration stage
     (modules/processing.py:1043) — applied before color correction."""
@@ -1137,10 +1173,12 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
         if callback is not None:
             callback("batch_done", n, pils)
 
+    first_idx = apply_grid_stage(all_images, infotexts, p, model)
     res = Processed(
         images=all_images, params=p, seed=p.all_seeds[0] if p.all_seeds else p.seed,
         subseed=p.all_subseeds[0] if p.all_subseeds else p.subseed,
         infotexts=infotexts, all_seeds=p.all_seeds, all_subseeds=p.all_subseeds,
-        all_prompts=p.all_prompts, width=p.width, height=p.height)
+        all_prompts=p.all_prompts, width=p.width, height=p.height,
+        index_of_first_image=first_idx)
     runner.postprocess(p, res)
     return res

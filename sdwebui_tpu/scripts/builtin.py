@@ -266,6 +266,7 @@ class PromptMatrix(Script):
         for prompt in combos:
             q = _clone(p)
             q.prompt = prompt
+            q.do_not_save_grid = True  # reference prompt_matrix.py:87
             res = engine.txt2img_inner(q)
             if first is None:
                 first = res
@@ -307,6 +308,7 @@ class PromptsFromFile(Script):
         for line in lines:
             q = _clone(p)
             q.prompt = line
+            q.do_not_save_grid = True  # reference prompts_from_file.py:133
             res = engine.txt2img_inner(q)
             if first is None:
                 first = res
@@ -356,6 +358,7 @@ class Loopback(Script):
             elif denoising_curve == "Lazy":
                 ratio = 1 - np.cos(ratio * np.pi / 2)
             q.denoising_strength = strength + (final - strength) * ratio
+            q.do_not_save_grid = True  # reference loopback.py:81
             res = engine.img2img_inner(q)
             if first is None:
                 first = res
@@ -402,6 +405,7 @@ class SDUpscale(Script):
                 q = _clone(p)
                 q.init_images = [tile]
                 q.width, q.height = tile.width, tile.height
+                q.do_not_save_grid = True  # reference sd_upscale.py:54
                 res = engine.img2img_inner(q)
                 if first is None:
                     first = res

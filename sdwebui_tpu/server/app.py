@@ -225,6 +225,40 @@ class Engine:
                                       vae_cfg=cfg)
         self._vae_key = key
 
+    def _resolve_outdirs(self, which: str) -> tuple[str, str]:
+        """Sample/grid output dirs for `which` in {txt2img, img2img}:
+        opts.outdir_samples / outdir_grids override everything (reference
+        shared_options 'saving-paths'), then the per-kind outdir_*_samples /
+        outdir_*_grids options, falling back to <--outdir>/<kind>-images
+        when the option still carries its reference default."""
+        from sdwebui_tpu.utils.options import opts
+
+        def pick(override_key, specific_key, kind_dir):
+            v = opts.get(override_key, "") or opts.get(specific_key, "")
+            tpl = opts.data_labels.get(specific_key)
+            default = tpl.default if tpl is not None else f"outputs/{kind_dir}"
+            if v and v != default:
+                return v
+            return os.path.join(self.outdir, kind_dir)
+
+        samples = pick("outdir_samples", f"outdir_{which}_samples",
+                       f"{which}-images")
+        grids = pick("outdir_grids", f"outdir_{which}_grids",
+                     f"{which}-grids")
+        return samples, grids
+
+    def _apply_save_flags(self, p: GenerationParams, save: bool,
+                          which: str) -> str | None:
+        """reference modules/api/api.py txt2imgapi: save_images drives both
+        do_not_save_samples and do_not_save_grid; outpath_grids is set from
+        the saving-paths options."""
+        if not save:
+            p.do_not_save_grid = True
+            return None
+        samples, grids = self._resolve_outdirs(which)
+        p.outpath_grids = grids
+        return samples
+
     def txt2img(self, p: GenerationParams, save: bool = False):
         from sdwebui_tpu.pipeline.processing import process_txt2img
 
@@ -236,7 +270,7 @@ class Engine:
             state.begin("txt2img")
             state.job_count = p.n_iter
             try:
-                outdir = os.path.join(self.outdir, "txt2img-images") if save else None
+                outdir = self._apply_save_flags(p, save, "txt2img")
                 refiner = self._resolve_refiner(p)
                 return process_txt2img(self.sd_model, p, outdir=outdir,
                                        callback=self._batch_callback,
@@ -276,7 +310,7 @@ class Engine:
             state.begin("img2img")
             state.job_count = p.n_iter
             try:
-                outdir = os.path.join(self.outdir, "img2img-images") if save else None
+                outdir = self._apply_save_flags(p, save, "img2img")
                 return process_img2img(self.sd_model, p, outdir=outdir,
                                        callback=self._batch_callback,
                                        step_callback=self._make_step_callback())

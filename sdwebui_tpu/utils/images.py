@@ -302,17 +302,59 @@ def read_info_from_image(image: Image.Image) -> str | None:
     return geninfo
 
 
+class ImageGridLoopParams:
+    """Payload for the image_grid callback channel (reference
+    modules/script_callbacks.py ImageGridLoopParams)."""
+
+    def __init__(self, imgs, cols, rows):
+        self.imgs = imgs
+        self.cols = cols
+        self.rows = rows
+
+
 def image_grid(imgs: list, batch_size: int = 1, rows: int | None = None) -> Image.Image:
+    """Assemble images into one grid (reference modules/images.py:36):
+    rows from opts.n_rows (>0 fixed, 0 = batch_size, -1 = near-square,
+    with grid_prevent_empty_spots exact-division fallback), cells sized to
+    the largest image with centering, opts.grid_background_color fill, and
+    the image_grid script callback."""
+    import math
+
+    from sdwebui_tpu.utils.options import opts as _opts
+
     if rows is None:
-        rows = int(np.sqrt(len(imgs)))
-        rows = max(min(rows, len(imgs)), 1)
-        while len(imgs) % rows != 0:
-            rows -= 1
-    cols = len(imgs) // rows
-    w, h = imgs[0].size
-    grid = Image.new("RGB", (cols * w, rows * h), color="black")
-    for i, img in enumerate(imgs):
-        grid.paste(img, ((i % cols) * w, (i // cols) * h))
+        n_rows = int(_opts.get("n_rows", -1))
+        if n_rows > 0:
+            rows = n_rows
+        elif n_rows == 0:
+            rows = batch_size
+        elif _opts.get("grid_prevent_empty_spots", False):
+            rows = max(math.floor(math.sqrt(len(imgs))), 1)
+            while len(imgs) % rows != 0:
+                rows -= 1
+        else:
+            rows = max(round(math.sqrt(len(imgs))), 1)
+    rows = min(rows, len(imgs))
+    cols = math.ceil(len(imgs) / rows)
+
+    from sdwebui_tpu.scripts import framework as _fw
+
+    params = ImageGridLoopParams(imgs, cols, rows)
+    _fw.invoke("image_grid", params)
+
+    w = max(img.size[0] for img in imgs)
+    h = max(img.size[1] for img in imgs)
+    try:
+        from PIL import ImageColor
+        bg = ImageColor.getcolor(
+            _opts.get("grid_background_color", "#ffffff") or "#ffffff", "RGB")
+    except ValueError:
+        bg = (255, 255, 255)
+    grid = Image.new("RGB", (params.cols * w, params.rows * h), color=bg)
+    for i, img in enumerate(params.imgs):
+        iw, ih = img.size
+        grid.paste(img, ((i % params.cols) * w + (w - iw) // 2,
+                         (i // params.cols) * h + (h - ih) // 2))
     return grid
 
 

@@ -144,10 +144,20 @@ def make_default_templates() -> dict:
         "samples_save": OptionInfo(True, "Always save all generated images"),
         "samples_format": OptionInfo("png", "File format for images"),
         "grid_save": OptionInfo(True, "Always save all generated image grids"),
+        "grid_format": OptionInfo("png", "File format for grids"),
+        "grid_extended_filename": OptionInfo(False, "Add extended info (seed, prompt) to filename when saving grid"),
+        "grid_only_if_multiple": OptionInfo(True, "Do not save grids consisting of one picture"),
+        "grid_prevent_empty_spots": OptionInfo(False, "Prevent empty spots in grid (when set to autodetect)"),
+        "n_rows": OptionInfo(-1, "Grid row count; use -1 for autodetect and 0 for it to be same as batch size"),
+        "return_grid": OptionInfo(True, "Show grid in gallery"),
         "enable_pnginfo": OptionInfo(True, "Save infotext to metadata"),
+        "outdir_samples": OptionInfo("", "Output directory for images; if empty, defaults to the per-kind directories below"),
+        "outdir_grids": OptionInfo("", "Output directory for grids; if empty, defaults to the per-kind directories below"),
         "outdir_txt2img_samples": OptionInfo("outputs/txt2img-images", "txt2img output dir"),
         "outdir_img2img_samples": OptionInfo("outputs/img2img-images", "img2img output dir"),
         "outdir_extras_samples": OptionInfo("outputs/extras-images", "extras output dir"),
+        "outdir_txt2img_grids": OptionInfo("outputs/txt2img-grids", "txt2img grids output dir"),
+        "outdir_img2img_grids": OptionInfo("outputs/img2img-grids", "img2img grids output dir"),
         "font": OptionInfo("", "Font for image grids that have text"),
         "grid_text_active_color": OptionInfo("#000000", "Text color for image grids"),
         "grid_text_inactive_color": OptionInfo("#999999", "Inactive text color for image grids"),
@@ -195,6 +205,7 @@ def make_default_templates() -> dict:
     t.update(options_section(("sampler-params", "Sampler parameters"), {
         "hide_samplers": OptionInfo([], "Hide samplers in user interface"),
         "eta_ancestral": OptionInfo(1.0, "Eta for k-diffusion samplers"),
+        "enable_quantization": OptionInfo(False, "Enable quantization in K samplers for sharper and cleaner results. This may change existing seeds"),
         "eta_ddim": OptionInfo(0.0, "Eta for DDIM"),
         "eta_noise_seed_delta": OptionInfo(0, "Eta noise seed delta (ENSD)"),
         "s_churn": OptionInfo(0.0, "sigma churn"),

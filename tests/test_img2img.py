@@ -269,5 +269,6 @@ def test_img2img_multiple_init_images(model):
                          denoising_strength=0.6,
                          init_images=[_img((200, 0, 0)), _img((0, 0, 200))])
     res = process_img2img(model, p)
-    assert len(res.images) == 2
-    assert not np.array_equal(np.asarray(res.images[0]), np.asarray(res.images[1]))
+    samples = res.images[res.index_of_first_image:]  # grid prepended by default
+    assert len(samples) == 2
+    assert not np.array_equal(np.asarray(samples[0]), np.asarray(samples[1]))

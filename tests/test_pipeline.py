@@ -42,10 +42,14 @@ def test_txt2img_batch_and_iter(model):
     p = GenerationParams(prompt="x", seed=1, steps=2, width=64, height=64,
                          batch_size=2, n_iter=2)
     res = process_txt2img(model, p)
-    assert len(res.images) == 4
+    # opts.return_grid (reference default on) prepends a 2x2 grid image
+    assert res.index_of_first_image == 1
+    assert len(res.images) == 5
+    samples = res.images[res.index_of_first_image:]
+    assert len(samples) == 4
     assert res.all_seeds == [1, 2, 3, 4]
     # each image distinct (different seeds)
-    a, b = np.asarray(res.images[0]), np.asarray(res.images[1])
+    a, b = np.asarray(samples[0]), np.asarray(samples[1])
     assert not np.array_equal(a, b)
 
 
