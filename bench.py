@@ -32,7 +32,8 @@ def main():
         p = GenerationParams(prompt="a photograph of an astronaut riding a horse",
                              negative_prompt="blurry", seed=seed, steps=steps,
                              cfg_scale=7.5, sampler_name="Euler a",
-                             width=512, height=512, batch_size=batch)
+                             width=512, height=512, batch_size=batch,
+                             do_not_save_grid=True)  # measure generation only
         return process_txt2img(model, p)
 
     # the axon compile tunnel occasionally returns a transient 500 —

@@ -61,6 +61,20 @@ def _prepare_images_and_mask(p: GenerationParams):
             im = Image.fromarray(np.asarray(im))
         im = im.convert("RGB")
 
+        from sdwebui_tpu.utils.options import opts as _opts
+
+        if _opts.get("save_init_img", False):
+            # reference processing.py:1673-1675: content-addressed copy of
+            # the init image, hash recorded in infotext
+            import hashlib
+
+            p.init_img_hash = hashlib.md5(im.tobytes()).hexdigest()
+            images_util.save_image(
+                im, _opts.get("outdir_init_images", "outputs/init-images")
+                or "outputs/init-images",
+                forced_filename=p.init_img_hash, save_to_dirs=False,
+                existing_info=dict(getattr(im, "info", {}) or {}))
+
         if mask_img is not None and p.inpaint_full_res:
             m = np.asarray(mask_img.resize(im.size)) > 127
             crop_region = masking.get_crop_region_v2(m, p.inpaint_full_res_padding)
@@ -380,7 +394,9 @@ def _process_img2img(model: SDModel, p: GenerationParams,
                     subseed=p.all_subseeds[0], infotexts=infotexts,
                     all_seeds=p.all_seeds, all_subseeds=p.all_subseeds,
                     all_prompts=p.all_prompts, width=p.width, height=p.height,
-                    index_of_first_image=first_idx)
+                    index_of_first_image=first_idx,
+                    sd_model_name=(model.title or "").split(" [")[0],
+                    sd_model_hash=model.sha256[:10] if model.sha256 else "")
     runner.postprocess(p, res)
     return res
 

@@ -120,6 +120,8 @@ class Processed:
     # 1 when a grid image was prepended via opts.return_grid
     # (reference processing.py:1127)
     index_of_first_image: int = 0
+    sd_model_name: str = ""
+    sd_model_hash: str = ""
 
     @property
     def infotext(self) -> str:
@@ -142,4 +144,6 @@ class Processed:
             "batch_size": self.params.batch_size,
             "infotexts": self.infotexts,
             "index_of_first_image": self.index_of_first_image,
+            "sd_model_name": self.sd_model_name,
+            "sd_model_hash": self.sd_model_hash,
         }

@@ -663,6 +663,7 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
         "Model": (model.title.split(" [")[0] if model.title
                   and _opts.get("add_model_name_to_info", True) else None),
         "Denoising strength": p.denoising_strength,
+        "Init image hash": getattr(p, "init_img_hash", None),
         "Face restoration": (_opts.get("face_restoration_model", "CodeFormer")
                              if p.restore_faces else None),
         "Clip skip": p.clip_skip if p.clip_skip > 1 else None,
@@ -1179,6 +1180,8 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
         subseed=p.all_subseeds[0] if p.all_subseeds else p.subseed,
         infotexts=infotexts, all_seeds=p.all_seeds, all_subseeds=p.all_subseeds,
         all_prompts=p.all_prompts, width=p.width, height=p.height,
-        index_of_first_image=first_idx)
+        index_of_first_image=first_idx,
+        sd_model_name=(model.title or "").split(" [")[0],
+        sd_model_hash=model.sha256[:10] if model.sha256 else "")
     runner.postprocess(p, res)
     return res

@@ -178,6 +178,17 @@ class XYZPlot(Script):
             else:
                 fn(q, _coerce(val))
 
+        from sdwebui_tpu.utils.options import opts as _mp_opts
+
+        # reference xyz_grid.py:635 grid size guard
+        grid_mp = round(len(xs) * len(ys) * len(zs)
+                        * p.width * p.height / 1_000_000)
+        max_mp = float(_mp_opts.get("img_max_size_mp", 200) or 200)
+        if grid_mp >= max_mp:
+            raise ValueError(
+                f"Error: Resulting grid would be too large ({grid_mp} "
+                f"MPixels) (max configured size is {int(max_mp)} MPixels)")
+
         all_images, infotexts = [], []
         cell_rows = []
         first = None

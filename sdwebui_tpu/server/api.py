@@ -175,6 +175,7 @@ class Api:
         r("POST", "/internal/token-count", self.token_count)
         r("POST", "/internal/parse-infotext", self.parse_infotext)
         r("POST", "/internal/save-style", self.save_style)
+        r("POST", "/internal/save-images", self.save_images_action)
         r("POST", "/internal/img2img-batch", self.img2img_batch)
         r("GET", "/internal/options-metadata", self.options_metadata)
 
@@ -498,6 +499,14 @@ class Api:
             name, body.get("prompt", ""), body.get("negative_prompt", ""))
         self.engine.styles.save()
         return {"name": name, "count": len(self.engine.styles.styles)}
+
+    def save_images_action(self, body: dict):
+        """Gallery Save / Save-as-zip button (reference
+        modules/ui_common.py:64 save_files): writes the posted images to
+        opts.outdir_save with a log.csv row and optional zip archive."""
+        from sdwebui_tpu.server.ui_actions import save_files_from_json
+
+        return save_files_from_json(body or {})
 
     def img2img_batch(self, body: dict):
         """Server-side img2img over a directory (reference

@@ -158,6 +158,14 @@ def make_default_templates() -> dict:
         "outdir_extras_samples": OptionInfo("outputs/extras-images", "extras output dir"),
         "outdir_txt2img_grids": OptionInfo("outputs/txt2img-grids", "txt2img grids output dir"),
         "outdir_img2img_grids": OptionInfo("outputs/img2img-grids", "img2img grids output dir"),
+        "outdir_save": OptionInfo("log/images", "Directory for saving images using the Save button"),
+        "outdir_init_images": OptionInfo("outputs/init-images", "Directory for saving init images when using img2img"),
+        "save_selected_only": OptionInfo(True, "When using 'Save' button, only save a single selected image"),
+        "save_write_log_csv": OptionInfo(True, "Write log.csv when saving images using 'Save' button"),
+        "use_save_to_dirs_for_ui": OptionInfo(False, "When using 'Save' button, save images to a subdirectory"),
+        "grid_zip_filename_pattern": OptionInfo("", "Archive filename pattern"),
+        "save_init_img": OptionInfo(False, "Save init images when using img2img"),
+        "img_max_size_mp": OptionInfo(200, "Maximum image size (in megapixels)"),
         "font": OptionInfo("", "Font for image grids that have text"),
         "grid_text_active_color": OptionInfo("#000000", "Text color for image grids"),
         "grid_text_inactive_color": OptionInfo("#999999", "Inactive text color for image grids"),

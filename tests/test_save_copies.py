@@ -38,6 +38,24 @@ def test_save_before_highres_fix(model, tmp_path):
     assert len(files) == 2
 
 
+def test_save_init_img(model, tmp_path):
+    init = Image.new("RGB", (64, 64), (120, 60, 30))
+    p = GenerationParams(prompt="x", seed=1, steps=1, width=64, height=64,
+                         denoising_strength=0.6, init_images=[init],
+                         override_settings={
+                             "save_init_img": True,
+                             "outdir_init_images": str(tmp_path / "init")})
+    res = process_img2img(model, p, outdir=None)
+    images_util.flush_saves()
+    import hashlib
+
+    h = hashlib.md5(init.tobytes()).hexdigest()
+    files = sorted(f.name for f in (tmp_path / "init").glob("*"))
+    assert files == [f"{h}.png"]
+    # hash recorded in infotext (reference processing.py:794)
+    assert f"Init image hash: {h}" in res.infotexts[res.index_of_first_image]
+
+
 def test_save_mask_and_composite(model, tmp_path):
     mask = Image.new("L", (64, 64), 0)
     mask.paste(255, (16, 16, 48, 48))

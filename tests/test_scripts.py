@@ -105,6 +105,22 @@ def test_xyz_plot_end_to_end(engine):
     assert res.images[0].size == (128, 128)
 
 
+def test_xyz_grid_size_guard(engine):
+    """opts.img_max_size_mp bounds the resulting grid (reference
+    xyz_grid.py:635)."""
+    import pytest as _pytest
+
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    p = GenerationParams(prompt="a cat", seed=1, steps=1, width=512,
+                         height=512)
+    with _opts.override({"img_max_size_mp": 1}):
+        with _pytest.raises(Exception, match="too large"):
+            engine.run_script("X/Y/Z plot", p,
+                              ["Seed", "1-3", "CFG Scale", "3,7", "Nothing",
+                               "", False])
+
+
 def test_xyz_prompt_sr(engine):
     p = GenerationParams(prompt="a cat photo", seed=1, steps=1, width=64, height=64)
     res = engine.run_script("X/Y/Z plot", p,
