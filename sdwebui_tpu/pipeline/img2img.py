@@ -59,9 +59,12 @@ def _prepare_images_and_mask(p: GenerationParams):
     for im in init_images:
         if not isinstance(im, Image.Image):
             im = Image.fromarray(np.asarray(im))
-        im = im.convert("RGB")
-
         from sdwebui_tpu.utils.options import opts as _opts
+
+        # reference processing.py:1677: transparent init pixels filled with
+        # opts.img2img_background_color before RGB conversion
+        im = images_util.flatten(
+            im, _opts.get("img2img_background_color", "#ffffff") or "#ffffff")
 
         if _opts.get("save_init_img", False):
             # reference processing.py:1673-1675: content-addressed copy of
@@ -349,7 +352,9 @@ def _process_img2img(model: SDModel, p: GenerationParams,
                 runner.postprocess_maskoverlay(p, PostProcessMaskOverlayArgs(
                     idx, mask_info.get("overlay_mask"),
                     mask_info.get("originals")))
-        pils = [apply_overlay(p, img, mask_info, idx) for idx, img in enumerate(pils)]
+        if _opts.get("overlay_inpaint", True):
+            pils = [apply_overlay(p, img, mask_info, idx)
+                    for idx, img in enumerate(pils)]
         for idx in range(len(pils)):
             ppi = PostprocessImageArgs(pils[idx], idx)
             runner.postprocess_image_after_composite(p, ppi)
@@ -384,6 +389,25 @@ def _process_img2img(model: SDModel, p: GenerationParams,
                                        prompt=p.all_prompts[lo + i], info=info,
                                        p=p)
         all_images.extend(pils)
+
+        # return_mask/return_mask_composite: masks appended to the result
+        # gallery (reference processing.py return_mask block)
+        if mask_info.get("mask") is not None and \
+                (_opts.get("return_mask", False)
+                 or _opts.get("return_mask_composite", False)):
+            from PIL import Image as PILImage
+
+            mask_l = mask_info["mask"].convert("L")
+            for img in pils:
+                if _opts.get("return_mask", False):
+                    all_images.append(mask_l.convert("RGB"))
+                    infotexts.append(infotexts[-1] if infotexts else "")
+                if _opts.get("return_mask_composite", False):
+                    all_images.append(PILImage.composite(
+                        img.convert("RGBA").convert("RGBa"),
+                        PILImage.new("RGBa", img.size),
+                        mask_l.resize(img.size)).convert("RGBA"))
+                    infotexts.append(infotexts[-1] if infotexts else "")
         if callback is not None:
             callback("batch_done", n, pils)
 

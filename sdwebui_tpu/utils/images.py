@@ -302,6 +302,16 @@ def read_info_from_image(image: Image.Image) -> str | None:
     return geninfo
 
 
+def flatten(img: Image.Image, bgcolor: str) -> Image.Image:
+    """Replace alpha with bgcolor before converting to RGB (reference
+    modules/images.py:841; used with opts.img2img_background_color)."""
+    if img.mode == "RGBA":
+        background = Image.new("RGBA", img.size, bgcolor)
+        background.paste(img, mask=img)
+        img = background
+    return img.convert("RGB")
+
+
 class ImageGridLoopParams:
     """Payload for the image_grid callback channel (reference
     modules/script_callbacks.py ImageGridLoopParams)."""
