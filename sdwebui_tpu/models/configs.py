@@ -39,6 +39,10 @@ class UNetConfig:
     # token merging ratio for self-attention (reference
     # opts.token_merging_ratio via tomesd); 0 = off
     tome_ratio: float = 0.0
+    # run transformer attention fully in fp32 (reference opts.upcast_attn /
+    # --upcast-attn for SD2.1 fp16 overflow; scores+softmax are already
+    # fp32 here regardless, this additionally upcasts QKV and PV)
+    upcast_attn: bool = False
 
     def heads_for(self, channels: int) -> int:
         if self.num_head_channels > 0:

@@ -99,7 +99,13 @@ def _resblock(p, x, emb, circular=False):
     return x + h
 
 
-def _cross_attention(p, x, context, heads, hypernet=None):
+def _cross_attention(p, x, context, heads, hypernet=None, upcast=False):
+    if upcast and x.dtype != jnp.float32:
+        # opts.upcast_attn (reference --upcast-attn): whole attention in
+        # fp32; preserve the `context is x` identity for the fused-qkv path
+        xf = x.astype(jnp.float32)
+        cf = xf if context is x else context.astype(jnp.float32)
+        return _cross_attention(p, xf, cf, heads, hypernet).astype(x.dtype)
     if context is x and hypernet is None and "bias" not in p["to_q"]:
         # self-attention: one fused qkv matmul (weights concatenated at
         # trace time — XLA folds the concat; 3 gemms → 1 bigger gemm)
@@ -145,7 +151,7 @@ def _split_factor(dim: int, tile: int) -> int:
     return dim
 
 
-def _hypertiled_self_attention(p, x, heads, hw, tile, hypernet):
+def _hypertiled_self_attention(p, x, heads, hw, tile, hypernet, upcast=False):
     """Self-attention over spatial tiles (reference hypertile.py
     self_attn_forward): (B, h·w, C) → (B·nh·nw, th·tw, C) around the attn.
     Cuts attention cost by nh·nw for the high-res layers; applied only when
@@ -154,17 +160,17 @@ def _hypertiled_self_attention(p, x, heads, hw, tile, hypernet):
     b, s, c = x.shape
     nh, nw = _split_factor(h, tile), _split_factor(w, tile)
     if s != h * w or (nh == 1 and nw == 1):
-        return _cross_attention(p, x, x, heads, hypernet)
+        return _cross_attention(p, x, x, heads, hypernet, upcast=upcast)
     th, tw = h // nh, w // nw
     xt = x.reshape(b, nh, th, nw, tw, c).transpose(0, 1, 3, 2, 4, 5) \
           .reshape(b * nh * nw, th * tw, c)
-    out = _cross_attention(p, xt, xt, heads, hypernet)
+    out = _cross_attention(p, xt, xt, heads, hypernet, upcast=upcast)
     return out.reshape(b, nh, nw, th, tw, c).transpose(0, 1, 3, 2, 4, 5) \
               .reshape(b, s, c)
 
 
 def _basic_block(p, x, context, heads, hypernet=None, hw=None, tile=0,
-                 tome_ratio=0.0):
+                 tome_ratio=0.0, upcast=False):
     h = layer_norm_p(p["norm1"], x)
     merged = None
     if tome_ratio > 0 and hw is not None:
@@ -173,15 +179,18 @@ def _basic_block(p, x, context, heads, hypernet=None, hw=None, tile=0,
         merged = build_merge(h, hw[0], hw[1], tome_ratio)
     if merged is not None:
         merge, unmerge, _ = merged
-        x = x + unmerge(_cross_attention(p["attn1"], merge(h), merge(h),
-                                         heads, hypernet))
+        mh = merge(h)
+        x = x + unmerge(_cross_attention(p["attn1"], mh, mh,
+                                         heads, hypernet, upcast=upcast))
     elif tile > 0 and hw is not None and hw[0] * hw[1] > tile * tile:
         x = x + _hypertiled_self_attention(p["attn1"], h, heads, hw, tile,
-                                           hypernet)
+                                           hypernet, upcast=upcast)
     else:
-        x = x + _cross_attention(p["attn1"], h, h, heads, hypernet)
+        x = x + _cross_attention(p["attn1"], h, h, heads, hypernet,
+                                 upcast=upcast)
     h = layer_norm_p(p["norm2"], x)
-    x = x + _cross_attention(p["attn2"], h, context, heads, hypernet)
+    x = x + _cross_attention(p["attn2"], h, context, heads, hypernet,
+                             upcast=upcast)
     x = x + _ff_geglu(p["ff"], layer_norm_p(p["norm3"], x))
     return x
 
@@ -201,7 +210,7 @@ def _spatial_transformer(p, x, context, cfg: UNetConfig, depth: int,
     for d in range(depth):
         x = _basic_block(p["transformer_blocks"][str(d)], x, context, heads,
                          hypernet, hw=(h, w), tile=cfg.hypertile_tile,
-                         tome_ratio=cfg.tome_ratio)
+                         tome_ratio=cfg.tome_ratio, upcast=cfg.upcast_attn)
     if cfg.use_linear_in_transformer:
         x = linear(p["proj_out"], x)
         x = x.reshape(b, h, w, c)

@@ -393,7 +393,44 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
     return x
 
 
+def _taesd_for(model: SDModel, which: str):
+    """TAESD params when opts.sd_vae_{decode,encode}_method == 'TAESD' and
+    weights exist under models/VAE-taesd (reference decode_first_stage /
+    images_tensor_to_samples dispatch, modules/sd_samplers_common.py:75,92);
+    None → full VAE."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    opt = "sd_vae_decode_method" if which == "decoder" else "sd_vae_encode_method"
+    if _opts.get(opt, "Full") != "TAESD":
+        return None
+    from sdwebui_tpu.models.vae_approx import get_taesd
+
+    return get_taesd(model.kind, which)
+
+
+def _fast_interrupt_method():
+    """Non-None when an interrupted job should decode its finals with the
+    live-preview approximator instead of the full VAE (reference
+    opts.live_preview_fast_interrupt, modules/sd_samplers_common.py:41)."""
+    from sdwebui_tpu.runtime.state import state
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if state.interrupted and _opts.get("live_preview_fast_interrupt", False):
+        return _opts.get("show_progress_type", "Approx NN")
+    return None
+
+
 def decode_first_stage(model: SDModel, latents):
+    fast = _fast_interrupt_method()
+    if fast is not None and fast != "Full":
+        from sdwebui_tpu.models.vae_approx import approx_decode
+
+        return approx_decode(model.kind, fast, latents)
+    taesd = _taesd_for(model, "decoder")
+    if taesd is not None:
+        from sdwebui_tpu.models.vae_approx import taesd_decode
+
+        return taesd_decode(taesd, latents)
     return _decode_fused(model.vae_params, model.vae_cfg, latents)
 
 
@@ -414,21 +451,45 @@ def _spatial_decode_if_beneficial(model: SDModel, latents):
     return None
 
 
+@functools.partial(jax.jit)
+def _taesd_decode_u8(params, latents):
+    from sdwebui_tpu.models.vae_approx import taesd_decode
+
+    return (taesd_decode(params, latents) * 255.0 + 0.5).astype(jnp.uint8)
+
+
 def decode_first_stage_u8(model: SDModel, latents):
     from sdwebui_tpu.utils.options import opts as _opts
 
+    fast = _fast_interrupt_method()
+    if fast is not None and fast != "Full":
+        from sdwebui_tpu.models.vae_approx import approx_decode
+
+        rgb = approx_decode(model.kind, fast, latents)
+        return (rgb * 255.0 + 0.5).astype(jnp.uint8)
+    taesd = _taesd_for(model, "decoder")
+    if taesd is not None:
+        return _taesd_decode_u8(taesd, latents)
     spatial = _spatial_decode_if_beneficial(model, latents)
     if spatial is not None:
         return (spatial * 255.0 + 0.5).astype(jnp.uint8)
     if _opts.get("sdtpu_vae_bf16", True):
         u8, bad = _decode_fused_u8_bf16(model.vae_params, model.vae_cfg,
                                         latents)
-        if not bool(bad):   # reference no-half-vae fallback on NaN
+        # reference opts.auto_vae_precision (shared_options "Automatically
+        # revert VAE to 32-bit floats", modules/devices.py after_gc NaN
+        # hook): on NaN output retry in fp32; disabled → keep the bf16 NaNs
+        if not bool(bad) or not _opts.get("auto_vae_precision", True):
             return u8
     return _decode_fused_u8(model.vae_params, model.vae_cfg, latents)
 
 
 def encode_first_stage(model: SDModel, images):
+    taesd = _taesd_for(model, "encoder")
+    if taesd is not None:
+        from sdwebui_tpu.models.vae_approx import taesd_encode
+
+        return taesd_encode(taesd, images)
     return _encode_fused(model.vae_params, model.vae_cfg, images)
 
 
@@ -800,6 +861,9 @@ def _apply_hypertile(model, kind: str = "txt2img"):
         cfg = _dc.replace(cfg, tome_ratio=ratio)
     elif cfg.tome_ratio:
         cfg = _dc.replace(cfg, tome_ratio=0.0)
+    upcast = bool(_opts.get("upcast_attn", False))
+    if cfg.upcast_attn != upcast:
+        cfg = _dc.replace(cfg, upcast_attn=upcast)
     if cfg == model.unet_cfg:
         return model
     return _dc.replace(model, unet_cfg=cfg)

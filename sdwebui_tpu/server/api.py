@@ -373,7 +373,14 @@ class Api:
         body = body or {}
         live = None
         if state.current_image is not None and body.get("live_preview", True):
-            live = "data:image/png;base64," + encode_pil_to_base64(state.current_image)
+            # reference modules/progress.py:100: previews encoded in
+            # opts.live_previews_image_format (jpeg falls back to png for
+            # RGBA sources)
+            fmt = str(opts.get("live_previews_image_format", "png")).lower()
+            img = state.current_image
+            if fmt == "jpeg" and img.mode in ("RGBA", "P"):
+                fmt = "png"
+            live = f"data:image/{fmt};base64," + encode_pil_to_base64(img, fmt=fmt)
         return {
             "active": bool(state.job),
             "queued": False,

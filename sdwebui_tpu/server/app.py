@@ -354,9 +354,25 @@ class Engine:
         if not opts.get("live_previews_enable", True):
             return None
         every = int(opts.get("show_progress_every_n_steps", 10))
+        ptype = opts.get("show_progress_type", "Approx NN")
+        show_grid = bool(opts.get("show_progress_grid", True))
         model = self.sd_model
-        from sdwebui_tpu.models.vae_approx import cheap_approximation
-        from sdwebui_tpu.utils.images import tensor_to_pil
+        from sdwebui_tpu.utils.images import image_grid, tensor_to_pil
+
+        def to_rgb(latents):
+            """Sampler-space latents → float RGB in [0,1] per
+            opts.show_progress_type (reference sd_samplers_common.py:37
+            samples_to_images_tensor modes).  Every approximator takes the
+            sampler-space latent directly, like the reference; 'Approx NN'
+            falls back to the cheap matrix when no VAE-approx weights are
+            present, 'TAESD' likewise."""
+            if ptype == "Full":
+                from sdwebui_tpu.pipeline.processing import decode_first_stage
+
+                return decode_first_stage(model, latents)  # already [0,1]
+            from sdwebui_tpu.models.vae_approx import approx_decode
+
+            return approx_decode(model.kind, ptype, latents)
 
         def cb(i, n, latents):
             state.sampling_step = i + 1
@@ -368,9 +384,11 @@ class Engine:
                 try:
                     import numpy as _np
 
-                    rgb = cheap_approximation(
-                        latents / model.vae_cfg.scale_factor, model.kind)
-                    state.set_current_image(tensor_to_pil(_np.asarray(rgb))[0])
+                    pils = tensor_to_pil(_np.asarray(to_rgb(latents)))
+                    if show_grid and len(pils) > 1:
+                        state.set_current_image(image_grid(pils))
+                    else:
+                        state.set_current_image(pils[0])
                 except Exception:
                     pass
             return True

@@ -193,11 +193,19 @@ def make_default_templates() -> dict:
         "sd_model_checkpoint": OptionInfo(None, "Stable Diffusion checkpoint", "dropdown"),
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of loaded checkpoints"),
         "sd_vae": OptionInfo("Automatic", "SD VAE"),
+        "sd_vae_encode_method": OptionInfo(
+            "Full", "VAE type for encode",
+            component_args={"choices": ["Full", "TAESD"]}),
+        "sd_vae_decode_method": OptionInfo(
+            "Full", "VAE type for decode",
+            component_args={"choices": ["Full", "TAESD"]}),
         "sd3_enable_t5": OptionInfo(False, "Enable T5 text encoder for SD3"),
         "interrogate_deepbooru_score_threshold": OptionInfo(0.5, "deepbooru: score threshold"),
         "deepbooru_sort_alpha": OptionInfo(True, "deepbooru: sort tags alphabetically"),
         "auto_backcompat": OptionInfo(True, "Automatic backward compatibility for old infotexts"),
         "sdtpu_vae_bf16": OptionInfo(True, "Decode VAE in bfloat16 (fp32 retry on NaN, like the reference's fp16 VAE + no-half-vae fallback)"),
+        "auto_vae_precision": OptionInfo(True, "Automatically revert VAE to 32-bit floats (retry bf16-NaN decodes in fp32)"),
+        "upcast_attn": OptionInfo(False, "Upcast cross attention layer to float32 (scores/softmax are always fp32 on TPU; this additionally upcasts QKV/PV)"),
         "sdtpu_async_save": OptionInfo(True, "Write images to disk on a background thread (responses carry in-memory images; flush on shutdown)"),
         "sdtpu_png_compress_level": OptionInfo(1, "PNG compression level 0-9 (1 halves encode time vs PIL's default 6 at ~equal size)"),
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of checkpoints loaded at the same time"),
@@ -271,6 +279,13 @@ def make_default_templates() -> dict:
             0.0, "Extra noise multiplier for img2img and hires fix"),
         "img2img_fix_steps": OptionInfo(False, "With img2img, do exactly the amount of steps specified"),
         "img2img_color_correction": OptionInfo(False, "Apply color correction"),
+        "img2img_background_color": OptionInfo(
+            "#ffffff", "With img2img, fill transparent parts of the input image with this color."),
+        "return_mask": OptionInfo(
+            False, "For inpainting, include the greyscale mask in results for web"),
+        "return_mask_composite": OptionInfo(
+            False, "For inpainting, include masked composite in results for web"),
+        "overlay_inpaint": OptionInfo(True, "Overlay original for inpaint"),
     }))
     t.update(options_section(("extensions", "Extensions"), {
         "disabled_extensions": OptionInfo([], "Disable these extensions"),
@@ -315,6 +330,16 @@ def make_default_templates() -> dict:
         "show_progress_every_n_steps": OptionInfo(10, "Live preview display period"),
         "live_previews_enable": OptionInfo(True, "Show live previews"),
         "live_preview_content": OptionInfo("Prompt", "Live preview subject"),
+        "show_progress_grid": OptionInfo(
+            True, "Show previews of all images generated in a batch as a grid"),
+        "show_progress_type": OptionInfo(
+            "Approx NN", "Live preview method",
+            component_args={"choices": ["Full", "Approx NN", "Approx cheap", "TAESD"]}),
+        "live_preview_fast_interrupt": OptionInfo(
+            False, "Return image with chosen live preview method on interrupt"),
+        "live_previews_image_format": OptionInfo(
+            "png", "Live preview file format",
+            component_args={"choices": ["png", "jpeg", "webp"]}),
     }))
     t.update(options_section(("ui", "User interface"), {
         "localization": OptionInfo("None", "Localization"),

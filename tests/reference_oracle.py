@@ -112,6 +112,13 @@ def install_stubs():
             setattr(m, "device", "cpu"),
         ),
         "modules.sd_hijack": lambda m: None,
+        # modules/paths.py asserts a git-cloned stable-diffusion repo exists;
+        # sd_vae_approx only reads models_path/script_path from it.
+        "modules.paths": lambda m: (
+            setattr(m, "models_path", "/tmp/ref-models"),
+            setattr(m, "script_path", REFERENCE),
+            setattr(m, "data_path", "/tmp/ref-data"),
+        ),
     }.items():
         if name not in sys.modules:
             mod = types.ModuleType(name)

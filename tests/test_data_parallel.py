@@ -34,8 +34,10 @@ def test_dp_batch_matches_single_device(dp_runtime):
     set_runtime(MeshRuntime.create(data=1, model=1, devices=jax.devices()[:1]))
     res_single = process_txt2img(model, p())
 
-    assert len(res_dp.images) == 4
-    for a, b in zip(res_dp.images, res_single.images):
+    dp_samples = res_dp.images[res_dp.index_of_first_image:]
+    single_samples = res_single.images[res_single.index_of_first_image:]
+    assert len(dp_samples) == 4
+    for a, b in zip(dp_samples, single_samples):
         np.testing.assert_allclose(np.asarray(a, int), np.asarray(b, int),
                                    atol=2)  # cross-device reduction order
 
@@ -45,7 +47,7 @@ def test_dp_indivisible_batch_falls_back(dp_runtime):
     p = GenerationParams(prompt="x", seed=7, steps=1, width=64, height=64,
                          batch_size=3)  # 3 % 4 != 0 → unsharded path
     res = process_txt2img(model, p)
-    assert len(res.images) == 3
+    assert len(res.images[res.index_of_first_image:]) == 3
 
 
 def test_tensor_parallel_matches_single_device():

@@ -234,3 +234,95 @@ def test_infotext_hires_refiner_fields(model):
         assert frag in info, (frag, info)
     parsed = infotext_util.parse(info)
     assert parsed["Hires upscaler"] == "Latent"
+
+
+def test_sd_vae_method_taesd_dispatch(model, monkeypatch):
+    """opts.sd_vae_{decode,encode}_method='TAESD' must route first-stage
+    decode/encode through the TAESD nets (reference
+    modules/sd_samplers_common.py:75 decode_first_stage + :92
+    images_tensor_to_samples dispatch), changing observable output."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import torch
+
+    import reference_oracle as ro
+    from sdwebui_tpu.loader.convert import convert_leaf
+    from sdwebui_tpu.models import vae_approx as va
+    from sdwebui_tpu.pipeline.processing import (decode_first_stage,
+                                                 decode_first_stage_u8,
+                                                 encode_first_stage)
+    from sdwebui_tpu.utils.options import opts
+    from sdwebui_tpu.utils.pytree import unflatten
+
+    svt = ro.load("modules.sd_vae_taesd")
+    torch.manual_seed(0)
+
+    def tree(net):
+        return unflatten({k: convert_leaf(k, v.detach().numpy())
+                          for k, v in net.state_dict().items()})
+
+    monkeypatch.setitem(va._TAESD_CACHE, (model.kind, "decoder", "models"),
+                        tree(svt.decoder(4)))
+    monkeypatch.setitem(va._TAESD_CACHE, (model.kind, "encoder", "models"),
+                        tree(svt.encoder(4)))
+
+    lat = np.random.default_rng(0).standard_normal((1, 8, 8, 4)).astype(np.float32)
+    full = np.asarray(decode_first_stage(model, lat))
+    opts.set("sd_vae_decode_method", "TAESD")
+    opts.set("sd_vae_encode_method", "TAESD")
+    try:
+        ta = np.asarray(decode_first_stage(model, lat))
+        assert ta.shape == (1, 64, 64, 3)
+        assert ta.shape != full.shape or not np.allclose(ta, full)
+        u8 = np.asarray(decode_first_stage_u8(model, lat))
+        assert u8.dtype == np.uint8 and u8.shape == (1, 64, 64, 3)
+        np.testing.assert_allclose(u8, (ta * 255.0 + 0.5).astype(np.uint8))
+        img = np.random.default_rng(1).random((1, 64, 64, 3)).astype(np.float32)
+        z = np.asarray(encode_first_stage(model, img))
+        assert z.shape == (1, 8, 8, 4)
+    finally:
+        opts.set("sd_vae_decode_method", "Full")
+        opts.set("sd_vae_encode_method", "Full")
+
+
+def test_live_preview_fast_interrupt_decode(model):
+    """opts.live_preview_fast_interrupt: an interrupted job decodes its
+    final images with the live-preview approximator instead of the full
+    VAE (reference modules/sd_samplers_common.py:41)."""
+    from sdwebui_tpu.pipeline.processing import decode_first_stage_u8
+    from sdwebui_tpu.runtime.state import state
+    from sdwebui_tpu.utils.options import opts
+
+    lat = np.random.default_rng(2).standard_normal((1, 8, 8, 4)).astype(np.float32)
+    opts.set("live_preview_fast_interrupt", True)
+    state.interrupted = True
+    try:
+        out = np.asarray(decode_first_stage_u8(model, lat))
+        # default 'Approx NN' degrades to the cheap matrix (no weights in
+        # image): latent-resolution output instead of the 8x VAE upsample
+        assert out.shape == (1, 8, 8, 3)
+        assert out.dtype == np.uint8
+    finally:
+        state.interrupted = False
+        opts.set("live_preview_fast_interrupt", False)
+    full = np.asarray(decode_first_stage_u8(model, lat))
+    assert full.shape == (1, 64, 64, 3)
+
+
+def test_upcast_attn_option(model):
+    """opts.upcast_attn reaches UNetConfig (static jit key) and the run
+    still produces images (reference --upcast-attn / shared option)."""
+    from sdwebui_tpu.pipeline.processing import _apply_hypertile
+    from sdwebui_tpu.utils.options import opts
+
+    opts.set("upcast_attn", True)
+    try:
+        assert _apply_hypertile(model).unet_cfg.upcast_attn
+        p = GenerationParams(prompt="x", seed=5, steps=1, width=64, height=64)
+        res = process_txt2img(model, p)
+        assert res.images[0].size == (64, 64)
+    finally:
+        opts.set("upcast_attn", False)
+    assert not _apply_hypertile(model).unet_cfg.upcast_attn

@@ -500,3 +500,83 @@ def test_timestep_sampler_trajectory_parity(name, solver):
         np.testing.assert_allclose(o, r, rtol=3e-4, atol=3e-5,
                                    err_msg=f"{name} state {i}")
     np.testing.assert_allclose(got, expected, rtol=3e-4, atol=3e-5)
+
+
+# ===========================================================================
+# 8. Live-preview approximators — reference modules/sd_vae_approx.py and
+#    modules/sd_vae_taesd.py classes as oracles (random-init state dicts
+#    pushed through our converters; catches key-mapping + wiring bugs)
+# ===========================================================================
+
+@pytest.mark.parametrize("latent_channels", [4, 16])
+def test_vae_approx_reference_state_dict_forward(latent_channels):
+    """Reference VAEApprox (upsample→pad 11→8 valid convs, leaky_relu 0.1)
+    vs models/vae_approx.vae_approx_decode on the same random weights."""
+    import torch
+
+    sva = ro.load("modules.sd_vae_approx")
+    from sdwebui_tpu.loader.convert import convert_leaf
+    from sdwebui_tpu.models.vae_approx import vae_approx_decode
+    from sdwebui_tpu.utils.pytree import unflatten
+
+    torch.manual_seed(0)
+    net = sva.VAEApprox(latent_channels=latent_channels).eval()
+    x = torch.randn(2, latent_channels, 12, 16)
+    with torch.no_grad():
+        expected = np.clip(net(x).numpy() / 2.0 + 0.5, 0.0, 1.0)
+    expected = expected.transpose(0, 2, 3, 1)
+
+    params = unflatten({k: convert_leaf(k, v.numpy())
+                        for k, v in net.state_dict().items()})
+    got = np.asarray(vae_approx_decode(
+        params, x.numpy().transpose(0, 2, 3, 1)))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("latent_channels", [4, 16])
+def test_taesd_reference_state_dict_forward(latent_channels):
+    """Reference TAESD decoder sequential (modules/sd_vae_taesd.py:37) vs
+    models/vae_approx.taesd_decode on the same random weights."""
+    import torch
+
+    svt = ro.load("modules.sd_vae_taesd")
+    from sdwebui_tpu.loader.convert import convert_leaf
+    from sdwebui_tpu.models.vae_approx import taesd_decode
+    from sdwebui_tpu.utils.pytree import unflatten
+
+    torch.manual_seed(1)
+    net = svt.decoder(latent_channels=latent_channels).eval()
+    x = torch.randn(1, latent_channels, 8, 8)
+    with torch.no_grad():
+        expected = np.clip(net(x).numpy(), 0.0, 1.0).transpose(0, 2, 3, 1)
+
+    params = unflatten({k: convert_leaf(k, v.numpy())
+                        for k, v in net.state_dict().items()})
+    got = np.asarray(taesd_decode(params, x.numpy().transpose(0, 2, 3, 1)))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("latent_channels", [4, 16])
+def test_taesd_encoder_reference_state_dict_forward(latent_channels):
+    """Reference TAESD encoder sequential (modules/sd_vae_taesd.py:47) vs
+    models/vae_approx.taesd_encode on the same random weights."""
+    import torch
+
+    svt = ro.load("modules.sd_vae_taesd")
+    from sdwebui_tpu.loader.convert import convert_leaf
+    from sdwebui_tpu.models.vae_approx import taesd_encode
+    from sdwebui_tpu.utils.pytree import unflatten
+
+    torch.manual_seed(2)
+    net = svt.encoder(latent_channels=latent_channels).eval()
+    x = torch.rand(1, 3, 32, 32)
+    with torch.no_grad():
+        expected = net(x).numpy().transpose(0, 2, 3, 1)
+
+    params = unflatten({k: convert_leaf(k, v.numpy())
+                        for k, v in net.state_dict().items()})
+    got = np.asarray(taesd_encode(params, x.numpy().transpose(0, 2, 3, 1)))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
