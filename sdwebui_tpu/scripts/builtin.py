@@ -64,6 +64,7 @@ AXIS_OPTIONS = {
     "Styles": "styles",
     "Prompt S/R": "prompt_sr",   # search/replace: first value is the token
     "Prompt order": "prompt_order",
+    "Size": "size",              # "WxH" strings → width+height per cell
 }
 
 # axes that sweep a runtime option (applied via override around each cell,
@@ -84,7 +85,38 @@ OPTS_AXES = {
     "UniPC Order": "uni_pc_order",
     "UniPC Variant": "uni_pc_variant",
     "Face restore model": "face_restoration_model",
+    "Extra noise": "img2img_extra_noise",
+    "Always discard next-to-last sigma": "always_discard_next_to_last_sigma",
+    "SGM noise multiplier": "sgm_noise_multiplier",
+    "Cond. Image Mask Weight": "inpainting_mask_weight",
+    "FP8 mode": "fp8_storage",   # accepted; fp8 storage is N/A on TPU bf16
 }
+
+# The reference API convention passes axes as INDICES into the per-tab
+# filtered axis list (scripts/xyz_grid.py:239-283 axis_options, filtered at
+# :420 by AxisOptionTxt2Img/AxisOptionImg2Img), plus a values_dropdown list
+# after each values string.  These orders reproduce that filtering so
+# index-based clients carry over unchanged.
+_REF_AXES_COMMON_HEAD = ["Nothing", "Seed", "Var. seed", "Var. strength",
+                         "Steps"]
+_REF_AXES_TAIL = [
+    "Checkpoint name", "Negative Guidance minimum sigma", "Sigma Churn",
+    "Sigma min", "Sigma max", "Sigma noise", "Schedule type",
+    "Schedule min sigma", "Schedule max sigma", "Schedule rho",
+    "Beta schedule alpha", "Beta schedule beta", "Eta", "Clip skip",
+    "Denoising", "Initial noise multiplier", "Extra noise"]
+_REF_AXES_TAIL2 = [
+    "VAE", "Styles", "UniPC Order", "Face restore", "Token merging ratio",
+    "Token merging ratio high-res", "Always discard next-to-last sigma",
+    "SGM noise multiplier", "Refiner checkpoint", "Refiner switch at",
+    "RNG source", "FP8 mode", "Size"]
+REF_AXES_TXT2IMG = (_REF_AXES_COMMON_HEAD + ["Hires steps", "CFG Scale",
+                    "Prompt S/R", "Prompt order", "Sampler", "Hires sampler"]
+                    + _REF_AXES_TAIL + ["Hires upscaler"] + _REF_AXES_TAIL2)
+REF_AXES_IMG2IMG = (_REF_AXES_COMMON_HEAD + ["CFG Scale", "Image CFG Scale",
+                    "Prompt S/R", "Prompt order", "Sampler"]
+                    + _REF_AXES_TAIL + ["Cond. Image Mask Weight"]
+                    + _REF_AXES_TAIL2)
 
 
 def parse_axis_values(axis: str, values) -> list:
@@ -134,6 +166,30 @@ class XYZPlot(Script):
             x_axis="Nothing", x_values="", y_axis="Nothing", y_values="",
             z_axis="Nothing", z_values="", draw_legend=True,
             include_sub_grids=False, *rest):
+        if isinstance(x_axis, (int, float)) and not isinstance(x_axis, bool) \
+                or isinstance(y_axis, (list, tuple)):
+            # reference API convention (scripts/xyz_grid.py run signature):
+            # (x_type_index, x_values, x_values_dropdown) per axis, then
+            # draw_legend, include_lone_images, include_sub_grids, ...
+            # Axis indices are per-tab (is_img2img filters the axis list).
+            args = [x_axis, x_values, y_axis, y_values, z_axis, z_values,
+                    draw_legend, include_sub_grids, *rest]
+            args += [None] * (12 - len(args))
+            order = REF_AXES_IMG2IMG if getattr(p, "init_images", None) \
+                else REF_AXES_TXT2IMG
+
+            def axis_name(i):
+                i = int(i or 0)
+                return order[i] if 0 <= i < len(order) else "Nothing"
+
+            def vals(text, dropdown):
+                return list(dropdown) if dropdown else text
+
+            x_axis, x_values = axis_name(args[0]), vals(args[1], args[2])
+            y_axis, y_values = axis_name(args[3]), vals(args[4], args[5])
+            z_axis, z_values = axis_name(args[6]), vals(args[7], args[8])
+            draw_legend = bool(args[9]) if args[9] is not None else True
+            include_sub_grids = bool(args[11])
         xs = parse_axis_values(x_axis, x_values)
         ys = parse_axis_values(y_axis, y_values)
         zs = parse_axis_values(z_axis, z_values)
@@ -175,6 +231,10 @@ class XYZPlot(Script):
                 rest = [s.strip() for s in q.prompt.split(",")
                         if s.strip() not in parts]
                 q.prompt = ", ".join(parts + rest)
+            elif fn == "size":
+                # reference apply_size (scripts/xyz_grid.py:283): "WxH"
+                w, _, h = str(val).lower().partition("x")
+                q.width, q.height = int(w), int(h)
             else:
                 fn(q, _coerce(val))
 

@@ -585,3 +585,34 @@ def test_vae_axis_live_swap(tmp_path, monkeypatch):
                                          width=64, height=64))
     np.testing.assert_array_equal(np.asarray(base.images[0]),
                                   np.asarray(again.images[0]))
+
+
+def test_xyz_plot_reference_index_convention(engine):
+    """The reference API passes axes as per-tab indices with values_dropdown
+    lists (scripts/xyz_grid.py run signature); index 1='Seed', 6='CFG Scale'
+    in the txt2img-filtered axis list."""
+    from sdwebui_tpu.scripts.builtin import (REF_AXES_IMG2IMG,
+                                             REF_AXES_TXT2IMG)
+
+    assert REF_AXES_TXT2IMG[1] == "Seed"
+    assert REF_AXES_TXT2IMG[6] == "CFG Scale"
+    assert REF_AXES_TXT2IMG[9] == "Sampler"
+    assert REF_AXES_TXT2IMG[41] == "Size"
+    assert REF_AXES_IMG2IMG[6] == "Image CFG Scale"
+    assert REF_AXES_IMG2IMG[27] == "Cond. Image Mask Weight"
+    assert REF_AXES_IMG2IMG[40] == "Size"
+
+    p = GenerationParams(prompt="a cat", seed=1, steps=1, width=64, height=64)
+    res = engine.run_script(
+        "X/Y/Z plot", p,
+        [1, "1-2", [], 6, "3,7", [], 0, "", [], False, False, False, False])
+    assert len(res.images) == 5
+    assert res.images[0].size == (128, 128)
+
+    # dropdown list takes precedence over the text field, like the reference
+    p2 = GenerationParams(prompt="a cat", seed=1, steps=1, width=64, height=64)
+    res2 = engine.run_script(
+        "X/Y/Z plot", p2,
+        [9, "", ["Euler", "Heun"], 0, "", [], 0, "", [], False, False,
+         False, False])
+    assert len(res2.images) == 3  # 1 grid + 2 sampler cells
