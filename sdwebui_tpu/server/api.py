@@ -250,6 +250,27 @@ class Api:
                     out = faces_mod.restore_faces(
                         out, "CodeFormer", weight=req.codeformer_weight,
                         visibility=req.codeformer_visibility)
+        if body.get("save_output", False):
+            # UI save path (reference modules/postprocessing.py:82-98):
+            # keep the original basename when use_original_name_batch, add
+            # the upscaler name as suffix when use_upscaler_name_as_suffix;
+            # the reference API itself never saves (api.py save_output=False)
+            from sdwebui_tpu.utils.images import save_image
+
+            suffix = f"-{req.upscaler_1}" \
+                if opts.get("use_upscaler_name_as_suffix", False) else ""
+            name = body.get("name")
+            forced = None
+            if opts.get("use_original_name_batch", True) and name:
+                forced = os.path.splitext(os.path.basename(name))[0] + suffix
+            save_image(out, path=opts.get("outdir_extras_samples",
+                                          "outputs/extras-images"),
+                       info=f"Postprocess upscale by: {req.upscaling_resize}, "
+                            f"Postprocess upscaler: {req.upscaler_1}",
+                       extension=opts.get("samples_format", "png"),
+                       short_filename=True, no_prompt=True,
+                       pnginfo_section_name="extras",
+                       forced_filename=forced, suffix=suffix)
         return schema.ExtrasSingleImageResponse(
             html_info=f"<p>Upscaled with {req.upscaler_1}</p>",
             image=encode_pil_to_base64(out)).model_dump()
@@ -260,6 +281,7 @@ class Api:
         for item in images:
             single = dict(body)
             single["image"] = item.get("data", "")
+            single["name"] = item.get("name")
             results.append(self.extras_single(single)["image"])
         return {"html_info": f"<p>{len(results)} images upscaled</p>",
                 "images": results}

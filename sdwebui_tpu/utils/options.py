@@ -161,6 +161,8 @@ def make_default_templates() -> dict:
         "outdir_save": OptionInfo("log/images", "Directory for saving images using the Save button"),
         "outdir_init_images": OptionInfo("outputs/init-images", "Directory for saving init images when using img2img"),
         "save_selected_only": OptionInfo(True, "When using 'Save' button, only save a single selected image"),
+        "use_original_name_batch": OptionInfo(True, "Use original name for output filename during batch process in extras tab"),
+        "use_upscaler_name_as_suffix": OptionInfo(False, "Use upscaler name as filename suffix in the extras tab"),
         "save_write_log_csv": OptionInfo(True, "Write log.csv when saving images using 'Save' button"),
         "use_save_to_dirs_for_ui": OptionInfo(False, "When using 'Save' button, save images to a subdirectory"),
         "grid_zip_filename_pattern": OptionInfo("", "Archive filename pattern"),

@@ -370,3 +370,27 @@ def test_token_count(server):
     r2 = requests.post(f"{server}/internal/token-count",
                        json={"text": "a cat BREAK a dog"})
     assert r2.json()["max_length"] == 150
+
+
+def test_extras_save_output_original_name(server, tmp_path, monkeypatch):
+    """save_output=True saves to outdir_extras_samples keeping the original
+    basename (opts.use_original_name_batch) and adding the upscaler suffix
+    (opts.use_upscaler_name_as_suffix) — reference postprocessing.py:82-98."""
+    import os
+
+    from sdwebui_tpu.utils.options import opts
+
+    outdir = str(tmp_path / "extras")
+    monkeypatch.setitem(opts.data, "outdir_extras_samples", outdir)
+    monkeypatch.setitem(opts.data, "use_original_name_batch", True)
+    monkeypatch.setitem(opts.data, "use_upscaler_name_as_suffix", True)
+    body = {"imageList": [{"data": _b64_image(size=(32, 32)),
+                           "name": "holiday_photo.jpg"}],
+            "upscaling_resize": 2.0, "upscaler_1": "Lanczos",
+            "save_output": True}
+    r = requests.post(f"{server}/sdapi/v1/extra-batch-images", json=body)
+    assert r.status_code == 200
+    files = []
+    for root, _, fs in os.walk(outdir):
+        files += [os.path.join(root, f) for f in fs]
+    assert any("holiday_photo-Lanczos" in os.path.basename(f) for f in files), files
