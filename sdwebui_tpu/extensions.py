@@ -202,3 +202,71 @@ def load_extension_assets(engine, dirs=("extensions", "extensions-builtin")):
             engine.styles.load_extra(styles)
             loaded.append((ext.name, "styles"))
     return loaded
+
+
+def install_from_url(url: str, dirname: str | None = None,
+                     branch: str | None = None,
+                     target_root: str = "extensions") -> Extension:
+    """Install an extension by git clone (reference modules/ui_extensions.py
+    install_extension_from_url).  In the zero-egress image this serves local
+    paths / file:// remotes; the flow is identical for network URLs.
+
+    The reference also runs the extension's install.py (pip requirements)
+    via launch_utils; that is code execution, so it only happens when
+    third-party script execution is enabled (--allow-code equivalent,
+    scripts/compat policy)."""
+    if not url:
+        raise ValueError("empty extension URL")
+    name = dirname or os.path.basename(url.rstrip("/")).removesuffix(".git")
+    if not name:
+        raise ValueError(f"cannot derive extension name from {url!r}")
+    target = os.path.join(target_root, name)
+    if os.path.exists(target):
+        raise FileExistsError(
+            f"Extension with this name is already installed: {name}")
+    os.makedirs(target_root, exist_ok=True)
+    tmp = target + ".tmp"
+    cmd = ["git", "clone", "--depth", "1"]
+    if branch:
+        cmd += ["-b", branch]
+    cmd += [url, tmp]
+    try:
+        subprocess.run(cmd, capture_output=True, text=True, timeout=120,
+                       check=True)
+    except subprocess.CalledProcessError as e:
+        raise RuntimeError(f"git clone failed: {e.stderr.strip()}") from e
+    os.rename(tmp, target)
+
+    from sdwebui_tpu.server.cmd_flags import cmd_opts
+
+    install_py = os.path.join(target, "install.py")
+    if os.path.isfile(install_py) and getattr(cmd_opts, "allow_code", False):
+        subprocess.run(["python", install_py], capture_output=True,
+                       text=True, timeout=600, cwd=target)
+
+    ext = Extension(name=name, path=target)
+    ext.read_info_from_repo()
+    return ext
+
+
+def check_updates(dirs=("extensions",)) -> dict:
+    """git fetch + behind-count per extension (reference
+    Extension.check_updates); returns {name: 'latest'|'behind N'|'unknown'}."""
+    out = {}
+    for ext in list_extensions(dirs):
+        if not os.path.isdir(os.path.join(ext.path, ".git")):
+            out[ext.name] = "unknown"
+            continue
+        try:
+            subprocess.run(["git", "-C", ext.path, "fetch", "--quiet"],
+                           capture_output=True, timeout=30)
+            r = subprocess.run(
+                ["git", "-C", ext.path, "rev-list", "--count",
+                 "HEAD..@{upstream}"], capture_output=True, text=True,
+                timeout=10)
+            n = r.stdout.strip()
+            out[ext.name] = "latest" if n == "0" else \
+                (f"behind {n}" if n.isdigit() else "unknown")
+        except Exception:
+            out[ext.name] = "unknown"
+    return out

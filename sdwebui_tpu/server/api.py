@@ -152,6 +152,9 @@ class Api:
         r("GET", "/sdapi/v1/scripts", self.scripts)
         r("GET", "/sdapi/v1/script-info", self.script_info)
         r("GET", "/sdapi/v1/extensions", self.extensions)
+        r("POST", "/internal/extensions/install", self.extensions_install)
+        r("POST", "/internal/extensions/check-updates",
+          self.extensions_check_updates)
         r("POST", "/sdapi/v1/create/embedding", self.create_embedding)
         r("POST", "/sdapi/v1/create/hypernetwork", self.create_hypernetwork)
         r("POST", "/sdapi/v1/train/embedding", self.train_embedding)
@@ -716,6 +719,26 @@ class Api:
                         "commit_date": ext.commit_date,
                         "version": ext.version, "enabled": ext.enabled})
         return out
+
+    def extensions_install(self, body: dict):
+        """Install from git URL / local path (reference ui_extensions.py
+        install_extension_from_url behind the Extensions > Install tab)."""
+        from sdwebui_tpu.extensions import install_from_url
+
+        try:
+            ext = install_from_url(body.get("url", ""),
+                                   dirname=body.get("dirname") or None,
+                                   branch=body.get("branch") or None)
+        except (ValueError, FileExistsError, RuntimeError) as e:
+            raise ApiError(400, str(e))
+        ext.read_info_from_repo()
+        return {"name": ext.name, "path": ext.path,
+                "commit_hash": ext.commit_hash, "branch": ext.branch}
+
+    def extensions_check_updates(self, body=None):
+        from sdwebui_tpu.extensions import check_updates
+
+        return check_updates()
 
     def parse_infotext(self, body: dict):
         """Parse a 'parameters' infotext into request fields (the UI's

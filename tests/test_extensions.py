@@ -145,3 +145,40 @@ def test_topo_sort_requires(tmp_path, monkeypatch):
             f"[Extension]\nRequires = {req}\n")
     order = [e.name for e in ext_mod._topo_sort(ext_mod.list_extensions())]
     assert order.index("a-ext") < order.index("b-ext") < order.index("c-ext")
+
+
+def test_install_from_local_git(tmp_path, monkeypatch):
+    """install_from_url clones a git repo into extensions/ (reference
+    ui_extensions.install_extension_from_url; local path stands in for the
+    URL in the zero-egress image)."""
+    import subprocess
+
+    from sdwebui_tpu.extensions import (check_updates, install_from_url,
+                                        list_extensions)
+
+    src = tmp_path / "upstream" / "cool-ext"
+    (src / "scripts").mkdir(parents=True)
+    (src / "scripts" / "cool.py").write_text("print('hi')\n")
+    for cmd in (["git", "init", "-q"],
+                ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                 "add", "."],
+                ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                 "commit", "-qm", "init"]):
+        subprocess.run(cmd, cwd=src, check=True, capture_output=True)
+
+    monkeypatch.chdir(tmp_path)
+    ext = install_from_url(str(src))
+    assert ext.name == "cool-ext"
+    assert (tmp_path / "extensions" / "cool-ext" / "scripts" / "cool.py").exists()
+    assert ext.commit_hash
+
+    names = [e.name for e in list_extensions()]
+    assert "cool-ext" in names
+
+    # re-install refuses
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        install_from_url(str(src))
+
+    assert check_updates()["cool-ext"] in ("latest", "unknown")
