@@ -163,23 +163,56 @@ def decoder_logits(params, cfg: BlipConfig, ids, enc, attn_mask=None):
 # --------------------------------------------------------------------------
 
 def generate(params, cfg: BlipConfig, pixels, prompt_ids,
-             max_new_tokens: int = 20):
-    """Greedy caption: prompt_ids (list[int], starting with bos) →
-    np.int32 ids (prompt + generated, stopped at [SEP])."""
+             max_new_tokens: int = 20, min_new_tokens: int = 0,
+             num_beams: int = 1):
+    """Caption decode: prompt_ids (list[int], starting with bos) →
+    np.int32 ids (prompt + generated, stopped at [SEP]).
+
+    num_beams=1 is token-exact greedy (HF-parity-tested); num_beams>1 is
+    standard beam search with length penalty 1.0 like the reference's
+    transformers call (modules/interrogate.py:188 num_beams=
+    opts.interrogate_clip_num_beams); min_new_tokens suppresses [SEP]
+    (reference min_length)."""
     enc = vision_apply(params, cfg, pixels)
-    ids = np.asarray([list(prompt_ids)], np.int32)
 
     @jax.jit
-    def step(ids_j):
-        logits = decoder_logits(params, cfg, ids_j, enc)
-        return jnp.argmax(logits[:, -1], axis=-1)
+    def step_logits(ids_j):
+        return decoder_logits(params, cfg, ids_j, enc)[:, -1]
 
-    for _ in range(max_new_tokens):
-        nxt = int(np.asarray(step(jnp.asarray(ids)))[0])
-        ids = np.concatenate([ids, [[nxt]]], axis=1)
-        if nxt == cfg.sep_token_id:
+    if num_beams <= 1:
+        ids = np.asarray([list(prompt_ids)], np.int32)
+        for t in range(max_new_tokens):
+            logits = np.array(step_logits(jnp.asarray(ids))[0])
+            if t < min_new_tokens:
+                logits[cfg.sep_token_id] = -np.inf
+            nxt = int(np.argmax(logits))
+            ids = np.concatenate([ids, [[nxt]]], axis=1)
+            if nxt == cfg.sep_token_id:
+                break
+        return ids[0]
+
+    beams = [(list(prompt_ids), 0.0, False)]   # (ids, logprob, finished)
+    for t in range(max_new_tokens):
+        if all(f for _, _, f in beams):
             break
-    return ids[0]
+        cand = []
+        for ids, lp, fin in beams:
+            if fin:
+                cand.append((ids, lp, True))
+                continue
+            logits = np.array(step_logits(jnp.asarray([ids], jnp.int32))[0])
+            logp = logits - np.logaddexp.reduce(logits)
+            if t < min_new_tokens:
+                logp[cfg.sep_token_id] = -np.inf
+            for tok in np.argpartition(-logp, num_beams)[:num_beams]:
+                cand.append((ids + [int(tok)], lp + float(logp[tok]),
+                             int(tok) == cfg.sep_token_id))
+        cand.sort(key=lambda b: b[1], reverse=True)
+        beams = cand[:num_beams]
+    # length penalty 1.0: normalize by generated length
+    n0 = len(prompt_ids)
+    best = max(beams, key=lambda b: b[1] / max(len(b[0]) - n0, 1))
+    return np.asarray(best[0], np.int32)
 
 
 def preprocess(image, image_size: int) -> np.ndarray:

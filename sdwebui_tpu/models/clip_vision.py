@@ -223,8 +223,11 @@ def convert_openclip_vision(sd: dict, prefix: str = "embedder.model.visual."):
 
 
 def rank(image_features, text_features, top_count: int = 1):
-    """Cosine-similarity ranking (reference InterrogateModels.rank):
-    returns [(index, score_percent)] sorted desc."""
-    sims = np.asarray(image_features @ text_features.T)[0]
-    order = np.argsort(-sims)[:top_count]
-    return [(int(i), float(sims[i] * 100.0)) for i in order]
+    """Similarity ranking (reference InterrogateModels.rank,
+    modules/interrogate.py:152): softmax over 100·cosine, scores returned
+    as probability·100 like the reference's top_probs*100."""
+    sims = np.asarray(image_features @ text_features.T)[0] * 100.0
+    e = np.exp(sims - sims.max())
+    probs = e / e.sum()
+    order = np.argsort(-probs)[:top_count]
+    return [(int(i), float(probs[i] * 100.0)) for i in order]

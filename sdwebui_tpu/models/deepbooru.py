@@ -139,8 +139,10 @@ def load_deepbooru(path: str):
 
 def tag_image(params, tags, image, threshold: float = 0.5,
               alpha_sort: bool = False, use_spaces: bool = True,
-              use_escape: bool = True) -> str:
-    """image (PIL) → comma-joined tag string (reference deepbooru.py:tag)."""
+              use_escape: bool = True, filter_tags: str = "",
+              include_ranks: bool = False) -> str:
+    """image (PIL) → comma-joined tag string (reference deepbooru.py:tag_multi
+    incl. deepbooru_filter_tags exclusion and interrogate_return_ranks)."""
     import re
 
     from PIL import Image
@@ -148,12 +150,16 @@ def tag_image(params, tags, image, threshold: float = 0.5,
     img = image.convert("RGB").resize((512, 512), Image.LANCZOS)
     arr = jnp.asarray(np.asarray(img, np.float32)[None] / 255.0)
     probs = np.asarray(apply(params, arr))[0]
+    excluded = {t.strip() for t in filter_tags.split(",") if t.strip()}
     picked = [(tags[i], float(probs[i])) for i in np.nonzero(probs >= threshold)[0]
-              if i < len(tags) and not tags[i].startswith("rating:")]
+              if i < len(tags) and not tags[i].startswith("rating:")
+              and tags[i] not in excluded]
     picked.sort(key=lambda t: t[0] if alpha_sort else -t[1])
-    names = [t[0] for t in picked]
-    if use_spaces:
-        names = [n.replace("_", " ") for n in names]
-    if use_escape:
-        names = [re.sub(r"([\\()])", r"\\\1", n) for n in names]
-    return ", ".join(names)
+    out = []
+    for name, prob in picked:
+        if use_spaces:
+            name = name.replace("_", " ")
+        if use_escape:
+            name = re.sub(r"([\\()])", r"\\\1", name)
+        out.append(f"({name}:{prob:.3f})" if include_ranks else name)
+    return ", ".join(out)

@@ -80,20 +80,33 @@ class ClipInterrogator:
     def interrogate(self, image, max_flavors: int = 3,
                     captioner=None) -> str:
         """Reference output shape: "<BLIP caption>, <ranked category items>"
-        (modules/interrogate.py); rank-only when no captioner is loaded."""
+        (modules/interrogate.py:204-219); rank-only when no captioner is
+        loaded.  Honors interrogate_clip_skip_categories,
+        interrogate_clip_dict_limit, and interrogate_return_ranks
+        ("(item:score)" formatting like the reference)."""
         from sdwebui_tpu.models.clip_vision import rank
+        from sdwebui_tpu.utils.options import opts as _opts
+
+        skip = set(_opts.get("interrogate_clip_skip_categories", []) or [])
+        limit = int(_opts.get("interrogate_clip_dict_limit", 1500) or 0)
+        ranks = bool(_opts.get("interrogate_return_ranks", False))
 
         img_feat = self.image_features(image)
         parts = []
         if captioner is not None:
             parts.append(captioner.caption(image))
         for name, topn, items in self.categories:
-            key = name
+            if name in skip:
+                continue
+            if limit:
+                items = items[:limit]
+            key = (name, limit)
             if key not in self._text_cache:
                 self._text_cache[key] = self.text_features(items)
-            for idx, _score in rank(img_feat, self._text_cache[key],
-                                    top_count=topn):
-                parts.append(items[idx])
+            for idx, score in rank(img_feat, self._text_cache[key],
+                                   top_count=topn):
+                parts.append(f"({items[idx]}:{score / 100:.3f})" if ranks
+                             else items[idx])
         return ", ".join(p for p in parts if p)
 
 
@@ -110,13 +123,19 @@ class BlipCaptioner:
         self.params, self.cfg = blip.load_blip(model_path)
         self.tok = blip.WordPiece(vocab_path)
 
-    def caption(self, image, max_new_tokens: int = 20) -> str:
+    def caption(self, image, max_new_tokens: int | None = None) -> str:
         from sdwebui_tpu.models import blip
+        from sdwebui_tpu.utils.options import opts as _opts
 
+        if max_new_tokens is None:
+            max_new_tokens = int(_opts.get("interrogate_clip_max_length", 48))
         px = jnp.asarray(blip.preprocess(image, self.cfg.image_size))
         prompt_ids = [self.cfg.bos_token_id] + self.tok.encode(self.PROMPT)
-        ids = blip.generate(self.params, self.cfg, px, prompt_ids,
-                            max_new_tokens=max_new_tokens)
+        ids = blip.generate(
+            self.params, self.cfg, px, prompt_ids,
+            max_new_tokens=max_new_tokens,
+            min_new_tokens=int(_opts.get("interrogate_clip_min_length", 24)),
+            num_beams=int(_opts.get("interrogate_clip_num_beams", 1)))
         return self.tok.decode(ids[len(prompt_ids):])
 
 

@@ -146,6 +146,7 @@ class Api:
         r("POST", "/sdapi/v1/refresh-loras", self.refresh_loras)
         r("POST", "/sdapi/v1/refresh-checkpoints", self.refresh_checkpoints)
         r("POST", "/sdapi/v1/refresh-vae", self.refresh_vae)
+        r("POST", "/sdapi/v1/refresh-embeddings", self.refresh_embeddings)
         r("POST", "/sdapi/v1/reload-checkpoint", self.reload_checkpoint)
         r("POST", "/sdapi/v1/unload-checkpoint", self.unload_checkpoint)
         r("GET", "/sdapi/v1/memory", self.memory)
@@ -311,8 +312,14 @@ class Api:
                 img = decode_base64_to_image(req.image)
                 thr = float(opts.get("interrogate_deepbooru_score_threshold",
                                      0.5))
-                return {"caption": db.tag_image(params, tags, img,
-                                                threshold=thr)}
+                return {"caption": db.tag_image(
+                    params, tags, img, threshold=thr,
+                    alpha_sort=bool(opts.get("deepbooru_sort_alpha", True)),
+                    use_spaces=bool(opts.get("deepbooru_use_spaces", True)),
+                    use_escape=bool(opts.get("deepbooru_escape", True)),
+                    filter_tags=str(opts.get("deepbooru_filter_tags", "")),
+                    include_ranks=bool(opts.get("interrogate_return_ranks",
+                                                False)))}
         if req.model == "clip":
             from sdwebui_tpu.postprocessing.interrogate import (
                 BlipCaptioner, ClipInterrogator, find_blip_model,
@@ -621,6 +628,12 @@ class Api:
         return {}
 
     def refresh_vae(self, body=None):
+        return {}
+
+    def refresh_embeddings(self, body=None):
+        """Rescan embeddings/ into a fresh database (reference
+        modules/api/api.py:771 refresh_embeddings)."""
+        self.engine._attach_embeddings(self.engine.sd_model)
         return {}
 
     def reload_checkpoint(self, body=None):

@@ -204,6 +204,15 @@ def make_default_templates() -> dict:
         "sd3_enable_t5": OptionInfo(False, "Enable T5 text encoder for SD3"),
         "interrogate_deepbooru_score_threshold": OptionInfo(0.5, "deepbooru: score threshold"),
         "deepbooru_sort_alpha": OptionInfo(True, "deepbooru: sort tags alphabetically"),
+        "deepbooru_use_spaces": OptionInfo(True, "deepbooru: use spaces in tags"),
+        "deepbooru_escape": OptionInfo(True, "deepbooru: escape (\\) brackets"),
+        "deepbooru_filter_tags": OptionInfo("", "deepbooru: filter out those tags"),
+        "interrogate_return_ranks": OptionInfo(False, "Include ranks of model tags matches in results"),
+        "interrogate_clip_num_beams": OptionInfo(1, "BLIP: num_beams"),
+        "interrogate_clip_min_length": OptionInfo(24, "BLIP: minimum description length"),
+        "interrogate_clip_max_length": OptionInfo(48, "BLIP: maximum description length"),
+        "interrogate_clip_dict_limit": OptionInfo(1500, "CLIP: maximum number of lines in text file"),
+        "interrogate_clip_skip_categories": OptionInfo([], "CLIP: skip inquire categories"),
         "auto_backcompat": OptionInfo(True, "Automatic backward compatibility for old infotexts"),
         "sdtpu_vae_bf16": OptionInfo(True, "Decode VAE in bfloat16 (fp32 retry on NaN, like the reference's fp16 VAE + no-half-vae fallback)"),
         "auto_vae_precision": OptionInfo(True, "Automatically revert VAE to 32-bit floats (retry bf16-NaN decodes in fp32)"),

@@ -150,3 +150,38 @@ def test_blip_captioner_end_to_end(tmp_path):
                           .astype(np.uint8))
     out = cap.caption(img, max_new_tokens=6)
     assert isinstance(out, str)
+
+
+def test_blip_beam_search_and_min_length():
+    """Beam decode (interrogate_clip_num_beams) and min_new_tokens
+    ([SEP] suppression, reference min_length) behaviors."""
+    m, cfg = _tiny_hf()
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    tree, _ = blip.convert_blip(sd)
+
+    rng = np.random.RandomState(2)
+    pixels = rng.randn(1, 32, 32, 3).astype(np.float32)
+
+    greedy = blip.generate(tree, cfg, jnp.asarray(pixels), [cfg.bos_token_id],
+                           max_new_tokens=6)
+    beam1 = blip.generate(tree, cfg, jnp.asarray(pixels), [cfg.bos_token_id],
+                          max_new_tokens=6, num_beams=2)
+    # a valid sequence: bounded length, ints from the vocab
+    assert 2 <= len(beam1) <= 7
+    assert all(0 <= t < 100 for t in beam1)
+    assert len(greedy) <= 7
+
+    # min_new_tokens forbids SEP before the floor: generated part (after
+    # bos) must be at least 4 tokens with none of the first 4 being SEP
+    forced = blip.generate(tree, cfg, jnp.asarray(pixels), [cfg.bos_token_id],
+                           max_new_tokens=8, min_new_tokens=4)
+    gen = list(forced[1:])
+    assert len(gen) >= 4
+    assert cfg.sep_token_id not in gen[:3]
+
+    forced_beam = blip.generate(tree, cfg, jnp.asarray(pixels),
+                                [cfg.bos_token_id], max_new_tokens=8,
+                                min_new_tokens=4, num_beams=3)
+    gen_b = list(forced_beam[1:])
+    assert len(gen_b) >= 4
+    assert cfg.sep_token_id not in gen_b[:3]

@@ -178,3 +178,24 @@ def test_tags_survive_restricted_loader(tmp_path):
     out = load_torch_checkpoint(p)
     assert out["tags"] == ["a", "b", "c"]
     assert out["n_Conv_0.weight"].shape == (2, 3, 1, 1)
+
+
+def test_tag_image_filter_and_ranks():
+    """deepbooru_filter_tags exclusion + interrogate_return_ranks formatting
+    (reference deepbooru.py tag_multi)."""
+    sd = _tiny_sd()
+    params, _ = db.convert_deepbooru(sd, plan=TINY_PLAN)
+    from PIL import Image
+
+    img = Image.new("RGB", (40, 40), (120, 60, 90))
+    import unittest.mock as mock
+
+    with mock.patch.object(db, "apply",
+                           lambda p, a, plan=None: jnp.asarray([[0.9, 0.2, 0.8, 0.6, 0.1]])):
+        out = db.tag_image(params, ["tag_a", "rating:safe", "tag(c)", "tag_d", "e"],
+                           img, threshold=0.5, filter_tags="tag(c), nothing")
+        assert out == "tag a, tag d"
+        ranked = db.tag_image(params, ["tag_a", "rating:safe", "tag(c)", "tag_d", "e"],
+                              img, threshold=0.5, include_ranks=True,
+                              use_escape=False)
+        assert ranked == "(tag a:0.900), (tag(c):0.800), (tag d:0.600)"
