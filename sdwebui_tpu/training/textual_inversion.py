@@ -166,7 +166,10 @@ def train_embedding_from_dir(model, name: str, data_root: str,
                              seed: int = 0, save_path: str | None = None,
                              save_every: int = 0, log_every: int = 0,
                              initial_vec: np.ndarray | None = None,
-                             callback=None):
+                             callback=None, preview_every: int = 0,
+                             preview_prompt: str | None = None,
+                             preview_steps: int = 8,
+                             preview_size: tuple[int, int] = (256, 256)):
     """Directory-of-images training — the reference's train_embedding flow
     (modules/textual_inversion/textual_inversion.py:400): dataset prep with
     captions/templates/buckets (training/dataset.py), piecewise learn-rate
@@ -223,6 +226,12 @@ def train_embedding_from_dir(model, name: str, data_root: str,
         if save_every and save_path and (i + 1) % save_every == 0 \
                 and (i + 1) < steps:
             _save_embedding(name, emb, i + 1, save_path)
+        if preview_every and save_path and (i + 1) % preview_every == 0:
+            # reference create_image_every (textual_inversion.py:600):
+            # sample with the in-training embedding, save under images/
+            _save_preview(model, name, emb, i + 1, save_path,
+                          preview_prompt or texts[0], preview_steps,
+                          preview_size, seed)
 
     result = Embedding(name, np.asarray(jax.device_get(emb)),
                        step=len(losses))
@@ -256,5 +265,32 @@ def _save_embedding(name: str, emb, step: int, save_path: str):
                 "sd_checkpoint": None, "sd_checkpoint_name": None}
         png = insert_image_data_embed(card, data)
         png.save(os.path.splitext(save_path)[0] + ".png")
+    except Exception:
+        pass
+
+
+def _save_preview(model, name: str, emb, step: int, save_path: str,
+                  prompt: str, steps: int, size: tuple, seed: int):
+    """Sample a preview with the in-training embedding spliced into the
+    live embedding database (reference textual_inversion.py:600
+    create_image_every flow); PNG lands in <save dir>/images/."""
+    import os
+
+    try:
+        from sdwebui_tpu.networks.textual_inversion import \
+            Embedding as _LiveEmbedding
+        from sdwebui_tpu.pipeline.params import GenerationParams
+        from sdwebui_tpu.pipeline.processing import process_txt2img
+
+        db = getattr(model.conditioner, "embedding_db", None)
+        if db is not None:
+            db.register(_LiveEmbedding(
+                name, np.asarray(jax.device_get(emb), np.float32), step=step))
+        p = GenerationParams(prompt=prompt, seed=seed, steps=steps,
+                             width=size[0], height=size[1])
+        res = process_txt2img(model, p)
+        out_dir = os.path.join(os.path.dirname(save_path) or ".", "images")
+        os.makedirs(out_dir, exist_ok=True)
+        res.images[0].save(os.path.join(out_dir, f"{name}-{step}.png"))
     except Exception:
         pass

@@ -291,3 +291,22 @@ def test_train_hypernetwork_from_dir(model, data_dir, tmp_path):
     loaded, activation = load_hypernetwork(save)
     assert activation == "relu"
     assert str(model.unet_cfg.context_dim) in loaded
+
+
+def test_train_embedding_preview_images(model, data_dir, tmp_path):
+    """preview_every (reference create_image_every) samples with the
+    in-training embedding and saves PNGs under <save dir>/images/."""
+    import os
+
+    from sdwebui_tpu.training.textual_inversion import \
+        train_embedding_from_dir
+
+    save = str(tmp_path / "out" / "tok.safetensors")
+    os.makedirs(os.path.dirname(save), exist_ok=True)
+    train_embedding_from_dir(
+        model, "tok", str(data_dir), n_vectors=1, steps=4,
+        learn_rate="0.05", batch_size=1, width=64, height=64,
+        template="subject", save_path=save, seed=0,
+        preview_every=2, preview_steps=2, preview_size=(64, 64))
+    imgs = sorted(os.listdir(tmp_path / "out" / "images"))
+    assert imgs == ["tok-2.png", "tok-4.png"], imgs
