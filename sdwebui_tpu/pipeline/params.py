@@ -40,6 +40,9 @@ class GenerationParams:
     do_not_save_grid: bool = False
     outpath_grids: str | None = None  # reference processing.py:140
     override_settings: dict = dataclasses.field(default_factory=dict)
+    # internal: pre-resolved hypernetwork (tree, meta) bypassing the
+    # <hypernet:...> registry — used by training previews on the live net
+    hypernet_override: Any = None
 
     # refiner (reference processing_scripts/refiner.py + apply_refiner)
     refiner_checkpoint: str = ""

@@ -1058,6 +1058,8 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
     from sdwebui_tpu.networks import extra_networks
 
     clean_prompt, model, hypernet = extra_networks.activate(model, p.prompt)
+    if p.hypernet_override is not None:
+        hypernet = p.hypernet_override
     runner.after_extra_networks_activate(p)
     runner.process(p)
     if p.tiling:

@@ -942,6 +942,8 @@ class Api:
                     latent_sampling_method=body.get(
                         "latent_sampling_method", "once"),
                     save_every=int(body.get("save_hypernetwork_every", 0)),
+                    preview_every=int(body.get("create_image_every", 0)),
+                    preview_prompt=body.get("preview_prompt") or None,
                     save_path=os.path.join("models/hypernetworks",
                                            f"{name}.safetensors"))
         except (ValueError, AssertionError) as e:

@@ -89,7 +89,11 @@ def train_hypernetwork_from_dir(model, name: str, data_root: str,
                                 tag_drop_out: float = 0.0,
                                 latent_sampling_method: str = "once",
                                 seed: int = 0, save_path: str | None = None,
-                                save_every: int = 0, callback=None):
+                                save_every: int = 0, callback=None,
+                                preview_every: int = 0,
+                                preview_prompt: str | None = None,
+                                preview_steps: int = 8,
+                                preview_size: tuple = (256, 256)):
     """Directory-of-images hypernetwork training (reference
     modules/hypernetworks/hypernetwork.py:472 train_hypernetwork) — dataset
     captions condition each step; layer structure / activation /
@@ -162,6 +166,12 @@ def train_hypernetwork_from_dir(model, name: str, data_root: str,
             save_hypernetwork(host, save_path, name=name, step=i + 1,
                               layer_structure=layer_structure,
                               activation=activation)
+        if preview_every and save_path and (i + 1) % preview_every == 0:
+            # reference create_image_every (hypernetwork.py:688): sample
+            # with the in-training hypernetwork active
+            _save_hn_preview(model, name, hn, activation, i + 1, save_path,
+                             preview_prompt or texts[0], preview_steps,
+                             preview_size, seed)
 
     hn_host = jax.tree_util.tree_map(
         lambda x: np.asarray(jax.device_get(x)), hn)
@@ -170,3 +180,29 @@ def train_hypernetwork_from_dir(model, name: str, data_root: str,
                           layer_structure=layer_structure,
                           activation=activation)
     return hn_host, losses
+
+
+def _save_hn_preview(model, name: str, hn, activation: str, step: int,
+                     save_path: str, prompt: str, steps: int, size: tuple,
+                     seed: int):
+    """Sample a preview with the in-training hypernetwork active (reference
+    hypernetwork.py:688 create_image_every flow); PNG → <save dir>/images/."""
+    import os
+
+    try:
+        from sdwebui_tpu.pipeline.params import GenerationParams
+        from sdwebui_tpu.pipeline.processing import process_txt2img
+
+        host = jax.tree_util.tree_map(
+            lambda x: np.asarray(jax.device_get(x)), hn)
+        tree = {str(k): v for k, v in host.items()}
+        p = GenerationParams(prompt=prompt, seed=seed, steps=steps,
+                             width=size[0], height=size[1],
+                             hypernet_override=(tree,
+                                                (activation, 1.0, False)))
+        res = process_txt2img(model, p)
+        out_dir = os.path.join(os.path.dirname(save_path) or ".", "images")
+        os.makedirs(out_dir, exist_ok=True)
+        res.images[0].save(os.path.join(out_dir, f"{name}-{step}.png"))
+    except Exception:
+        pass

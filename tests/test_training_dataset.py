@@ -310,3 +310,20 @@ def test_train_embedding_preview_images(model, data_dir, tmp_path):
         preview_every=2, preview_steps=2, preview_size=(64, 64))
     imgs = sorted(os.listdir(tmp_path / "out" / "images"))
     assert imgs == ["tok-2.png", "tok-4.png"], imgs
+
+
+def test_train_hypernetwork_preview_images(model, data_dir, tmp_path):
+    """Hypernetwork preview_every samples with the live net via
+    hypernet_override (reference create_image_every)."""
+    import os
+
+    from sdwebui_tpu.training.hypernetwork import train_hypernetwork_from_dir
+
+    save = str(tmp_path / "hn" / "net.safetensors")
+    os.makedirs(os.path.dirname(save), exist_ok=True)
+    train_hypernetwork_from_dir(
+        model, "net", str(data_dir), steps=2, learn_rate="0.0001",
+        batch_size=1, width=64, height=64, template="hypernetwork",
+        save_path=save, seed=0, preview_every=2, preview_steps=2,
+        preview_size=(64, 64))
+    assert sorted(os.listdir(tmp_path / "hn" / "images")) == ["net-2.png"]
