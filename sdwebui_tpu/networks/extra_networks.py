@@ -118,9 +118,20 @@ def activate(model, prompt: str, registry: LoraRegistry | None = None):
     trees are cached per (model identity, network set) so repeated
     generations with the same LoRAs skip the merge (the reference instead
     mutates weights and tracks 'loaded networks')."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
     clean, nets = parse_prompt(prompt)
     lora_nets = [n for n in nets if n.kind in ("lora", "lyco")]
     hn_nets = [n for n in nets if n.kind == "hypernet"]
+
+    default_mult = float(_opts.get("extra_networks_default_multiplier", 1.0))
+    if not hn_nets:
+        # opts.sd_hypernetwork "Add hypernetwork to prompt" (reference
+        # shared_options extra_networks section): implicit <hypernet:...>
+        global_hn = _opts.get("sd_hypernetwork", "None")
+        if global_hn and global_hn != "None":
+            hn_nets = [ExtraNetworkParams("hypernet",
+                                          [str(global_hn)])]
 
     hypernet = None
     if hn_nets:
@@ -132,11 +143,12 @@ def activate(model, prompt: str, registry: LoraRegistry | None = None):
         if path is None:
             raise FileNotFoundError(f"hypernetwork {net.name!r} not found")
         tree, activation = load_hypernetwork(path)
-        hypernet = (tree, (activation, net.mult(1, 1.0), False))
+        hypernet = (tree, (activation, net.mult(1, default_mult), False))
 
     if not lora_nets:
         return clean, model, hypernet
-    key = (id(model), tuple((n.kind, tuple(n.items)) for n in lora_nets))
+    key = (id(model), default_mult,
+           tuple((n.kind, tuple(n.items)) for n in lora_nets))
     if key in _merge_cache:
         return clean, _merge_cache[key], hypernet
     merged = apply_to_model(model, lora_nets, registry or default_registry())
@@ -194,9 +206,12 @@ def apply_to_model(model, nets: list, registry: LoraRegistry):
     for net in nets:
         if net.kind not in ("lora", "lyco"):
             continue
+        from sdwebui_tpu.utils.options import opts as _opts
+
         sd = registry.load(net.name)
         register_bundle_embeddings(model, sd)
-        te_mult = net.mult(1, 1.0)
+        te_mult = net.mult(
+            1, float(_opts.get("extra_networks_default_multiplier", 1.0)))
         unet_mult = net.mult(2, te_mult)
         loras_unet.append((sd, unet_mult))
         loras_te.append((sd, te_mult))

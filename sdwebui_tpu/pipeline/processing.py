@@ -779,7 +779,7 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
     tome = float(_opts.get("token_merging_ratio", 0.0) or 0.0)
     if tome > 0:
         pairs["Token merging ratio"] = tome
-    emphasis = _opts.get("emphasis_mode", "Original")
+    emphasis = _opts.get("emphasis", "Original")
     if emphasis != "Original":
         pairs["Emphasis"] = emphasis
     # script/extension-contributed pairs (reference p.extra_generation_params)

@@ -77,7 +77,7 @@ OPTS_AXES = {
     "RNG source": "randn_source",
     "Beta schedule alpha": "beta_dist_alpha",
     "Beta schedule beta": "beta_dist_beta",
-    "Emphasis": "emphasis_mode",
+    "Emphasis": "emphasis",
     "Eta noise seed delta": "eta_noise_seed_delta",
     "Schedule min sigma": "sigma_min",
     "Schedule max sigma": "sigma_max",

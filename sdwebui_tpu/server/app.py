@@ -75,7 +75,7 @@ class Engine:
         for cond in (model.conditioner, model.conditioner2):
             if cond is None:
                 continue
-            cond.emphasis = opts.get("emphasis_mode", "Original") \
+            cond.emphasis = opts.get("emphasis", "Original") \
                 if opts.get("enable_emphasis", True) else "None"
             cond.comma_padding_backtrack = opts.get("comma_padding_backtrack", 20)
         impl = opts.get("cross_attention_optimization", "Automatic")

@@ -58,8 +58,11 @@ class Options:
             return
         super().__setattr__(key, value)
 
+    # legacy/internal spellings → canonical reference option names
+    ALIASES = {"emphasis_mode": "emphasis"}
+
     def get(self, key, default=None):
-        return self.data.get(key, default)
+        return self.data.get(self.ALIASES.get(key, key), default)
 
     def override(self, settings: dict, restore: bool = True):
         """Context manager: apply per-request override_settings and restore
@@ -70,6 +73,7 @@ class Options:
         def _cm():
             saved = {}
             for k, v in (settings or {}).items():
+                k = self.ALIASES.get(k, k)
                 if k not in self.data:
                     continue
                 saved[k] = self.data[k]
@@ -87,6 +91,7 @@ class Options:
         return _cm()
 
     def set(self, key, value, run_callbacks=True, is_api=False):
+        key = self.ALIASES.get(key, key)
         if key not in self.data_labels:
             raise KeyError(f"unknown option {key}")
         info = self.data_labels[key]
@@ -217,13 +222,17 @@ def make_default_templates() -> dict:
         "sdtpu_vae_bf16": OptionInfo(True, "Decode VAE in bfloat16 (fp32 retry on NaN, like the reference's fp16 VAE + no-half-vae fallback)"),
         "auto_vae_precision": OptionInfo(True, "Automatically revert VAE to 32-bit floats (retry bf16-NaN decodes in fp32)"),
         "upcast_attn": OptionInfo(False, "Upcast cross attention layer to float32 (scores/softmax are always fp32 on TPU; this additionally upcasts QKV/PV)"),
+        "sd_hypernetwork": OptionInfo("None", "Add hypernetwork to prompt"),
+        "extra_networks_default_multiplier": OptionInfo(1.0, "Default multiplier for extra networks"),
         "sdtpu_async_save": OptionInfo(True, "Write images to disk on a background thread (responses carry in-memory images; flush on shutdown)"),
         "sdtpu_png_compress_level": OptionInfo(1, "PNG compression level 0-9 (1 halves encode time vs PIL's default 6 at ~equal size)"),
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of checkpoints loaded at the same time"),
         "CLIP_stop_at_last_layers": OptionInfo(1, "Clip skip"),
         "enable_emphasis": OptionInfo(True, "Enable emphasis"),
         "enable_prompt_comments": OptionInfo(True, "Enable comments (# lines stripped from prompts)"),
-        "emphasis_mode": OptionInfo("Original", "Emphasis mode"),
+        "emphasis": OptionInfo(
+            "Original", "Emphasis mode",
+            component_args={"choices": ["None", "Ignore", "Original", "No norm"]}),
         "comma_padding_backtrack": OptionInfo(20, "Prompt word wrap length limit"),
         "randn_source": OptionInfo("NV", "Random number generator source",
                                    component_args={"choices": ["NV", "CPU", "JAX"]}),

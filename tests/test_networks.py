@@ -395,3 +395,35 @@ def test_embedding_dim_mismatch_skipped():
     db.register(Embedding("bad", np.zeros((2, 1280), np.float32)))
     assert "good" in db.embeddings and "bad" not in db.embeddings
     assert any("bad" in s for s in db.skipped)
+
+
+def test_sd_hypernetwork_global_option(tmp_path, monkeypatch):
+    """opts.sd_hypernetwork applies a hypernetwork without a prompt tag
+    (reference 'Add hypernetwork to prompt' option)."""
+    import numpy as np
+
+    from sdwebui_tpu.networks import extra_networks as en
+    from sdwebui_tpu.networks.hypernetwork import (create_hypernetwork,
+                                                   save_hypernetwork)
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+    from sdwebui_tpu.utils.options import opts
+
+    model = create_tiny_sd()
+    dim = model.unet_cfg.context_dim
+    hn = create_hypernetwork(dims=(dim,), seed=0)
+    path = tmp_path / "globalnet.safetensors"
+    save_hypernetwork(hn, str(path), name="globalnet")
+
+    reg = en.hypernet_registry()
+    monkeypatch.setitem(reg.files, "globalnet", str(path))
+    monkeypatch.setitem(opts.data, "sd_hypernetwork", "globalnet")
+
+    clean, _m, hypernet = en.activate(model, "a cat")
+    assert clean == "a cat"
+    assert hypernet is not None
+    tree, (activation, mult, _ao) = hypernet
+    assert mult == 1.0
+
+    monkeypatch.setitem(opts.data, "sd_hypernetwork", "None")
+    _c, _m2, hypernet2 = en.activate(model, "a cat")
+    assert hypernet2 is None
