@@ -17,6 +17,7 @@ from sdwebui_tpu.pipeline.params import GenerationParams, Processed
 from sdwebui_tpu.pipeline.processing import (
     _build_conds, _resolve_seeds, _solver_extra, create_infotext,
     decode_first_stage, encode_first_stage, sample_latents,
+    should_save_samples,
 )
 from sdwebui_tpu.pipeline.sd_model import SDModel
 from sdwebui_tpu.rng import ImageRNG, PhiloxGenerator
@@ -135,6 +136,8 @@ def _process_img2img(model: SDModel, p: GenerationParams,
     runner = get_runner()
     runner.setup_scripts(p)
     runner.before_process(p)
+    from sdwebui_tpu.pipeline.processing import _console_log_prompt
+    _console_log_prompt("img2img", p)
     if p.denoising_strength is None:
         p.denoising_strength = 0.75
     _resolve_seeds(p)
@@ -382,7 +385,7 @@ def _process_img2img(model: SDModel, p: GenerationParams,
             info = create_infotext(p, model, lo + i,
                                    extra={"Denoising strength": p.denoising_strength})
             infotexts.append(info)
-            if outdir and not p.do_not_save_samples:
+            if should_save_samples(p, outdir):
                 p.batch_index, p.iteration = i, n
                 p.sd_model_name, p.sd_model_hash = model.title, model.sha256[:10]
                 images_util.save_image(img, outdir, seed=seeds[i],

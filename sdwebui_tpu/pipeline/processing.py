@@ -638,11 +638,35 @@ def _resolve_seeds(p: GenerationParams):
     p.all_negative_prompts = [p.negative_prompt] * n
 
 
+def _console_log_prompt(kind: str, p: GenerationParams):
+    """opts.enable_console_prompts (reference txt2img.py:62/img2img.py:202):
+    print each job's prompt to stdout."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if _opts.get("enable_console_prompts", False):
+        print(f"\n{kind}: {p.prompt}", flush=True)
+
+
+def should_save_samples(p: GenerationParams, outdir) -> bool:
+    """Reference modules/processing.py:513 save_samples(): samples_save
+    option, per-request do_not_save_samples, and interrupted/skipped jobs
+    only saved when opts.save_incomplete_images."""
+    from sdwebui_tpu.runtime.state import state
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if not outdir or p.do_not_save_samples:
+        return False
+    if not _opts.get("samples_save", True):
+        return False
+    return bool(_opts.get("save_incomplete_images", False)) or \
+        not (state.interrupted or state.skipped)
+
+
 def save_extra_copies(pils: list, p: GenerationParams, model,
                       outdir: str | None, seeds, suffix: str, lo: int = 0):
     """Save \"-before-*\" / mask copies next to the main samples (reference
     modules/processing.py:1037-1090 save_intermediate / save_mask blocks)."""
-    if not outdir or p.do_not_save_samples:
+    if not should_save_samples(p, outdir):
         return
     for i, img in enumerate(pils):
         images_util.save_image(
@@ -1052,6 +1076,7 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
     runner = get_runner()
     runner.setup_scripts(p)
     runner.before_process(p)
+    _console_log_prompt("txt2img", p)
     _resolve_seeds(p)
     _strip_prompt_comments(p)
     # extra networks: strip <lora:...> tags, swap in merged param trees
@@ -1227,7 +1252,7 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
         for i, img in enumerate(pils):
             info = create_infotext(p, model, lo + i)
             infotexts.append(info)
-            if outdir and not p.do_not_save_samples:
+            if should_save_samples(p, outdir):
                 p.batch_index, p.iteration = i, n
                 p.sd_model_name, p.sd_model_hash = model.title, model.sha256[:10]
                 images_util.save_image(img, outdir, seed=seeds[i],

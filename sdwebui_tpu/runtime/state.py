@@ -39,7 +39,16 @@ class State:
         self.skipped = True
 
     def interrupt(self):
-        self.interrupted = True
+        # opts.interrupt_after_current (reference ui_toprow.py:106): first
+        # interrupt of a multi-image job finishes the in-flight image and
+        # stops before the next; a second interrupt stops immediately
+        from sdwebui_tpu.utils.options import opts as _opts
+
+        if not self.stopping_generation and self.job_count > 1 \
+                and _opts.get("interrupt_after_current", True):
+            self.stopping_generation = True
+        else:
+            self.interrupted = True
 
     def stop_generating(self):
         self.stopping_generation = True

@@ -85,9 +85,20 @@ def normal(n, sigma_min, sigma_max, disc: Discretization, **kw):
 
 
 def ddim(n, sigma_min, sigma_max, disc: Discretization, **kw):
-    """reference sd_schedulers.py:107 — classic DDIM integer stride."""
-    ss = max(len(disc.sigmas) // n, 1)
-    sigs = [float(disc.sigmas[x]) for x in range(1, len(disc.sigmas), ss)]
+    """reference sd_schedulers.py:107 — classic DDIM integer stride; the
+    opts.ddim_discretize='quad' variant uses the quadratic timestep spacing
+    of the original CompVis DDIMSampler (reference
+    modules/sd_samplers_timesteps.py make_ddim_timesteps)."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    total = len(disc.sigmas)
+    if _opts.get("ddim_discretize", "uniform") == "quad":
+        idx = (np.linspace(0, np.sqrt(total * 0.8), n) ** 2).astype(int) + 1
+        idx = np.clip(idx, 1, total - 1)
+    else:
+        ss = max(total // n, 1)
+        idx = np.arange(1, total, ss)
+    sigs = [float(disc.sigmas[x]) for x in idx]
     return np.append(np.asarray(sigs[::-1]), 0.0)
 
 

@@ -167,6 +167,7 @@ def make_default_templates() -> dict:
         "outdir_init_images": OptionInfo("outputs/init-images", "Directory for saving init images when using img2img"),
         "save_selected_only": OptionInfo(True, "When using 'Save' button, only save a single selected image"),
         "use_original_name_batch": OptionInfo(True, "Use original name for output filename during batch process in extras tab"),
+        "save_incomplete_images": OptionInfo(False, "Save incomplete images (from interrupted/skipped jobs)"),
         "use_upscaler_name_as_suffix": OptionInfo(False, "Use upscaler name as filename suffix in the extras tab"),
         "save_write_log_csv": OptionInfo(True, "Write log.csv when saving images using 'Save' button"),
         "use_save_to_dirs_for_ui": OptionInfo(False, "When using 'Save' button, save images to a subdirectory"),
@@ -223,6 +224,11 @@ def make_default_templates() -> dict:
         "auto_vae_precision": OptionInfo(True, "Automatically revert VAE to 32-bit floats (retry bf16-NaN decodes in fp32)"),
         "upcast_attn": OptionInfo(False, "Upcast cross attention layer to float32 (scores/softmax are always fp32 on TPU; this additionally upcasts QKV/PV)"),
         "sd_hypernetwork": OptionInfo("None", "Add hypernetwork to prompt"),
+        "enable_console_prompts": OptionInfo(False, "Print prompts to console when generating with txt2img and img2img"),
+        "ddim_discretize": OptionInfo(
+            "uniform", "img2img DDIM discretize",
+            component_args={"choices": ["uniform", "quad"]}),
+        "interrupt_after_current": OptionInfo(True, "Don't Interrupt in the middle (stop after the current image)"),
         "extra_networks_default_multiplier": OptionInfo(1.0, "Default multiplier for extra networks"),
         "sdtpu_async_save": OptionInfo(True, "Write images to disk on a background thread (responses carry in-memory images; flush on shutdown)"),
         "sdtpu_png_compress_level": OptionInfo(1, "PNG compression level 0-9 (1 halves encode time vs PIL's default 6 at ~equal size)"),

@@ -279,3 +279,21 @@ def test_ngms_e2e_changes_output(model):
     assert "NGMS" in ngms.infotext
     assert np.asarray(base.images[0]).tolist() != \
         np.asarray(ngms.images[0]).tolist()
+
+
+def test_ddim_discretize_quad(monkeypatch):
+    """opts.ddim_discretize='quad' changes the DDIM sigma grid (reference
+    make_ddim_timesteps quadratic spacing)."""
+    from sdwebui_tpu.sampling.discretization import (Discretization,
+                                                     make_alphas_cumprod)
+    from sdwebui_tpu.sampling.schedulers import ddim
+    from sdwebui_tpu.utils.options import opts
+
+    disc = Discretization(make_alphas_cumprod())
+    uni = ddim(10, 0.03, 14.6, disc)
+    monkeypatch.setitem(opts.data, "ddim_discretize", "quad")
+    quad = ddim(10, 0.03, 14.6, disc)
+    assert uni.shape == quad.shape
+    assert not np.allclose(uni, quad)
+    assert np.all(np.diff(quad) <= 0)  # still monotonically decreasing
+    assert quad[-1] == 0.0
