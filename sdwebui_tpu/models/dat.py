@@ -563,9 +563,15 @@ def _apply_batch(params, cfg, x):
 
 
 def upscale_image(params, cfg: DATConfig, image: Image.Image,
-                  tile: int = 192, overlap: int = 16) -> Image.Image:
+                  tile: int | None = None, overlap: int | None = None) -> Image.Image:
     from sdwebui_tpu.postprocessing.upscalers import tiled_sr_upscale
+    from sdwebui_tpu.utils.options import opts as _opts
 
+    # DAT has its own tile options (reference shared_options upscaling)
+    if tile is None:
+        tile = int(_opts.get("DAT_tile", 192) or 0)
+    if overlap is None:
+        overlap = int(_opts.get("DAT_tile_overlap", 8))
     return tiled_sr_upscale(
         lambda arr: _apply_batch(params, cfg, jnp.asarray(arr)),
         cfg.scale, max(cfg.split_size), image, tile=tile, overlap=overlap)

@@ -149,12 +149,20 @@ def _apply_batch(params, tiles, scale):
 
 
 def upscale_image(params, image: Image.Image, model_scale: int = 4,
-                  tile: int = 192, overlap: int = 8) -> Image.Image:
+                  tile: int | None = None, overlap: int | None = None) -> Image.Image:
     """Tiled ×model_scale upscale: all tiles in one batched device call,
     feathered reassembly at output resolution."""
     from sdwebui_tpu.utils.images import Grid, combine_grid, split_grid
 
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if tile is None:
+        tile = int(_opts.get("ESRGAN_tile", 192) or 0)
+    if overlap is None:
+        overlap = int(_opts.get("ESRGAN_tile_overlap", 8))
     img = image.convert("RGB")
+    if tile <= 0:
+        tile = max(img.width, img.height)
     if img.width <= tile and img.height <= tile:
         arr = np.asarray(img, np.float32)[None] / 255.0
         out = np.asarray(_apply_batch(params, jnp.asarray(arr), model_scale))[0]

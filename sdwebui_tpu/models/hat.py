@@ -382,7 +382,7 @@ def _apply_batch(params, cfg, x):
 
 
 def upscale_image(params, cfg: HATConfig, image: Image.Image,
-                  tile: int = 192, overlap: int = 16) -> Image.Image:
+                  tile: int | None = None, overlap: int | None = None) -> Image.Image:
     from sdwebui_tpu.postprocessing.upscalers import tiled_sr_upscale
 
     return tiled_sr_upscale(

@@ -379,11 +379,19 @@ def _apply_batch(params, cfg, tiles):
 
 
 def upscale_image(params, cfg: SwinIRConfig, image: Image.Image,
-                  tile: int = 192, overlap: int = 16) -> Image.Image:
+                  tile: int | None = None, overlap: int | None = None) -> Image.Image:
     """Tiled ×scale upscale, all tiles in one batched device call."""
     from sdwebui_tpu.utils.images import Grid, combine_grid, split_grid
 
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if tile is None:
+        tile = int(_opts.get("ESRGAN_tile", 192) or 0)
+    if overlap is None:
+        overlap = int(_opts.get("ESRGAN_tile_overlap", 8))
     img = image.convert("RGB")
+    if tile <= 0:
+        tile = max(img.width, img.height)
     win = cfg.window_size
 
     def run(arr):

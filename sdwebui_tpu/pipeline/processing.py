@@ -570,10 +570,12 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
         spec = _dc_spec.replace(
             spec, noises_per_step=max(spec.noises_per_step, 1))
 
-    cond = _build_conds(model, p, t_enc + 1, cfg_scale=cfg,
+    # hires conds: schedule numbers continue past the first pass unless
+    # opts.use_old_scheduling (reference setup_conds hires_steps arg)
+    cond = _build_conds(model, p, p.steps, cfg_scale=cfg,
                         prompt=p.hr_prompt or p.prompt,
                         negative=p.hr_negative_prompt or p.negative_prompt,
-                        width=hr_w, height=hr_h)
+                        width=hr_w, height=hr_h, hires_steps=t_enc + 1)
 
     rng = ImageRNG((c, th, tw), seeds, subseeds=subseeds,
                    subseed_strength=p.subseed_strength)
@@ -819,9 +821,16 @@ def _build_conds(model: SDModel, p: GenerationParams, steps: int,
                  cfg_scale: float | None = None,
                  prompt: str | None = None, negative: str | None = None,
                  width: int | None = None, height: int | None = None,
-                 adm_vector=None):
-    model.conditioner.clip_skip = max(p.clip_skip,
-                                      2 if model.kind != "sd1" else 1)
+                 adm_vector=None, hires_steps: int | None = None):
+    from sdwebui_tpu.utils.options import opts as _cs_opts
+
+    if model.is_sdxl and not _cs_opts.get("sdxl_clip_l_skip", False):
+        # reference default: SDXL's CLIP-L stays at the penultimate layer;
+        # Clip skip applies to it only with opts.sdxl_clip_l_skip
+        model.conditioner.clip_skip = 2
+    else:
+        model.conditioner.clip_skip = max(p.clip_skip,
+                                          2 if model.kind != "sd1" else 1)
     if model.conditioner2 is not None:
         model.conditioner2.clip_skip = max(p.clip_skip, 2)
     encode_fn = lambda texts: model.encode_texts(texts)
@@ -840,12 +849,15 @@ def _build_conds(model: SDModel, p: GenerationParams, steps: int,
                 _opts.get("sdxl_refiner_low_aesthetic_score", 2.5)))
     elif model.is_sd3:
         vector_maker = lambda pooled, is_uncond: pooled.astype(jnp.float32)
+    from sdwebui_tpu.utils.options import opts as _sched_opts
+
     sched = build_cond_schedule(
         encode_fn,
         prompt if prompt is not None else p.prompt,
         negative if negative is not None else p.negative_prompt,
         steps, cond_scale=cfg_scale if cfg_scale is not None else p.cfg_scale,
-        vector_maker=vector_maker)
+        vector_maker=vector_maker, hires_steps=hires_steps,
+        use_old_scheduling=bool(_sched_opts.get("use_old_scheduling", False)))
     if adm_vector is not None:
         # unclip (crossattn-adm): one constant image-derived vector shared
         # by every schedule entry and both CFG branches (reference passes

@@ -30,14 +30,25 @@ def register_upscaler(name: str, scale_fn: Callable, default_scale: int = 4):
 
 
 def tiled_sr_upscale(run_batch: Callable, scale: int, pad_multiple: int,
-                     image: Image.Image, tile: int = 192,
-                     overlap: int = 16) -> Image.Image:
+                     image: Image.Image, tile: int | None = None,
+                     overlap: int | None = None) -> Image.Image:
     """Shared tiled ×scale super-resolution: split into overlapping tiles,
     run ALL tiles as one batched device call (`run_batch`: (N,H,W,3)[0,1] →
     (N,sH,sW,3)), feather-combine (the reference runs tiles sequentially,
     modules/upscaler_utils.py:51-88).  Inputs pad with reflect to
-    `pad_multiple` (window size) before the model."""
+    `pad_multiple` (window size) before the model.  tile/overlap default to
+    opts.ESRGAN_tile / ESRGAN_tile_overlap (reference shared options;
+    tile 0 = no tiling)."""
     import numpy as np
+
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if tile is None:
+        tile = int(_opts.get("ESRGAN_tile", 192) or 0)
+    if overlap is None:
+        overlap = int(_opts.get("ESRGAN_tile_overlap", 8))
+    if tile <= 0:
+        tile = max(image.width, image.height)
 
     from sdwebui_tpu.utils.images import Grid, combine_grid, split_grid
 

@@ -199,7 +199,9 @@ class TextConditioner:
 def build_cond_schedule(encode_fn: Callable, prompt: str, negative_prompt: str,
                         steps: int, cond_scale: float = 7.5,
                         skip_uncond_steps=None,
-                        vector_maker: Callable | None = None) -> CondSchedule:
+                        vector_maker: Callable | None = None,
+                        hires_steps: int | None = None,
+                        use_old_scheduling: bool = False) -> CondSchedule:
     """Parse prompt-edit/AND syntax, encode every unique schedule text once,
     assemble device banks + per-step index tables.
 
@@ -211,8 +213,15 @@ def build_cond_schedule(encode_fn: Callable, prompt: str, negative_prompt: str,
     subprompts = prompt_parser.split_multicond(prompt)
     k = len(subprompts)
 
-    pos_scheds = [prompt_parser.get_prompt_schedule(sp.text, steps) for sp in subprompts]
-    neg_sched = prompt_parser.get_prompt_schedule(negative_prompt, steps)
+    pos_scheds = [prompt_parser.get_prompt_schedule(
+        sp.text, steps, hires_steps, use_old_scheduling) for sp in subprompts]
+    neg_sched = prompt_parser.get_prompt_schedule(
+        negative_prompt, steps, hires_steps, use_old_scheduling)
+    # new-style hires scheduling continues past the first pass: the step
+    # tables below index the SECOND pass's steps (reference
+    # prompt_parser.py:66-83 via opts.use_old_scheduling)
+    if hires_steps is not None and not use_old_scheduling:
+        steps = hires_steps
 
     # encode all texts in one batch so chunk counts match everywhere
     texts = [t for sched in pos_scheds for _, t in sched] + [t for _, t in neg_sched]

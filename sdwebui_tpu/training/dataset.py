@@ -194,12 +194,20 @@ class PersonalizedDataset:
                  template: str = "subject", flip_p: float = 0.5,
                  varsize: bool = False, use_weight: bool = False,
                  shuffle_tags: bool = False, tag_drop_out: float = 0.0,
-                 word_regex: str = "", join_string: str = " ",
+                 word_regex: str | None = None, join_string: str | None = None,
                  latent_sampling_method: str = "once",
                  seed: int = 0, encode_batch: int = 8):
         from PIL import Image
 
         from sdwebui_tpu.pipeline.processing import encode_first_stage
+        from sdwebui_tpu.utils.options import opts as _opts
+
+        # reference shared_options training section: filename-word regex +
+        # join string feed filename_text extraction (dataset.py:141)
+        if word_regex is None:
+            word_regex = str(_opts.get("dataset_filename_word_regex", ""))
+        if join_string is None:
+            join_string = str(_opts.get("dataset_filename_join_string", " "))
 
         assert os.path.isdir(data_root), \
             f"Dataset directory doesn't exist: {data_root}"

@@ -277,6 +277,7 @@ def make_default_templates() -> dict:
         "beta_dist_beta": OptionInfo(0.6, "Beta scheduler beta"),
     }))
     t.update(options_section(("compatibility", "Compatibility"), {
+        "use_old_scheduling": OptionInfo(False, "Use old prompt editing timelines (hires schedule numbers do not continue past the first pass)"),
         "use_old_karras_scheduler_sigmas": OptionInfo(
             False, "Use old karras scheduler sigmas (0.1 to 10)."),
         "use_downcasted_alpha_bar": OptionInfo(
@@ -284,6 +285,7 @@ def make_default_templates() -> dict:
                    "For reproducing old seeds."),
     }))
     t.update(options_section(("sdxl", "Stable Diffusion XL"), {
+        "sdxl_clip_l_skip": OptionInfo(False, "Clip skip SDXL (apply Clip skip to the CLIP-L encoder too)"),
         "sdxl_crop_top": OptionInfo(0, "crop top coordinate"),
         "sdxl_crop_left": OptionInfo(0, "crop left coordinate"),
         "sdxl_refiner_low_aesthetic_score": OptionInfo(
@@ -328,8 +330,10 @@ def make_default_templates() -> dict:
     }))
     t.update(options_section(("upscaling", "Upscaling"), {
         "upscaler_for_img2img": OptionInfo("None", "Upscaler for img2img"),
-        "ESRGAN_tile": OptionInfo(192, "Tile size for upscalers"),
-        "ESRGAN_tile_overlap": OptionInfo(8, "Tile overlap for upscalers"),
+        "ESRGAN_tile": OptionInfo(192, "Tile size for ESRGAN upscalers (0 = no tiling)"),
+        "ESRGAN_tile_overlap": OptionInfo(8, "Tile overlap for ESRGAN upscalers"),
+        "DAT_tile": OptionInfo(192, "Tile size for DAT upscalers (0 = no tiling)"),
+        "DAT_tile_overlap": OptionInfo(8, "Tile overlap for DAT upscalers"),
         "SCUNET_tile": OptionInfo(256, "Tile size for SCUNET upscalers"),
         "SCUNET_tile_overlap": OptionInfo(8, "Tile overlap for SCUNET upscalers"),
         "ldsr_steps": OptionInfo(100, "LDSR processing steps"),
@@ -370,6 +374,10 @@ def make_default_templates() -> dict:
     t.update(options_section(("ui", "User interface"), {
         "localization": OptionInfo("None", "Localization"),
         "send_seed": OptionInfo(True, "Send seed when sending prompt or image to other interface"),
+    }))
+    t.update(options_section(("training", "Training"), {
+        "dataset_filename_word_regex": OptionInfo("", "Filename word regex"),
+        "dataset_filename_join_string": OptionInfo(" ", "Filename join string"),
     }))
     t.update(options_section(("api", "API"), {
         "api_enable_requests": OptionInfo(True, "Allow http:// and https:// URLs for input images", restrict_api=True),

@@ -23,8 +23,6 @@ REFERENCE_OPTIONS = [
     (("upscaling", "Upscaling"), [
         ('realesrgan_enabled_models', ['R-ESRGAN 4x+', 'R-ESRGAN 4x+ Anime6B'], 'Select which Real-ESRGAN models to show in the web UI.'),
         ('dat_enabled_models', ['DAT x2', 'DAT x3', 'DAT x4'], 'Select which DAT models to show in the web UI.'),
-        ('DAT_tile', 192, 'Tile size for DAT upscalers.'),
-        ('DAT_tile_overlap', 8, 'Tile overlap for DAT upscalers.'),
         ('set_scale_by_when_changing_upscaler', False, 'Automatically set the Scale by factor based on the name of the selected Upscaler.'),
     ]),
     (("system", "System"), [
@@ -58,8 +56,6 @@ REFERENCE_OPTIONS = [
         ('pin_memory', False, 'Turn on pin_memory for DataLoader. Makes training slightly faster but can increase memory usage.'),
         ('save_optimizer_state', False, 'Saves Optimizer state as separate *.optim file. Training of embedding or HN can be resumed with the matching optim file.'),
         ('save_training_settings_to_txt', True, 'Save textual inversion and hypernet settings to a text file whenever training starts.'),
-        ('dataset_filename_word_regex', '', 'Filename word regex'),
-        ('dataset_filename_join_string', ' ', 'Filename join string'),
         ('training_image_repeats_per_epoch', 1, 'Number of repeats for a single input image per epoch; used only for displaying epoch number'),
         ('training_write_csv_every', 500, 'Save an csv containing the loss to log directory every N steps, 0 to disable'),
         ('training_xattention_optimizations', False, 'Use cross attention optimizations while training'),
@@ -72,7 +68,6 @@ REFERENCE_OPTIONS = [
         ('sd_checkpoint_cache', 0, 'Checkpoints to cache in RAM'),
         ('sd_unet', 'Automatic', 'SD Unet'),
         ('enable_batch_seeds', True, 'Make K-diffusion samplers produce same images in a batch as when making a single image'),
-        ('sdxl_clip_l_skip', False, 'Clip skip SDXL'),
         ('hires_fix_refiner_pass', 'second pass', 'Hires fix: which pass to enable refiner for'),
     ]),
     (("sdxl", "Stable Diffusion XL"), [
@@ -102,7 +97,6 @@ REFERENCE_OPTIONS = [
         ('no_dpmpp_sde_batch_determinism', False, 'Do not make DPM++ SDE deterministic across different batch sizes.'),
         ('use_old_hires_fix_width_height', False, 'For hires fix, use width/height sliders to set final resolution rather than first pass (disables Upscale by, Resize width/height to).'),
         ('hires_fix_use_firstpass_conds', False, 'For hires fix, calculate conds of second pass using extra networks of first pass.'),
-        ('use_old_scheduling', False, 'Use old prompt editing timelines.'),
         ('refiner_switch_by_sample_steps', False, 'Switch to refiner by sampling steps instead of model timesteps. Old behavior for refiner.'),
     ]),
     (("interrogate", "Interrogate"), [

@@ -228,3 +228,33 @@ def test_emphasis_batch_composition_invariant():
     solo = apply_emphasis(z1, m1, "Original")
     np.testing.assert_allclose(np.asarray(joint[0]), np.asarray(solo[0]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_hires_schedule_continuation():
+    """New-style scheduling: with hires_steps, schedule numbers continue
+    past the first pass (reference prompt_parser.py:66-83 +
+    opts.use_old_scheduling)."""
+    import numpy as np
+
+    from sdwebui_tpu.text.prompt_parser import get_prompt_schedule
+
+    # base pass 16 steps: [a:b:20] never triggers (20 > 16)
+    base = get_prompt_schedule("[a:b:20]", 16)
+    assert [t for _, t in base] == ["a"]
+    # hires pass 8 steps, new scheduling: 20 - 16 = step 4 of the 2nd pass
+    cont = get_prompt_schedule("[a:b:20]", 16, hires_steps=8)
+    assert cont == [[4, "a"], [8, "b"]]
+    # old scheduling: numbers stay absolute within the base pass
+    old = get_prompt_schedule("[a:b:20]", 16, hires_steps=8,
+                              use_old_scheduling=True)
+    assert [t for _, t in old] == ["a"]
+
+    def fake_encode(texts):
+        return np.zeros((len(texts), 77, 8), np.float32)
+
+    from sdwebui_tpu.text.conditioner import build_cond_schedule
+
+    sched = build_cond_schedule(fake_encode, "[a:b:20]", "", 16,
+                                hires_steps=8)
+    assert sched.cond_idx.shape == (1, 8)
+    assert list(np.asarray(sched.cond_idx[0])) == [0] * 4 + [1] * 4
