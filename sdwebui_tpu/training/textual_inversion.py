@@ -202,6 +202,24 @@ def train_embedding_from_dir(model, name: str, data_root: str,
     opt_state = init_fn(emb)
 
     tokenizer = model.conditioner.tokenizer
+    from sdwebui_tpu.utils.options import opts as _t_opts
+
+    if initial_vec is not None and save_path \
+            and _t_opts.get("save_optimizer_state", False):
+        # resume: restore Adam moments saved alongside the embedding
+        opt_state = load_optim_state(opt_state, save_path)
+
+    if save_path and _t_opts.get("save_training_settings_to_txt", True):
+        # reference textual_inversion.py:467 save_settings_to_file
+        _write_settings_txt(save_path, dict(
+            name=name, data_root=data_root, n_vectors=n_vectors, steps=steps,
+            learn_rate=learn_rate, batch_size=batch_size, template=template,
+            width=width, height=height, varsize=varsize,
+            use_weight=use_weight, shuffle_tags=shuffle_tags,
+            tag_drop_out=tag_drop_out,
+            latent_sampling_method=latent_sampling_method, seed=seed,
+            num_images=len(ds.entries)))
+    csv_every = int(_t_opts.get("training_write_csv_every", 500) or 0)
     losses = []
     for i in range(steps):
         lr_now = schedule.rate_at(i)
@@ -223,9 +241,15 @@ def train_embedding_from_dir(model, name: str, data_root: str,
         if log_every and (i + 1) % log_every == 0:
             print(f"[TI {name}] step {i + 1}/{steps} "
                   f"loss {losses[-1]:.4f} lr {lr_now:g}")
+        if csv_every and save_path and (i + 1) % csv_every == 0:
+            _write_loss_csv(save_path, i + 1,
+                            float(np.mean(losses[-csv_every:])),
+                            schedule.rate_at(i))
         if save_every and save_path and (i + 1) % save_every == 0 \
                 and (i + 1) < steps:
             _save_embedding(name, emb, i + 1, save_path)
+            if _t_opts.get("save_optimizer_state", False):
+                _save_optim_state(opt_state, save_path)
         if preview_every and save_path and (i + 1) % preview_every == 0:
             # reference create_image_every (textual_inversion.py:600):
             # sample with the in-training embedding, save under images/
@@ -237,7 +261,83 @@ def train_embedding_from_dir(model, name: str, data_root: str,
                        step=len(losses))
     if save_path:
         _save_embedding(name, emb, result.step, save_path)
+        if _t_opts.get("save_optimizer_state", False):
+            _save_optim_state(opt_state, save_path)
     return result, losses
+
+
+def _write_settings_txt(save_path: str, settings: dict):
+    """reference save_settings_to_file (textual_inversion.py:467): training
+    hyperparameters recorded next to the artifact."""
+    import os
+
+    path = os.path.splitext(save_path)[0] + "_settings.txt"
+    try:
+        with open(path, "w", encoding="utf8") as f:
+            f.write("training settings\n")
+            for k, v in settings.items():
+                f.write(f"{k}: {v}\n")
+    except OSError:
+        pass
+
+
+def _write_loss_csv(save_path: str, step: int, loss: float, lr: float):
+    """reference write_loss (textual_inversion.py:325): append per-interval
+    mean loss rows to a csv next to the artifact."""
+    import csv
+    import os
+
+    path = os.path.splitext(save_path)[0] + "_loss.csv"
+    header = not os.path.exists(path)
+    try:
+        with open(path, "a", encoding="utf8", newline="") as f:
+            w = csv.writer(f)
+            if header:
+                w.writerow(["step", "loss", "learn_rate"])
+            w.writerow([step, f"{loss:.7f}", lr])
+    except OSError:
+        pass
+
+
+def _save_optim_state(opt_state, save_path: str):
+    """reference save_optimizer_state: .optim blob alongside the embedding,
+    so training can resume with Adam moments intact.  Leaves are stored by
+    flatten order index — the optimizer tree structure is deterministic."""
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+
+    try:
+        leaves, _ = jax.tree_util.tree_flatten(opt_state.inner_state)
+        flat = {f"leaf{i}": np.asarray(jax.device_get(v))
+                for i, v in enumerate(leaves) if hasattr(v, "shape")}
+        write_safetensors(save_path + ".optim", flat)
+    except Exception:
+        pass
+
+
+def load_optim_state(opt_state, save_path: str):
+    """Restore Adam moments saved by _save_optim_state into a freshly
+    initialized opt_state (same tree structure); returns opt_state."""
+    import os
+
+    import jax.numpy as _jnp
+
+    from sdwebui_tpu.loader.safetensors_io import read_state_dict
+
+    path = save_path + ".optim"
+    if not os.path.exists(path):
+        return opt_state
+    saved = read_state_dict(path)
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state.inner_state)
+    out = []
+    for i, v in enumerate(leaves):
+        s = saved.get(f"leaf{i}")
+        if s is not None and hasattr(v, "shape") \
+                and tuple(s.shape) == tuple(v.shape):
+            out.append(_jnp.asarray(np.asarray(s)))
+        else:
+            out.append(v)
+    return opt_state._replace(
+        inner_state=jax.tree_util.tree_unflatten(treedef, out))
 
 
 def _save_embedding(name: str, emb, step: int, save_path: str):

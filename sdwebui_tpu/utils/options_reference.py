@@ -54,10 +54,7 @@ REFERENCE_OPTIONS = [
     (("training", "Training"), [
         ('unload_models_when_training', False, 'Move VAE and CLIP to RAM when training if possible. Saves VRAM.'),
         ('pin_memory', False, 'Turn on pin_memory for DataLoader. Makes training slightly faster but can increase memory usage.'),
-        ('save_optimizer_state', False, 'Saves Optimizer state as separate *.optim file. Training of embedding or HN can be resumed with the matching optim file.'),
-        ('save_training_settings_to_txt', True, 'Save textual inversion and hypernet settings to a text file whenever training starts.'),
         ('training_image_repeats_per_epoch', 1, 'Number of repeats for a single input image per epoch; used only for displaying epoch number'),
-        ('training_write_csv_every', 500, 'Save an csv containing the loss to log directory every N steps, 0 to disable'),
         ('training_xattention_optimizations', False, 'Use cross attention optimizations while training'),
         ('training_enable_tensorboard', False, 'Enable tensorboard logging.'),
         ('training_tensorboard_save_images', False, 'Save generated images within tensorboard.'),

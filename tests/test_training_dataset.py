@@ -327,3 +327,43 @@ def test_train_hypernetwork_preview_images(model, data_dir, tmp_path):
         save_path=save, seed=0, preview_every=2, preview_steps=2,
         preview_size=(64, 64))
     assert sorted(os.listdir(tmp_path / "hn" / "images")) == ["net-2.png"]
+
+
+def test_training_persistence_options(model, data_dir, tmp_path, monkeypatch):
+    """save_training_settings_to_txt, training_write_csv_every, and
+    save_optimizer_state artifacts (reference textual_inversion.py:325/467,
+    save_optimizer_state)."""
+    import os
+
+    from sdwebui_tpu.training.textual_inversion import (
+        load_optim_state, make_ti_train_step, train_embedding_from_dir)
+    from sdwebui_tpu.utils.options import opts
+
+    monkeypatch.setitem(opts.data, "save_optimizer_state", True)
+    monkeypatch.setitem(opts.data, "training_write_csv_every", 2)
+    save = str(tmp_path / "t" / "tok.safetensors")
+    os.makedirs(os.path.dirname(save), exist_ok=True)
+    emb, _ = train_embedding_from_dir(
+        model, "tok", str(data_dir), n_vectors=1, steps=4,
+        learn_rate="0.05", batch_size=1, width=64, height=64,
+        template="subject", save_path=save, save_every=2, seed=0)
+    assert os.path.exists(str(tmp_path / "t" / "tok_settings.txt"))
+    csv_path = str(tmp_path / "t" / "tok_loss.csv")
+    assert os.path.exists(csv_path)
+    lines = open(csv_path).read().strip().splitlines()
+    assert lines[0] == "step,loss,learn_rate"
+    assert len(lines) == 3  # steps 2 and 4
+    assert os.path.exists(save + ".optim")
+
+    # optim state round-trips into a fresh optimizer state
+    import jax.numpy as jnp
+    import numpy as np
+
+    step_fn, init_fn = make_ti_train_step(model, n_vectors=1, lr=0.05)
+    fresh = init_fn(jnp.asarray(np.asarray(emb.vec, np.float32)))
+    restored = load_optim_state(fresh, save)
+    import jax
+
+    l_fresh = jax.tree_util.tree_leaves(fresh.inner_state)
+    l_rest = jax.tree_util.tree_leaves(restored.inner_state)
+    assert any(not np.allclose(a, b) for a, b in zip(l_fresh, l_rest))
