@@ -314,6 +314,10 @@ def make_default_templates() -> dict:
         "return_mask_composite": OptionInfo(
             False, "For inpainting, include masked composite in results for web"),
         "overlay_inpaint": OptionInfo(True, "Overlay original for inpaint"),
+        "img2img_editor_height": OptionInfo(720, "Height of the image editor"),
+        "img2img_sketch_default_brush_color": OptionInfo("#ffffff", "Sketch initial brush color"),
+        "img2img_inpaint_mask_brush_color": OptionInfo("#ffffff", "Inpaint mask brush color"),
+        "img2img_inpaint_sketch_default_brush_color": OptionInfo("#ffffff", "Inpaint sketch initial brush color"),
     }))
     t.update(options_section(("extensions", "Extensions"), {
         "disabled_extensions": OptionInfo([], "Disable these extensions"),

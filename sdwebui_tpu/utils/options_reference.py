@@ -76,10 +76,6 @@ REFERENCE_OPTIONS = [
         ('auto_vae_precision_bfloat16', False, 'Automatically convert VAE to bfloat16'),
     ]),
     (("img2img", "img2img"), [
-        ('img2img_editor_height', 720, 'Height of the image editor'),
-        ('img2img_sketch_default_brush_color', '#ffffff', 'Sketch initial brush color'),
-        ('img2img_inpaint_mask_brush_color', '#ffffff', 'Inpaint mask brush color'),
-        ('img2img_inpaint_sketch_default_brush_color', '#ffffff', 'Inpaint sketch initial brush color'),
         ('img2img_batch_show_results_limit', 32, 'Show the first N batch img2img results in UI'),
     ]),
     (("optimizations", "Optimizations"), [
