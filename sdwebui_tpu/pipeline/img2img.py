@@ -92,7 +92,9 @@ def _prepare_images_and_mask(p: GenerationParams):
             mask_use = mask_img
             overlay_mask = mask_img
 
-        im = images_util.resize_image(p.resize_mode, im, p.width, p.height)
+        im = images_util.resize_image(
+            p.resize_mode, im, p.width, p.height,
+            upscaler_name=_opts.get("upscaler_for_img2img", "None"))
         if mask_use is not None:
             mask_use = mask_use.resize((p.width, p.height))
             if p.inpainting_fill == 0:  # fill with surrounding colors

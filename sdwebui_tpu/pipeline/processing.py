@@ -519,8 +519,25 @@ def calculate_hr_target(p: GenerationParams):
     return p.hr_resize_x, p.hr_resize_y
 
 
+def _refiner_split_idx(model: SDModel, sigmas, switch_at: float,
+                       max_steps: int) -> int:
+    """Step index where the base→refiner handoff happens.  The reference
+    decides per step in the NOISE domain (apply_refiner,
+    sd_samplers_common.py:156-167: completed_ratio = (999 - timestep(σ))/
+    1000, switch once it reaches switch_at); computed from the schedule's
+    sigmas here because the run is scan-fused."""
+    log_s = np.log(np.maximum(np.asarray(sigmas[:-1]), 1e-12))
+    tsteps = np.argmin(
+        np.abs(log_s[:, None]
+               - np.asarray(model.disc.log_sigmas)[None, :]), axis=1)
+    ratios = (999.0 - tsteps) / 1000.0
+    hit = np.nonzero(ratios >= switch_at)[0]
+    s_idx = int(hit[0]) if hit.size else len(log_s) - 1
+    return min(max(s_idx, 1), max_steps - 1)
+
+
 def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
-                upscale_image_fn=None):
+                upscale_image_fn=None, refiner_model: SDModel | None = None):
     """First-pass latents → hires latents (second sampling pass)."""
     from sdwebui_tpu.pipeline.img2img import setup_img2img_steps
     from sdwebui_tpu.rng import ImageRNG
@@ -603,6 +620,25 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
         control, control_cfgs = prepare_controls(
             p.controlnet_units, hr_w, hr_h, t_enc + 1, latent_channels=c)
     cond.skip_uncond = _skip_uncond_mask(sigma_sched, p)
+    if refiner_model is not None and 0 < (p.refiner_switch_at or 0) < 1:
+        # opts.hires_fix_refiner_pass gates this call from the orchestrator
+        # ("second pass"/"both passes" — reference sd_samplers_common.py:183)
+        s_idx = _refiner_split_idx(model, sigma_sched, p.refiner_switch_at,
+                                   t_enc + 1)
+        out = sample_latents(model, cond, xi, sigma_sched[: s_idx + 1],
+                             noise[:s_idx], sampler.solver, hr_extra,
+                             control=control, control_cfgs=control_cfgs)
+        r_cond = _build_conds(refiner_model, p, t_enc + 1 - s_idx,
+                              cfg_scale=cfg,
+                              prompt=p.hr_prompt or p.prompt,
+                              negative=p.hr_negative_prompt
+                              or p.negative_prompt,
+                              width=hr_w, height=hr_h)
+        if cond.skip_uncond is not None:
+            r_cond.skip_uncond = cond.skip_uncond[s_idx:]
+        return sample_latents(refiner_model, r_cond, out,
+                              sigma_sched[s_idx:], noise[s_idx:],
+                              sampler.solver, hr_extra)
     return sample_latents(model, cond, xi, sigma_sched, noise,
                           sampler.solver, hr_extra,
                           control=control, control_cfgs=control_cfgs)
@@ -1198,22 +1234,19 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
         noise = prepare_noise(spec, len(sigmas) - 1, rng, (p.batch_size, h, w, c))
         jt.record("noise")
 
-        if refiner_model is not None and 0 < p.refiner_switch_at < 1:
-            # base → refiner handoff at the switch-point sigma.  The
-            # reference decides per step in the NOISE domain (apply_refiner,
-            # sd_samplers_common.py:156-167: completed_ratio =
-            # (999 - timestep(σ))/1000, switch once it reaches switch_at) —
-            # not at int(steps·switch_at).  Compute the same boundary from
-            # the schedule's sigmas; we split the fused run there (multistep
-            # history resets at the boundary, matching a fresh sampler).
-            log_s = np.log(np.maximum(np.asarray(sigmas[:-1]), 1e-12))
-            tsteps = np.argmin(
-                np.abs(log_s[:, None]
-                       - np.asarray(model.disc.log_sigmas)[None, :]), axis=1)
-            ratios = (999.0 - tsteps) / 1000.0
-            hit = np.nonzero(ratios >= p.refiner_switch_at)[0]
-            s_idx = int(hit[0]) if hit.size else len(log_s) - 1
-            s_idx = min(max(s_idx, 1), p.steps - 1)
+        from sdwebui_tpu.utils.options import opts as _rp_opts
+
+        # opts.hires_fix_refiner_pass (reference sd_samplers_common.py:183):
+        # with hires fix on, choose which pass(es) the refiner handles
+        ref_pass = str(_rp_opts.get("hires_fix_refiner_pass", "second pass"))
+        refine_first = refiner_model is not None and \
+            (not p.enable_hr or ref_pass in ("first pass", "both passes"))
+        if refine_first and 0 < p.refiner_switch_at < 1:
+            # base → refiner handoff at the switch-point sigma (see
+            # _refiner_split_idx; multistep history resets at the boundary,
+            # matching a fresh sampler)
+            s_idx = _refiner_split_idx(model, sigmas, p.refiner_switch_at,
+                                       p.steps)
             latents = sample_latents(model, sched, x, sigmas[: s_idx + 1],
                                      noise[:s_idx], sampler.solver,
                                      solver_extra, hypernet=hypernet)
@@ -1242,7 +1275,10 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
                     np.asarray(decode_first_stage(model, latents)))
                 save_extra_copies(lowres, p, model, outdir, seeds,
                                   "-before-highres-fix", lo)
-            latents = _hires_pass(model, p, latents, seeds, subseeds)
+            hr_refiner = refiner_model if ref_pass in (
+                "second pass", "both passes") else None
+            latents = _hires_pass(model, p, latents, seeds, subseeds,
+                                  refiner_model=hr_refiner)
         runner.post_sample(p, PostSampleArgs(latents))
         images = decode_first_stage_u8(model, latents)
         jt.record("decode_dispatch")

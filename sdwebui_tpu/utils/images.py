@@ -434,24 +434,42 @@ def combine_grid(grid: Grid) -> Image.Image:
     return combined_image
 
 
-def resize_image(resize_mode: int, im: Image.Image, width: int, height: int) -> Image.Image:
+def resize_image(resize_mode: int, im: Image.Image, width: int, height: int,
+                 upscaler_name: str | None = None) -> Image.Image:
     """Modes (reference modules/images.py:252): 0=stretch, 1=crop-to-fill,
-    2=pad-to-fit, 3 treated as 0 here (latent upscale handled upstream)."""
+    2=pad-to-fit, 3 treated as 0 here (latent upscale handled upstream).
+    upscaler_name (reference opts.upscaler_for_img2img): run a real SR
+    model for the upscaling leg instead of LANCZOS."""
+
+    def _resize(img, w, h):
+        if upscaler_name and upscaler_name != "None" and img.mode != "L" \
+                and (w > img.width or h > img.height):
+            from sdwebui_tpu.postprocessing.upscalers import upscale
+
+            try:
+                img = upscale(upscaler_name, img,
+                              max(w / img.width, h / img.height))
+            except ValueError:
+                pass
+        if (img.width, img.height) != (w, h):
+            img = img.resize((w, h), Image.LANCZOS)
+        return img
+
     if resize_mode in (0, 3):
-        return im.resize((width, height), Image.LANCZOS)
+        return _resize(im, width, height)
     ratio = width / height
     src_ratio = im.width / im.height
     if resize_mode == 1:  # crop
         src_w = width if ratio > src_ratio else im.width * height // im.height
         src_h = height if ratio <= src_ratio else im.height * width // im.width
-        resized = im.resize((src_w, src_h), Image.LANCZOS)
+        resized = _resize(im, src_w, src_h)
         res = Image.new("RGB", (width, height))
         res.paste(resized, box=(width // 2 - src_w // 2, height // 2 - src_h // 2))
         return res
     # pad
     src_w = width if ratio < src_ratio else im.width * height // im.height
     src_h = height if ratio >= src_ratio else im.height * width // im.width
-    resized = im.resize((src_w, src_h), Image.LANCZOS)
+    resized = _resize(im, src_w, src_h)
     res = Image.new("RGB", (width, height))
     res.paste(resized, box=(width // 2 - src_w // 2, height // 2 - src_h // 2))
     return res

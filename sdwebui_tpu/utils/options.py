@@ -286,6 +286,9 @@ def make_default_templates() -> dict:
     }))
     t.update(options_section(("sdxl", "Stable Diffusion XL"), {
         "sdxl_clip_l_skip": OptionInfo(False, "Clip skip SDXL (apply Clip skip to the CLIP-L encoder too)"),
+        "hires_fix_refiner_pass": OptionInfo(
+            "second pass", "Hires fix: which pass to enable refiner for",
+            component_args={"choices": ["first pass", "second pass", "both passes"]}),
         "sdxl_crop_top": OptionInfo(0, "crop top coordinate"),
         "sdxl_crop_left": OptionInfo(0, "crop left coordinate"),
         "sdxl_refiner_low_aesthetic_score": OptionInfo(

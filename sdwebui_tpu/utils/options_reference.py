@@ -65,7 +65,6 @@ REFERENCE_OPTIONS = [
         ('sd_checkpoint_cache', 0, 'Checkpoints to cache in RAM'),
         ('sd_unet', 'Automatic', 'SD Unet'),
         ('enable_batch_seeds', True, 'Make K-diffusion samplers produce same images in a batch as when making a single image'),
-        ('hires_fix_refiner_pass', 'second pass', 'Hires fix: which pass to enable refiner for'),
     ]),
     (("sdxl", "Stable Diffusion XL"), [
     ]),

@@ -124,3 +124,29 @@ def test_refiner_switch_sigma_domain(model):
     # from the naive step-count split for most schedules
     assert ratios[expected] >= switch_at
     assert expected == 0 or ratios[expected - 1] < switch_at
+
+
+def test_hires_fix_refiner_pass_option(model, monkeypatch):
+    """opts.hires_fix_refiner_pass routes the refiner to the chosen pass
+    (reference sd_samplers_common.py:183); 'first pass'/'second pass'
+    produce different images, both differ from no-refiner."""
+    from sdwebui_tpu.utils.options import opts
+
+    refiner = create_tiny_sdxl(seed=9)
+
+    def run(pass_opt, with_refiner=True):
+        monkeypatch.setitem(opts.data, "hires_fix_refiner_pass", pass_opt)
+        p = GenerationParams(prompt="a cat", seed=3, steps=2, width=64,
+                             height=64, enable_hr=True, hr_scale=2.0,
+                             hr_upscaler="Latent", denoising_strength=0.6,
+                             hr_second_pass_steps=2, refiner_switch_at=0.5)
+        res = process_txt2img(model, p,
+                              refiner_model=refiner if with_refiner else None)
+        return np.asarray(res.images[-1])
+
+    base = run("second pass", with_refiner=False)
+    second = run("second pass")
+    first = run("first pass")
+    assert not np.array_equal(base, second)
+    assert not np.array_equal(base, first)
+    assert not np.array_equal(first, second)
