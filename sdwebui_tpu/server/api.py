@@ -760,6 +760,26 @@ class Api:
         paste-field bindings)."""
         text = (body or {}).get("text", "")
         parsed = infotext_util.backcompat(infotext_util.parse(text))
+        # opts.infotext_styles (reference infotext_utils.py:284): pull known
+        # styles out of the pasted prompt
+        styles_mode = str(opts.get("infotext_styles", "Apply if any"))
+        if styles_mode != "Ignore" and "Prompt" in parsed:
+            found, prompt, negative = \
+                self.engine.styles.extract_styles_from_prompt(
+                    str(parsed.get("Prompt", "")),
+                    str(parsed.get("Negative prompt", "")))
+            parsed["Prompt"], parsed["Negative prompt"] = prompt, negative
+            if found and (styles_mode == "Apply"
+                          or styles_mode == "Apply if any"):
+                parsed["Styles array"] = found
+        # opts.infotext_skip_pasting: fields the paste must not fill
+        for k in opts.get("infotext_skip_pasting", []) or []:
+            parsed.pop(k, None)
+        if opts.get("disable_weights_auto_swap", False):
+            # reference infotext_utils.py:462: don't switch checkpoints on
+            # paste
+            parsed.pop("Model", None)
+            parsed.pop("Model hash", None)
         return {"parsed": {str(k): v for k, v in parsed.items()}}
 
     def token_count(self, body: dict):

@@ -96,6 +96,28 @@ class StyleDatabase:
         return [self.styles[n].prompt for n in (style_names or [])
                 if n in self.styles]
 
+    def extract_styles_from_prompt(self, prompt: str, negative_prompt: str):
+        """Greedy reverse-apply of known styles (reference
+        modules/styles.py extract_styles_from_prompt): returns
+        (style_names, stripped_prompt, stripped_negative)."""
+        extracted = []
+        remaining = list(self.styles.values())
+        while True:
+            found = None
+            for style in remaining:
+                p2, ok_p = extract_original_prompt(style.prompt, prompt)
+                n2, ok_n = extract_original_prompt(style.negative_prompt,
+                                                   negative_prompt)
+                if ok_p and ok_n and (style.prompt or style.negative_prompt):
+                    found = style
+                    prompt, negative_prompt = p2, n2
+                    remaining.remove(style)
+                    break
+            if found is None:
+                break
+            extracted.append(found.name)
+        return list(reversed(extracted)), prompt, negative_prompt
+
 
 _default_db: "StyleDatabase | None" = None
 

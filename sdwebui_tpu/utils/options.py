@@ -302,6 +302,11 @@ def make_default_templates() -> dict:
         "add_vae_name_to_info": OptionInfo(True, "Add VAE name to infotext"),
         "add_vae_hash_to_info": OptionInfo(True, "Add VAE hash to infotext"),
         "add_version_to_infotext": OptionInfo(True, "Add program version to infotext"),
+        "infotext_styles": OptionInfo(
+            "Apply if any", "Infer styles from prompts of pasted infotext",
+            component_args={"choices": ["Ignore", "Apply", "Discard", "Apply if any"]}),
+        "infotext_skip_pasting": OptionInfo([], "Disregard fields from pasted infotext"),
+        "disable_weights_auto_swap": OptionInfo(False, "Disregard checkpoint information from pasted infotext"),
     }))
     t.update(options_section(("img2img", "img2img"), {
         "inpainting_mask_weight": OptionInfo(1.0, "Inpainting conditioning mask strength"),

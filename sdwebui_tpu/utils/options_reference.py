@@ -157,9 +157,6 @@ REFERENCE_OPTIONS = [
     (("infotext", "Infotext"), [
         ('infotext_explanation', '\nInfotext is what this software calls the text that contains generation parameters and can be used to generate the same picture again.\nIt is displayed in UI below the image. To use infotext, paste it into the prompt and click the ↙️ paste button.\n', 'infotext_explanation'),
         ('add_user_name_to_info', False, 'Add user name to infotext when authenticated'),
-        ('disable_weights_auto_swap', True, 'Disregard checkpoint information from pasted infotext'),
-        ('infotext_skip_pasting', [], 'Disregard fields from pasted infotext'),
-        ('infotext_styles', 'Apply if any', 'Infer styles from prompts of pasted infotext'),
     ]),
     (("ui", "Live previews"), [
         ('show_progressbar', True, 'Show progressbar'),

@@ -394,3 +394,38 @@ def test_extras_save_output_original_name(server, tmp_path, monkeypatch):
     for root, _, fs in os.walk(outdir):
         files += [os.path.join(root, f) for f in fs]
     assert any("holiday_photo-Lanczos" in os.path.basename(f) for f in files), files
+
+
+def test_parse_infotext_paste_options(server, monkeypatch):
+    """infotext_styles extraction + infotext_skip_pasting +
+    disable_weights_auto_swap on the paste route (reference
+    infotext_utils.py:245,284,462)."""
+    from sdwebui_tpu.utils.options import opts
+
+    text = ("a cat, masterpiece, best quality\n"
+            "Negative prompt: lowres\n"
+            "Steps: 20, Sampler: Euler a, CFG scale: 7, Seed: 1, "
+            "Model: some-model, Model hash: aabbccdd")
+
+    # register a style matching the prompt suffix via the engine database
+    import requests as _rq
+
+    r0 = _rq.post(f"{server}/internal/parse-infotext", json={"text": text})
+    base = r0.json()["parsed"]
+    assert base["Model"] == "some-model"
+
+    from sdwebui_tpu.text.styles import PromptStyle, get_style_database
+
+    db = get_style_database()
+    monkeypatch.setitem(db.styles, "Quality",
+                        PromptStyle("Quality", "masterpiece, best quality", ""))
+    r1 = _rq.post(f"{server}/internal/parse-infotext", json={"text": text})
+    p1 = r1.json()["parsed"]
+    assert p1["Prompt"] == "a cat"
+    assert p1["Styles array"] == ["Quality"]
+
+    monkeypatch.setitem(opts.data, "infotext_skip_pasting", ["Seed"])
+    monkeypatch.setitem(opts.data, "disable_weights_auto_swap", True)
+    r2 = _rq.post(f"{server}/internal/parse-infotext", json={"text": text})
+    p2 = r2.json()["parsed"]
+    assert "Seed" not in p2 and "Model" not in p2 and "Model hash" not in p2
