@@ -565,6 +565,9 @@ class Api:
                                               ".webp", ".bmp")))
         if not files:
             raise ApiError(404, "no images in input directory")
+        # reference img2img.py:144: 0 = show none, -1 = all, else first N
+        limit = int(opts.get("img2img_batch_show_results_limit", 32))
+        shown = []
         done = []
         for path in files:
             sub = dict(body)
@@ -593,10 +596,12 @@ class Api:
                     forced_filename=f"{base}-{i}" if len(res.images) > 1 else base,
                     p=p, save_to_dirs=False)
                 done.append(full)
+                if limit != 0 and (limit < 0 or len(shown) < limit):
+                    shown.append(encode_pil_to_base64(im))
         from sdwebui_tpu.utils.images import flush_saves
 
         flush_saves()
-        return {"processed": len(files), "outputs": done}
+        return {"processed": len(files), "outputs": done, "images": shown}
 
     def embeddings(self, body=None):
         db = getattr(self.engine.sd_model.conditioner, "embedding_db", None)

@@ -326,6 +326,7 @@ def make_default_templates() -> dict:
         "img2img_sketch_default_brush_color": OptionInfo("#ffffff", "Sketch initial brush color"),
         "img2img_inpaint_mask_brush_color": OptionInfo("#ffffff", "Inpaint mask brush color"),
         "img2img_inpaint_sketch_default_brush_color": OptionInfo("#ffffff", "Inpaint sketch initial brush color"),
+        "img2img_batch_show_results_limit": OptionInfo(32, "Show the first N batch img2img results in UI (0: disable, -1: show all)"),
     }))
     t.update(options_section(("extensions", "Extensions"), {
         "disabled_extensions": OptionInfo([], "Disable these extensions"),

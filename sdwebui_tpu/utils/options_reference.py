@@ -75,7 +75,6 @@ REFERENCE_OPTIONS = [
         ('auto_vae_precision_bfloat16', False, 'Automatically convert VAE to bfloat16'),
     ]),
     (("img2img", "img2img"), [
-        ('img2img_batch_show_results_limit', 32, 'Show the first N batch img2img results in UI'),
     ]),
     (("optimizations", "Optimizations"), [
         ('pad_cond_uncond', False, 'Pad prompt/negative prompt'),
