@@ -30,6 +30,21 @@ class Embedding:
 
 def load_embedding_file(path: str, name: str | None = None) -> Embedding:
     name = name or os.path.splitext(os.path.basename(path))[0]
+    emb = _load_embedding_file(path, name)
+    if emb.shorthash is None:
+        # reference textual_inversion.py Embedding.set_hash: short sha256 of
+        # the file, surfaced in the "TI hashes" infotext field
+        import hashlib
+
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        emb.shorthash = h.hexdigest()[:10]
+    return emb
+
+
+def _load_embedding_file(path: str, name: str) -> Embedding:
     if path.lower().endswith((".png", ".webp")):
         # PNG embedding card (reference image_embedding.py data panels,
         # or 'sd-ti-embedding' text chunk)
@@ -130,5 +145,10 @@ class EmbeddingDatabase:
             return None, 0
         for trigger_ids, emb in candidates:
             if ids[position: position + len(trigger_ids)] == trigger_ids:
+                # usage log feeds the "TI hashes" infotext field (reference
+                # sd_hijack embedding_db.embeddings_used)
+                if not hasattr(self, "used_names"):
+                    self.used_names = set()
+                self.used_names.add(emb.name)
                 return emb, len(trigger_ids)
         return None, 0

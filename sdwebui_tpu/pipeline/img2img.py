@@ -138,8 +138,10 @@ def _process_img2img(model: SDModel, p: GenerationParams,
     runner = get_runner()
     runner.setup_scripts(p)
     runner.before_process(p)
-    from sdwebui_tpu.pipeline.processing import _console_log_prompt
+    from sdwebui_tpu.pipeline.processing import (_console_log_prompt,
+                                                  _reset_ti_usage)
     _console_log_prompt("img2img", p)
+    _reset_ti_usage(model)
     if p.denoising_strength is None:
         p.denoising_strength = 0.75
     _resolve_seeds(p)

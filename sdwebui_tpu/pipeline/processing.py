@@ -676,6 +676,14 @@ def _resolve_seeds(p: GenerationParams):
     p.all_negative_prompts = [p.negative_prompt] * n
 
 
+def _reset_ti_usage(model: SDModel):
+    """Per-job reset of the TI-usage log feeding the 'TI hashes' infotext
+    field (reference model_hijack clears embedding usage per process)."""
+    db = getattr(model.conditioner, "embedding_db", None)
+    if db is not None:
+        db.used_names = set()
+
+
 def _console_log_prompt(kind: str, p: GenerationParams):
     """opts.enable_console_prompts (reference txt2img.py:62/img2img.py:202):
     print each job's prompt to stdout."""
@@ -844,6 +852,17 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
     emphasis = _opts.get("emphasis", "Original")
     if emphasis != "Original":
         pairs["Emphasis"] = emphasis
+    if p.user and _opts.get("add_user_name_to_info", False):
+        # reference processing.py create_infotext "User" field
+        pairs["User"] = p.user
+    if _opts.get("textual_inversion_add_hashes_to_infotext", True):
+        # reference sd_hijack TI hash recording: name its used embeddings
+        db = getattr(model.conditioner, "embedding_db", None)
+        used = sorted(getattr(db, "used_names", []) or []) if db else []
+        if used:
+            pairs["TI hashes"] = ", ".join(
+                f"{n}: {getattr(db.embeddings.get(n), 'shorthash', '') or 'unknown'}"
+                for n in used)
     # script/extension-contributed pairs (reference p.extra_generation_params)
     pairs.update(p.extra_generation_params)
     pairs.update(extra or {})
@@ -1125,6 +1144,7 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
     runner.setup_scripts(p)
     runner.before_process(p)
     _console_log_prompt("txt2img", p)
+    _reset_ti_usage(model)
     _resolve_seeds(p)
     _strip_prompt_comments(p)
     # extra networks: strip <lora:...> tags, swap in merged param trees

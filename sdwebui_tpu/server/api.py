@@ -295,6 +295,18 @@ class Api:
         deepdanbooru runs when a user places TorchDeepDanbooru weights under
         models/torch_deepdanbooru/ (zero-egress: nothing auto-downloads);
         CLIP/BLIP captioning stays 501 (BLIP weights absent)."""
+        try:
+            return self._interrogate_inner(body)
+        finally:
+            # reference opts.interrogate_keep_models_in_memory (default
+            # off): drop interrogator weights after each request
+            if not opts.get("interrogate_keep_models_in_memory", False):
+                for attr in ("_deepbooru", "_blip_captioner",
+                             "_clip_interrogator"):
+                    if hasattr(self, attr):
+                        delattr(self, attr)
+
+    def _interrogate_inner(self, body: dict):
         req = schema.InterrogateRequest(**body)
         if not req.image:
             raise ApiError(404, "Image not found")

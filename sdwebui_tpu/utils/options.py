@@ -208,6 +208,7 @@ def make_default_templates() -> dict:
             "Full", "VAE type for decode",
             component_args={"choices": ["Full", "TAESD"]}),
         "sd3_enable_t5": OptionInfo(False, "Enable T5 text encoder for SD3"),
+        "interrogate_keep_models_in_memory": OptionInfo(False, "Keep interrogation models in memory"),
         "interrogate_deepbooru_score_threshold": OptionInfo(0.5, "deepbooru: score threshold"),
         "deepbooru_sort_alpha": OptionInfo(True, "deepbooru: sort tags alphabetically"),
         "deepbooru_use_spaces": OptionInfo(True, "deepbooru: use spaces in tags"),
@@ -307,6 +308,8 @@ def make_default_templates() -> dict:
             component_args={"choices": ["Ignore", "Apply", "Discard", "Apply if any"]}),
         "infotext_skip_pasting": OptionInfo([], "Disregard fields from pasted infotext"),
         "disable_weights_auto_swap": OptionInfo(False, "Disregard checkpoint information from pasted infotext"),
+        "add_user_name_to_info": OptionInfo(False, "Add user name to infotext when authenticated"),
+        "textual_inversion_add_hashes_to_infotext": OptionInfo(True, "Add textual inversion hashes to infotext"),
     }))
     t.update(options_section(("img2img", "img2img"), {
         "inpainting_mask_weight": OptionInfo(1.0, "Inpainting conditioning mask strength"),

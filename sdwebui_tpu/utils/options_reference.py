@@ -91,7 +91,6 @@ REFERENCE_OPTIONS = [
         ('refiner_switch_by_sample_steps', False, 'Switch to refiner by sampling steps instead of model timesteps. Old behavior for refiner.'),
     ]),
     (("interrogate", "Interrogate"), [
-        ('interrogate_keep_models_in_memory', False, 'Keep models in VRAM'),
     ]),
     (("extra_networks", "Extra Networks"), [
         ('extra_networks_show_hidden_directories', True, 'Show hidden directories'),
@@ -110,7 +109,6 @@ REFERENCE_OPTIONS = [
         ('extra_networks_add_text_separator', ' ', 'Extra networks separator'),
         ('ui_extra_networks_tab_reorder', '', 'Extra networks tab order'),
         ('textual_inversion_print_at_load', False, 'Print a list of Textual Inversion embeddings when loading model'),
-        ('textual_inversion_add_hashes_to_infotext', True, 'Add Textual Inversion hashes to infotext'),
     ]),
     (("ui_prompt_editing", "Prompt editing"), [
         ('keyedit_precision_attention', 0.1, 'Precision for (attention:1.1) when editing the prompt with Ctrl+up/down'),
@@ -155,7 +153,6 @@ REFERENCE_OPTIONS = [
     ]),
     (("infotext", "Infotext"), [
         ('infotext_explanation', '\nInfotext is what this software calls the text that contains generation parameters and can be used to generate the same picture again.\nIt is displayed in UI below the image. To use infotext, paste it into the prompt and click the ↙️ paste button.\n', 'infotext_explanation'),
-        ('add_user_name_to_info', False, 'Add user name to infotext when authenticated'),
     ]),
     (("ui", "Live previews"), [
         ('show_progressbar', True, 'Show progressbar'),
