@@ -76,9 +76,14 @@ class CheckpointRegistry:
                 continue
             for ext in ("*.safetensors", "*.ckpt", "*.pt"):
                 for path in sorted(glob.glob(os.path.join(d, "**", ext),
-                                             recursive=True)):
+                                             recursive=True,
+                                             include_hidden=True)):
                     if ".vae." in os.path.basename(path).lower():
                         continue   # sibling VAE files are not checkpoints
+                    from sdwebui_tpu.utils.fs import visible
+
+                    if not visible(path):
+                        continue   # opts.list_hidden_files
                     name = os.path.relpath(path, d)
                     self.checkpoints[name] = CheckpointInfo(path, name)
 

@@ -72,8 +72,13 @@ class LoraRegistry:
             for root, _, files in os.walk(d):
                 for fn in files:
                     if fn.lower().endswith((".safetensors", ".pt", ".ckpt")):
+                        from sdwebui_tpu.utils.fs import visible
+
+                        path = os.path.join(root, fn)
+                        if not visible(path):
+                            continue   # opts.list_hidden_files
                         name = os.path.splitext(fn)[0]
-                        self.files[name] = os.path.join(root, fn)
+                        self.files[name] = path
 
     def load(self, name: str) -> dict:
         path = self.files.get(name)

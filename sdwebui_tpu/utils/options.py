@@ -200,6 +200,7 @@ def make_default_templates() -> dict:
     t.update(options_section(("sd", "Stable Diffusion"), {
         "sd_model_checkpoint": OptionInfo(None, "Stable Diffusion checkpoint", "dropdown"),
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of loaded checkpoints"),
+        "list_hidden_files": OptionInfo(True, "Load models/files in hidden directories"),
         "sd_vae": OptionInfo("Automatic", "SD VAE"),
         "sd_vae_encode_method": OptionInfo(
             "Full", "VAE type for encode",

@@ -34,7 +34,6 @@ REFERENCE_OPTIONS = [
         ('multiple_tqdm', True, 'Add a second progress bar to the console that shows progress for an entire job.'),
         ('enable_upscale_progressbar', True, 'Show a progress bar in the console for tiled upscaling.'),
         ('print_hypernet_extra', False, 'Print extra hypernetwork information to console.'),
-        ('list_hidden_files', True, 'Load models/files in hidden directories'),
         ('disable_mmap_load_safetensors', False, 'Disable memmapping for loading .safetensors files.'),
         ('hide_ldm_prints', True, "Prevent Stability-AI's ldm/sgm modules from printing noise to console."),
         ('dump_stacks_on_signal', False, 'Print stack traces before exiting the program with ctrl+c.'),

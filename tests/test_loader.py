@@ -331,3 +331,26 @@ def test_resolve_vae_chain(tmp_path, monkeypatch):
         assert resolve_vae(str(ckpt)) is None
     finally:
         opts.set("sd_vae", "Automatic")
+
+
+def test_list_hidden_files_option(tmp_path, monkeypatch):
+    """opts.list_hidden_files=False hides models under dot-directories
+    (reference modules/util.py:48 walk_files)."""
+    from sdwebui_tpu.loader.registry import CheckpointRegistry
+    from sdwebui_tpu.utils.options import opts
+
+    (tmp_path / "visible").mkdir()
+    (tmp_path / ".hidden").mkdir()
+    (tmp_path / "visible" / "a.safetensors").write_bytes(b"x")
+    (tmp_path / ".hidden" / "b.safetensors").write_bytes(b"x")
+
+    reg = CheckpointRegistry([str(tmp_path)])
+    names = set(reg.checkpoints)
+    assert any("a.safetensors" in n for n in names)
+    assert any("b.safetensors" in n for n in names)  # default: shown
+
+    monkeypatch.setitem(opts.data, "list_hidden_files", False)
+    reg.refresh()
+    names = set(reg.checkpoints)
+    assert any("a.safetensors" in n for n in names)
+    assert not any("b.safetensors" in n for n in names)
