@@ -55,6 +55,21 @@ def resolve_vae(checkpoint_path: str, vae_dirs=("models/VAE",)) -> str | None:
         return None
     exts = (".vae.safetensors", ".vae.pt", ".vae.ckpt", ".safetensors", ".pt",
             ".ckpt")
+
+    def near_checkpoint():
+        base_ = os.path.splitext(checkpoint_path)[0]
+        for ext_ in (".vae.safetensors", ".vae.pt", ".vae.ckpt"):
+            if os.path.isfile(base_ + ext_):
+                return base_ + ext_
+        return None
+
+    if choice not in ("Automatic", None, "") \
+            and not opts.get("sd_vae_overrides_per_model_preferences", True):
+        # reference sd_vae.py:162: with the override option off, a VAE found
+        # near the checkpoint beats the explicit setting
+        near = near_checkpoint()
+        if near is not None:
+            return near
     if choice not in ("Automatic", None, ""):
         for d in vae_dirs:
             for ext in exts:

@@ -202,6 +202,7 @@ def make_default_templates() -> dict:
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of loaded checkpoints"),
         "list_hidden_files": OptionInfo(True, "Load models/files in hidden directories"),
         "sd_vae": OptionInfo("Automatic", "SD VAE"),
+        "sd_vae_overrides_per_model_preferences": OptionInfo(True, "Selected VAE overrides per-model preferences (off: a .vae file beside the checkpoint wins)"),
         "sd_vae_encode_method": OptionInfo(
             "Full", "VAE type for encode",
             component_args={"choices": ["Full", "TAESD"]}),

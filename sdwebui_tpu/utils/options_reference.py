@@ -70,7 +70,6 @@ REFERENCE_OPTIONS = [
     (("vae", "VAE"), [
         ('sd_vae_explanation', "\n<abbr title='Variational autoencoder'>VAE</abbr> is a neural network that transforms a standard <abbr title='red/green/blue'>RGB</abbr>\nimage into latent space representation and back. Latent space representation is what stable diffusion is working on during sampling\n(i.e. when the progress bar is between empty and full). For txt2img, VAE is used to create a resulting image after the sampling is finished.\nFor img2img, VAE is used to process user's input image before the sampling, and to create an image after sampling.\n", 'sd_vae_explanation'),
         ('sd_vae_checkpoint_cache', 0, 'VAE Checkpoints to cache in RAM'),
-        ('sd_vae_overrides_per_model_preferences', True, 'Selected VAE overrides per-model preferences'),
         ('auto_vae_precision_bfloat16', False, 'Automatically convert VAE to bfloat16'),
     ]),
     (("img2img", "img2img"), [

@@ -354,3 +354,26 @@ def test_list_hidden_files_option(tmp_path, monkeypatch):
     names = set(reg.checkpoints)
     assert any("a.safetensors" in n for n in names)
     assert not any("b.safetensors" in n for n in names)
+
+
+def test_sd_vae_overrides_per_model_preferences(tmp_path, monkeypatch):
+    """With the override option off, a .vae file beside the checkpoint beats
+    an explicit sd_vae choice (reference sd_vae.py:162)."""
+    from sdwebui_tpu.loader.load import resolve_vae
+    from sdwebui_tpu.utils.options import opts
+
+    ckpt = tmp_path / "model.safetensors"
+    ckpt.write_bytes(b"x")
+    near = tmp_path / "model.vae.safetensors"
+    near.write_bytes(b"x")
+    vdir = tmp_path / "VAE"
+    vdir.mkdir()
+    chosen = vdir / "picked.vae.safetensors"
+    chosen.write_bytes(b"x")
+
+    monkeypatch.setitem(opts.data, "sd_vae", "picked")
+    # default: explicit setting wins
+    assert resolve_vae(str(ckpt), vae_dirs=(str(vdir),)) == str(chosen)
+    monkeypatch.setitem(opts.data, "sd_vae_overrides_per_model_preferences",
+                        False)
+    assert resolve_vae(str(ckpt), vae_dirs=(str(vdir),)) == str(near)
