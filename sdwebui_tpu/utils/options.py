@@ -391,6 +391,14 @@ def make_default_templates() -> dict:
     }))
     t.update(options_section(("ui", "User interface"), {
         "localization": OptionInfo("None", "Localization"),
+        "quicksettings_list": OptionInfo(["sd_model_checkpoint"], "Quicksettings list (setting entries that appear at the top of page)"),
+        "hidden_tabs": OptionInfo([], "Hidden UI tabs"),
+        "ui_tab_order": OptionInfo([], "UI tab order"),
+        "gallery_height": OptionInfo("", "Gallery height (e.g. 800px)"),
+        "disable_token_counters": OptionInfo(False, "Disable prompt token counters"),
+        "show_progress_in_title": OptionInfo(True, "Show generation progress in window title"),
+        "show_progressbar": OptionInfo(True, "Show progressbar"),
+        "keyedit_precision_attention": OptionInfo(0.1, "Precision for (attention:1.1) when editing the prompt with Ctrl+up/down"),
         "send_seed": OptionInfo(True, "Send seed when sending prompt or image to other interface"),
     }))
     t.update(options_section(("training", "Training"), {

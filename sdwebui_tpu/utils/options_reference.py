@@ -109,12 +109,10 @@ REFERENCE_OPTIONS = [
         ('textual_inversion_print_at_load', False, 'Print a list of Textual Inversion embeddings when loading model'),
     ]),
     (("ui_prompt_editing", "Prompt editing"), [
-        ('keyedit_precision_attention', 0.1, 'Precision for (attention:1.1) when editing the prompt with Ctrl+up/down'),
         ('keyedit_precision_extra', 0.05, 'Precision for <extra networks:0.9> when editing the prompt with Ctrl+up/down'),
         ('keyedit_delimiters', '.,\\/!?%^*;:{}=`~() ', 'Word delimiters when editing the prompt with Ctrl+up/down'),
         ('keyedit_delimiters_whitespace', ['Tab', 'Carriage Return', 'Line Feed'], 'Ctrl+up/down whitespace delimiters'),
         ('keyedit_move', True, 'Alt+left/right moves prompt elements'),
-        ('disable_token_counters', False, 'Disable prompt token counters'),
         ('include_styles_into_token_counters', True, 'Count tokens of enabled styles'),
     ]),
     (("ui_gallery", "Gallery"), [
@@ -125,7 +123,6 @@ REFERENCE_OPTIONS = [
         ('js_modal_lightbox_gamepad_repeat', 250, 'Full page image viewer: gamepad repeat period'),
         ('sd_webui_modal_lightbox_icon_opacity', 1, 'Full page image viewer: control icon unfocused opacity'),
         ('sd_webui_modal_lightbox_toolbar_opacity', 0.9, 'Full page image viewer: tool bar opacity'),
-        ('gallery_height', '', 'Gallery height'),
         ('open_dir_button_choice', 'Subdirectory', 'What directory the [📂] button opens'),
     ]),
     (("ui_alternatives", "UI alternatives"), [
@@ -139,13 +136,9 @@ REFERENCE_OPTIONS = [
         ('img2img_settings_accordion', False, 'Settings in img2img hidden under Accordion'),
     ]),
     (("ui", "User interface"), [
-        ('quicksettings_list', ['sd_model_checkpoint'], 'Quicksettings list'),
-        ('ui_tab_order', [], 'UI tab order'),
-        ('hidden_tabs', [], 'Hidden UI tabs'),
         ('ui_reorder_list', [], 'UI item order for txt2img/img2img tabs'),
         ('gradio_theme', 'Default', 'Gradio theme'),
         ('gradio_themes_cache', True, 'Cache gradio themes locally'),
-        ('show_progress_in_title', True, 'Show generation progress in window title.'),
         ('send_size', True, 'Send size when sending prompt or image to another interface'),
         ('enable_reloading_ui_scripts', False, 'Reload UI scripts when using Reload UI option'),
     ]),
@@ -153,7 +146,6 @@ REFERENCE_OPTIONS = [
         ('infotext_explanation', '\nInfotext is what this software calls the text that contains generation parameters and can be used to generate the same picture again.\nIt is displayed in UI below the image. To use infotext, paste it into the prompt and click the ↙️ paste button.\n', 'infotext_explanation'),
     ]),
     (("ui", "Live previews"), [
-        ('show_progressbar', True, 'Show progressbar'),
         ('live_preview_allow_lowvram_full', False, 'Allow Full live preview method with lowvram/medvram'),
         ('live_preview_refresh_period', 1000, 'Progressbar and preview update period'),
         ('js_live_preview_in_modal_lightbox', False, 'Show Live preview in full page image viewer'),
