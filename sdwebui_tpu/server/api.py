@@ -236,24 +236,47 @@ class Api:
                             req.upscaling_resize_h / img.height)
             else:
                 scale = req.upscaling_resize
-            out = upscale(req.upscaler_1, img, scale)
-            if req.resize_mode == 1 and req.upscaling_crop:
-                left = (out.width - req.upscaling_resize_w) // 2
-                top = (out.height - req.upscaling_resize_h) // 2
-                out = out.crop((left, top, left + req.upscaling_resize_w,
-                                top + req.upscaling_resize_h))
-            # face restoration stages (reference
-            # scripts/postprocessing_gfpgan.py / _codeformer.py)
-            if req.gfpgan_visibility > 0 or req.codeformer_visibility > 0:
-                from sdwebui_tpu.postprocessing import faces as faces_mod
+            # stage order + filter (reference scripts_postprocessing.py:141
+            # scripts_in_preferred_order: opts.postprocessing_operation_order
+            # first, then default order; disable_in_extras filters out)
+            def _stage_upscale(im):
+                im = upscale(req.upscaler_1, im, scale)
+                if req.resize_mode == 1 and req.upscaling_crop:
+                    left = (im.width - req.upscaling_resize_w) // 2
+                    top = (im.height - req.upscaling_resize_h) // 2
+                    im = im.crop((left, top, left + req.upscaling_resize_w,
+                                  top + req.upscaling_resize_h))
+                return im
 
+            def _stage_gfpgan(im):
                 if req.gfpgan_visibility > 0:
-                    out = faces_mod.restore_faces(
-                        out, "GFPGAN", visibility=req.gfpgan_visibility)
+                    from sdwebui_tpu.postprocessing import faces as faces_mod
+
+                    im = faces_mod.restore_faces(
+                        im, "GFPGAN", visibility=req.gfpgan_visibility)
+                return im
+
+            def _stage_codeformer(im):
                 if req.codeformer_visibility > 0:
-                    out = faces_mod.restore_faces(
-                        out, "CodeFormer", weight=req.codeformer_weight,
+                    from sdwebui_tpu.postprocessing import faces as faces_mod
+
+                    im = faces_mod.restore_faces(
+                        im, "CodeFormer", weight=req.codeformer_weight,
                         visibility=req.codeformer_visibility)
+                return im
+
+            stages = {"Upscale": _stage_upscale, "GFPGAN": _stage_gfpgan,
+                      "CodeFormer": _stage_codeformer}
+            preferred = list(opts.get("postprocessing_operation_order",
+                                      []) or [])
+            disabled = set(opts.get("postprocessing_disable_in_extras",
+                                    []) or [])
+            order = [n for n in preferred if n in stages] + \
+                [n for n in stages if n not in preferred]
+            out = img
+            for name in order:
+                if name not in disabled:
+                    out = stages[name](out)
         if body.get("save_output", False):
             # UI save path (reference modules/postprocessing.py:82-98):
             # keep the original basename when use_original_name_batch, add

@@ -352,6 +352,8 @@ def make_default_templates() -> dict:
         "ESRGAN_tile_overlap": OptionInfo(8, "Tile overlap for ESRGAN upscalers"),
         "DAT_tile": OptionInfo(192, "Tile size for DAT upscalers (0 = no tiling)"),
         "DAT_tile_overlap": OptionInfo(8, "Tile overlap for DAT upscalers"),
+        "postprocessing_operation_order": OptionInfo([], "Postprocessing operation order (names run first, in this order)"),
+        "postprocessing_disable_in_extras": OptionInfo([], "Disable these postprocessing operations in the extras tab"),
         "SCUNET_tile": OptionInfo(256, "Tile size for SCUNET upscalers"),
         "SCUNET_tile_overlap": OptionInfo(8, "Tile overlap for SCUNET upscalers"),
         "ldsr_steps": OptionInfo(100, "LDSR processing steps"),

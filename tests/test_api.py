@@ -429,3 +429,25 @@ def test_parse_infotext_paste_options(server, monkeypatch):
     r2 = _rq.post(f"{server}/internal/parse-infotext", json={"text": text})
     p2 = r2.json()["parsed"]
     assert "Seed" not in p2 and "Model" not in p2 and "Model hash" not in p2
+
+
+def test_extras_operation_order_and_disable(server, monkeypatch):
+    """postprocessing_disable_in_extras removes stages (reference
+    scripts_in_preferred_order filter)."""
+    from sdwebui_tpu.utils.options import opts
+
+    body = {"image": _b64_image(size=(32, 32)), "upscaling_resize": 2.0,
+            "upscaler_1": "Lanczos"}
+    r = requests.post(f"{server}/sdapi/v1/extra-single-image", json=body)
+    assert _decode(r.json()["image"]).size == (64, 64)
+
+    monkeypatch.setitem(opts.data, "postprocessing_disable_in_extras",
+                        ["Upscale"])
+    r2 = requests.post(f"{server}/sdapi/v1/extra-single-image", json=body)
+    assert _decode(r2.json()["image"]).size == (32, 32)  # stage skipped
+
+    monkeypatch.setitem(opts.data, "postprocessing_disable_in_extras", [])
+    monkeypatch.setitem(opts.data, "postprocessing_operation_order",
+                        ["CodeFormer", "GFPGAN", "Upscale"])
+    r3 = requests.post(f"{server}/sdapi/v1/extra-single-image", json=body)
+    assert _decode(r3.json()["image"]).size == (64, 64)
