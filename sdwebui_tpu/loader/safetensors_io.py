@@ -91,6 +91,17 @@ class SafetensorsFile:
         self.close()
 
 
+def read_metadata(path: str) -> dict:
+    """Just the __metadata__ header (kohya ss_* fields etc.), no mmap held
+    open — feeds the /sdapi/v1/loras card metadata like the reference's
+    modules/cache.py cached_data_for_file('safetensors-metadata', ...)."""
+    with open(path, "rb") as f:
+        (header_len,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(header_len).decode("utf-8"))
+    return {str(k): str(v)
+            for k, v in (header.get("__metadata__") or {}).items()}
+
+
 def read_state_dict(path: str) -> dict:
     """path → {key: np.ndarray views} (+ ._metadata attribute-free; use
     SafetensorsFile for metadata access)."""

@@ -651,11 +651,27 @@ class Api:
         return {"loaded": loaded, "skipped": skipped}
 
     def loras(self, body=None):
-        """Lora extension API parity (extensions-builtin/Lora api)."""
+        """Lora extension API parity (extensions-builtin/Lora api):
+        safetensors __metadata__ (kohya ss_* training fields) surfaces for
+        the extra-networks cards like the reference's NetworkOnDisk."""
         from sdwebui_tpu.networks.extra_networks import default_registry
 
-        return [{"name": name, "alias": name, "path": path, "metadata": {}}
-                for name, path in default_registry().files.items()]
+        out = []
+        for name, path in default_registry().files.items():
+            meta = {}
+            alias = name
+            if path.endswith(".safetensors"):
+                try:
+                    from sdwebui_tpu.loader.safetensors_io import \
+                        read_metadata
+
+                    meta = read_metadata(path)
+                    alias = meta.get("ss_output_name") or name
+                except Exception:
+                    pass
+            out.append({"name": name, "alias": alias, "path": path,
+                        "metadata": meta})
+        return out
 
     def refresh_loras(self, body=None):
         from sdwebui_tpu.networks.extra_networks import default_registry

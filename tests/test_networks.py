@@ -427,3 +427,19 @@ def test_sd_hypernetwork_global_option(tmp_path, monkeypatch):
     monkeypatch.setitem(opts.data, "sd_hypernetwork", "None")
     _c, _m2, hypernet2 = en.activate(model, "a cat")
     assert hypernet2 is None
+
+
+def test_lora_metadata_surfaced(tmp_path, monkeypatch):
+    """/sdapi/v1/loras carries safetensors __metadata__ (kohya ss_* fields)
+    like the reference's NetworkOnDisk."""
+    import numpy as np
+
+    from sdwebui_tpu.loader.safetensors_io import (read_metadata,
+                                                   write_safetensors)
+
+    path = tmp_path / "mylora.safetensors"
+    write_safetensors(str(path), {"w": np.zeros((2, 2), np.float32)},
+                      metadata={"ss_output_name": "My LoRA",
+                                "ss_network_dim": "16"})
+    meta = read_metadata(str(path))
+    assert meta == {"ss_output_name": "My LoRA", "ss_network_dim": "16"}
