@@ -103,12 +103,39 @@ def upscaler_names():
     return list(_REGISTRY.keys())
 
 
+_UPSCALE_CACHE: "dict[tuple, Image.Image]" = {}
+
+
 def upscale(name: str, image: Image.Image, scale: float) -> Image.Image:
-    """Upscale by factor with up to 3 passes (reference Upscaler.upscale)."""
+    """Upscale by factor with up to 3 passes (reference Upscaler.upscale);
+    results LRU-cached per (upscaler, image bytes, scale) up to
+    opts.upscaling_max_images_in_cache (reference upscaler_utils/upscale_2
+    shared.opts cache)."""
     entry = _REGISTRY.get(name)
     if entry is None:
         raise ValueError(f"unknown upscaler {name!r} (available: "
                          f"{', '.join(_REGISTRY)})")
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    cache_n = int(_opts.get("upscaling_max_images_in_cache", 5) or 0)
+    key = None
+    if cache_n > 0 and name not in ("None", "Lanczos", "Nearest"):
+        import hashlib
+
+        key = (name, float(scale), image.size,
+               hashlib.sha1(image.tobytes()).hexdigest())
+        hit = _UPSCALE_CACHE.get(key)
+        if hit is not None:
+            return hit.copy()
+    out = _upscale_uncached(entry, image, scale)
+    if key is not None:
+        _UPSCALE_CACHE[key] = out.copy()
+        while len(_UPSCALE_CACHE) > cache_n:
+            _UPSCALE_CACHE.pop(next(iter(_UPSCALE_CACHE)))
+    return out
+
+
+def _upscale_uncached(entry, image: Image.Image, scale: float) -> Image.Image:
     dest_w = round(image.width * scale)
     dest_h = round(image.height * scale)
     for _ in range(3):

@@ -354,6 +354,7 @@ def make_default_templates() -> dict:
         "DAT_tile_overlap": OptionInfo(8, "Tile overlap for DAT upscalers"),
         "postprocessing_operation_order": OptionInfo([], "Postprocessing operation order (names run first, in this order)"),
         "postprocessing_disable_in_extras": OptionInfo([], "Disable these postprocessing operations in the extras tab"),
+        "upscaling_max_images_in_cache": OptionInfo(5, "Maximum number of images in upscaling cache"),
         "SCUNET_tile": OptionInfo(256, "Tile size for SCUNET upscalers"),
         "SCUNET_tile_overlap": OptionInfo(8, "Tile overlap for SCUNET upscalers"),
         "ldsr_steps": OptionInfo(100, "LDSR processing steps"),

@@ -155,7 +155,6 @@ REFERENCE_OPTIONS = [
     ]),
     (("postprocessing", "Postprocessing"), [
         ('postprocessing_enable_in_main_ui', [], 'Enable postprocessing operations in txt2img and img2img tabs'),
-        ('upscaling_max_images_in_cache', 5, 'Maximum number of images in upscaling cache'),
         ('postprocessing_existing_caption_action', 'Ignore', 'Action for existing captions'),
     ]),
     (("None", "Hidden options"), [

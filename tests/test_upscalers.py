@@ -138,3 +138,33 @@ def test_taesd_decoder_shapes():
               "18": block(16), "19": conv(16, 3)}
     out = taesd_decode(params, jnp.ones((1, 8, 8, 4)))
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_upscale_cache(monkeypatch):
+    """opts.upscaling_max_images_in_cache: repeated model upscales of the
+    same image hit the cache (reference upscaler cache)."""
+    from PIL import Image
+
+    from sdwebui_tpu.postprocessing import upscalers as up
+
+    calls = {"n": 0}
+
+    def fake_fn(im, s):
+        calls["n"] += 1
+        return im.resize((im.width * 2, im.height * 2))
+
+    up.register_upscaler("cache-test", fake_fn, default_scale=2)
+    try:
+        img = Image.new("RGB", (8, 8), (10, 20, 30))
+        a = up.upscale("cache-test", img, 2.0)
+        b = up.upscale("cache-test", img, 2.0)
+        assert calls["n"] == 1
+        assert a.size == b.size == (16, 16)
+        monkeypatch.setitem(
+            __import__("sdwebui_tpu.utils.options", fromlist=["opts"]).opts.data,
+            "upscaling_max_images_in_cache", 0)
+        up.upscale("cache-test", img, 2.0)
+        assert calls["n"] == 2   # cache disabled
+    finally:
+        up._REGISTRY.pop("cache-test", None)
+        up._UPSCALE_CACHE.clear()
