@@ -233,6 +233,11 @@ def make_default_templates() -> dict:
             component_args={"choices": ["uniform", "quad"]}),
         "interrupt_after_current": OptionInfo(True, "Don't Interrupt in the middle (stop after the current image)"),
         "extra_networks_default_multiplier": OptionInfo(1.0, "Default multiplier for extra networks"),
+        "extra_networks_card_width": OptionInfo(0, "Card width for Extra Networks (px, 0 = auto)"),
+        "extra_networks_card_height": OptionInfo(0, "Card height for Extra Networks (px, 0 = auto)"),
+        "extra_networks_card_text_scale": OptionInfo(1.0, "Card text scale"),
+        "extra_networks_card_show_desc": OptionInfo(True, "Show description on card"),
+        "extra_networks_add_text_separator": OptionInfo(" ", "Extra networks separator (added between the prompt and the inserted tag)"),
         "sdtpu_async_save": OptionInfo(True, "Write images to disk on a background thread (responses carry in-memory images; flush on shutdown)"),
         "sdtpu_png_compress_level": OptionInfo(1, "PNG compression level 0-9 (1 halves encode time vs PIL's default 6 at ~equal size)"),
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of checkpoints loaded at the same time"),

@@ -94,17 +94,12 @@ REFERENCE_OPTIONS = [
         ('extra_networks_show_hidden_directories', True, 'Show hidden directories'),
         ('extra_networks_dir_button_function', False, "Add a '/' to the beginning of directory buttons"),
         ('extra_networks_hidden_models', 'When searched', 'Show cards for models in hidden directories'),
-        ('extra_networks_card_width', 0, 'Card width for Extra Networks'),
-        ('extra_networks_card_height', 0, 'Card height for Extra Networks'),
-        ('extra_networks_card_text_scale', 1.0, 'Card text scale'),
-        ('extra_networks_card_show_desc', True, 'Show description on card'),
         ('extra_networks_card_description_is_html', False, 'Treat card description as HTML'),
         ('extra_networks_card_order_field', 'Path', 'Default order field for Extra Networks cards'),
         ('extra_networks_card_order', 'Ascending', 'Default order for Extra Networks cards'),
         ('extra_networks_tree_view_style', 'Dirs', 'Extra Networks directory view style'),
         ('extra_networks_tree_view_default_enabled', True, 'Show the Extra Networks directory view by default'),
         ('extra_networks_tree_view_default_width', 180, 'Default width for the Extra Networks directory tree view'),
-        ('extra_networks_add_text_separator', ' ', 'Extra networks separator'),
         ('ui_extra_networks_tab_reorder', '', 'Extra networks tab order'),
         ('textual_inversion_print_at_load', False, 'Print a list of Textual Inversion embeddings when loading model'),
     ]),
