@@ -507,6 +507,23 @@ LATENT_UPSCALE_MODES = {
 }
 
 
+def apply_old_hires_behavior(p: GenerationParams):
+    """opts.use_old_hires_fix_width_height (reference processing.py:1214):
+    the requested width/height become the hires TARGET and the first pass
+    auto-computes a ~512² size (old_hires_fix_first_pass_dimensions)."""
+    import math
+
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if not (p.enable_hr
+            and _opts.get("use_old_hires_fix_width_height", False)):
+        return
+    p.hr_resize_x, p.hr_resize_y = p.width, p.height
+    scale = math.sqrt(512 * 512 / (p.width * p.height))
+    p.width = math.ceil(scale * p.width / 64) * 64
+    p.height = math.ceil(scale * p.height / 64) * 64
+
+
 def calculate_hr_target(p: GenerationParams):
     """(hr_width, hr_height) — reference calculate_target_resolution
     (modules/processing.py:1213)."""
@@ -1145,6 +1162,7 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
     runner.before_process(p)
     _console_log_prompt("txt2img", p)
     _reset_ti_usage(model)
+    apply_old_hires_behavior(p)
     _resolve_seeds(p)
     _strip_prompt_comments(p)
     # extra networks: strip <lora:...> tags, swap in merged param trees

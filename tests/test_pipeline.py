@@ -326,3 +326,22 @@ def test_upcast_attn_option(model):
     finally:
         opts.set("upcast_attn", False)
     assert not _apply_hypertile(model).unet_cfg.upcast_attn
+
+
+def test_use_old_hires_fix_width_height(monkeypatch):
+    """Old hires behavior: requested size becomes the target, first pass
+    ~512^2 (reference old_hires_fix_first_pass_dimensions)."""
+    from sdwebui_tpu.pipeline.processing import (apply_old_hires_behavior,
+                                                 calculate_hr_target)
+    from sdwebui_tpu.utils.options import opts
+
+    p = GenerationParams(prompt="x", width=1024, height=768, enable_hr=True,
+                         hr_scale=2.0)
+    apply_old_hires_behavior(p)   # option off: nothing changes
+    assert (p.width, p.height) == (1024, 768)
+
+    monkeypatch.setitem(opts.data, "use_old_hires_fix_width_height", True)
+    apply_old_hires_behavior(p)
+    assert (p.hr_resize_x, p.hr_resize_y) == (1024, 768)
+    assert (p.width, p.height) == (640, 448)   # ceil(512²-scaled / 64) * 64
+    assert calculate_hr_target(p) == (1024, 768)
