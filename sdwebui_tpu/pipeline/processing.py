@@ -605,11 +605,19 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
             spec, noises_per_step=max(spec.noises_per_step, 1))
 
     # hires conds: schedule numbers continue past the first pass unless
-    # opts.use_old_scheduling (reference setup_conds hires_steps arg)
+    # opts.use_old_scheduling (reference setup_conds hires_steps arg);
+    # opts.hires_fix_use_firstpass_conds keeps the first pass's SDXL size
+    # vectors (reference processing.py:1526 calculate_hr_conds)
+    from sdwebui_tpu.utils.options import opts as _hrc_opts
+
+    if _hrc_opts.get("hires_fix_use_firstpass_conds", False):
+        cond_w, cond_h = p.width, p.height
+    else:
+        cond_w, cond_h = hr_w, hr_h
     cond = _build_conds(model, p, p.steps, cfg_scale=cfg,
                         prompt=p.hr_prompt or p.prompt,
                         negative=p.hr_negative_prompt or p.negative_prompt,
-                        width=hr_w, height=hr_h, hires_steps=t_enc + 1)
+                        width=cond_w, height=cond_h, hires_steps=t_enc + 1)
 
     rng = ImageRNG((c, th, tw), seeds, subseeds=subseeds,
                    subseed_strength=p.subseed_strength)
