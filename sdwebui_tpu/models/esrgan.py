@@ -42,19 +42,44 @@ def _rrdb(p, x):
     return x + 0.2 * out
 
 
+def _pixel_unshuffle(x, r: int):
+    """(B,H,W,C) → (B,H/r,W/r,C·r²) — RealESRGAN feeds unshuffled pixels to
+    run the body at reduced resolution for its x2/x1 variants
+    (realesrgan RRDBNet forward)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    # torch pixel_unshuffle channel order: (C, r_h, r_w)
+    return x.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // r, w // r, c * r * r)
+
+
 def apply(params, x, scale: int = 4):
     """x: (B,H,W,3) in [0,1] → (B,scale*H,scale*W,3)."""
+    in_ch = params["conv_first"]["weight"].shape[2]
+    h0, w0 = x.shape[1], x.shape[2]
+    unshuffle = {12: 2, 48: 4}.get(in_ch, 1)
+    if unshuffle > 1:      # RealESRGAN x2/x1 variants
+        ph, pw = (-h0) % unshuffle, (-w0) % unshuffle
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), "reflect")
+        x = _pixel_unshuffle(x, unshuffle)
     fea = conv2d(params["conv_first"], x)
     body = fea
     n_blocks = len(params["body"])
     for i in range(n_blocks):
         body = _rrdb(params["body"][str(i)], body)
     fea = fea + conv2d(params["conv_body"], body)
-    if scale >= 2 and "conv_up1" in params:
+    # topology comes from the checkpoint: both upsample convs always run
+    # when present (pixel-unshuffled x2/x1 models have both and divide the
+    # net scale via the unshuffle above)
+    if "conv_up1" in params:
         fea = _lrelu(conv2d(params["conv_up1"], upsample_nearest_2x(fea)))
-    if scale >= 4 and "conv_up2" in params:
+    if "conv_up2" in params:
         fea = _lrelu(conv2d(params["conv_up2"], upsample_nearest_2x(fea)))
     out = conv2d(params["conv_last"], _lrelu(conv2d(params["conv_hr"], fea)))
+    if unshuffle > 1:      # crop the pad back off at the net output scale
+        net = (4 if "conv_up2" in params
+               else 2 if "conv_up1" in params else 1) // unshuffle
+        out = out[:, : h0 * max(net, 1), : w0 * max(net, 1)]
     return jnp.clip(out, 0.0, 1.0)
 
 
@@ -109,7 +134,12 @@ def load_esrgan(path: str):
 
     tree = unflatten({k: convert_leaf(k, np.asarray(v)) for k, v in sd.items()})
     scale = 4 if "conv_up2" in tree else (2 if "conv_up1" in tree else 1)
-    return jax.device_put(tree), scale
+    in_ch = tree["conv_first"]["weight"].shape[2]
+    if in_ch == 12:
+        scale //= 2        # pixel-unshuffled RealESRGAN x2 checkpoints
+    elif in_ch == 48:
+        scale //= 4
+    return jax.device_put(tree), max(scale, 1)
 
 
 def init_params(n_blocks: int = 2, nf: int = 16, gc: int = 8, seed: int = 0,

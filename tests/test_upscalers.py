@@ -168,3 +168,65 @@ def test_upscale_cache(monkeypatch):
     finally:
         up._REGISTRY.pop("cache-test", None)
         up._UPSCALE_CACHE.clear()
+
+
+def test_realesrgan_x2_pixel_unshuffle_parity():
+    """RealESRGAN x2plus topology (12-ch conv_first after pixel_unshuffle(2),
+    both upsample convs): net output is 2x, matches torch pixel_unshuffle +
+    the same conv stack."""
+    import torch
+    import torch.nn.functional as F
+
+    nf = 8
+    torch.manual_seed(1)
+    convs = {
+        "conv_first": torch.nn.Conv2d(12, nf, 3, 1, 1),
+        "conv_body": torch.nn.Conv2d(nf, nf, 3, 1, 1),
+        "conv_up1": torch.nn.Conv2d(nf, nf, 3, 1, 1),
+        "conv_up2": torch.nn.Conv2d(nf, nf, 3, 1, 1),
+        "conv_hr": torch.nn.Conv2d(nf, nf, 3, 1, 1),
+        "conv_last": torch.nn.Conv2d(nf, 3, 3, 1, 1),
+    }
+    # one trivial body block whose rdb convs are zero → body(x) == x
+    zeros = {}
+    for bi in ("rdb1", "rdb2", "rdb3"):
+        for ci in range(1, 6):
+            cout = 4 if ci < 5 else nf
+            cin = nf + (ci - 1) * 4
+            zeros[f"body.0.{bi}.conv{ci}.weight"] = np.zeros(
+                (cout, cin, 3, 3), np.float32)
+            zeros[f"body.0.{bi}.conv{ci}.bias"] = np.zeros((cout,), np.float32)
+
+    sd = {k: v.weight.detach().numpy() for k, v in convs.items()}
+    sd = {f"{k}.weight": v for k, v in sd.items()}
+    sd.update({f"{k}.bias": v.bias.detach().numpy() for k, v in convs.items()})
+    sd.update(zeros)
+
+    from sdwebui_tpu.loader.convert import convert_leaf
+    from sdwebui_tpu.utils.pytree import unflatten
+
+    tree = unflatten({k: convert_leaf(k, np.asarray(v))
+                      for k, v in sd.items()})
+    rng = np.random.default_rng(1)
+    x = rng.random((1, 6, 10, 3)).astype(np.float32)
+    ours = np.asarray(esrgan.apply(tree, jnp.asarray(x), scale=2))
+    assert ours.shape == (1, 12, 20, 3)
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        u = F.pixel_unshuffle(xt, 2)
+        fea = convs["conv_first"](u)
+        # zeroed rdbs: each rdb is identity, RRDB adds x + 0.2*chain(x)
+        body = fea + 0.2 * fea
+        fea = fea + convs["conv_body"](body)
+        fea = F.leaky_relu(convs["conv_up1"](
+            F.interpolate(fea, scale_factor=2, mode="nearest")), 0.2)
+        fea = F.leaky_relu(convs["conv_up2"](
+            F.interpolate(fea, scale_factor=2, mode="nearest")), 0.2)
+        out = convs["conv_last"](F.leaky_relu(convs["conv_hr"](fea), 0.2))
+        ref = np.clip(out.numpy(), 0, 1).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+    # loader derives net scale 2 for the 12-channel variant
+    # (4 from two upsamples, /2 from the unshuffle)
+    from sdwebui_tpu.models.esrgan import load_esrgan  # noqa: F401
