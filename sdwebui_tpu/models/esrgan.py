@@ -239,7 +239,28 @@ def register_esrgan_dir(dirs=("models/ESRGAN", "models/RealESRGAN")):
 
                 def fn_(image, scale):
                     if "params" not in cache:
-                        cache["params"], cache["scale"] = load_esrgan(p)
+                        # sniff the arch: SRVGGNetCompact (RealESRGAN v3
+                        # "general"/"animevideo" models) vs RRDBNet
+                        if p.endswith(".safetensors"):
+                            from sdwebui_tpu.loader.safetensors_io import \
+                                read_state_dict as _rd
+
+                            keys = set(_rd(p).keys())
+                        else:
+                            from sdwebui_tpu.loader.torch_ckpt import \
+                                load_torch_checkpoint as _lt
+
+                            keys = set(_lt(p).keys())
+                        keys = {k.replace("params.", "", 1) for k in keys}
+                        if is_srvgg(dict.fromkeys(keys)):
+                            cache["params"], cache["scale"] = load_srvgg(p)
+                            cache["srvgg"] = True
+                        else:
+                            cache["params"], cache["scale"] = load_esrgan(p)
+                            cache["srvgg"] = False
+                    if cache["srvgg"]:
+                        return upscale_image_srvgg(cache["params"], image,
+                                                   cache["scale"])
                     return upscale_image(cache["params"], image, cache["scale"])
 
                 return fn_
@@ -247,3 +268,80 @@ def register_esrgan_dir(dirs=("models/ESRGAN", "models/RealESRGAN")):
             register_upscaler(name, make_fn(), default_scale=4)
             found.append(name)
     return found
+
+
+# --------------------------------------------------------------------------
+# SRVGGNetCompact — RealESRGAN v3 "general" models (realesr-general-x4v3,
+# realesr-animevideov3).  Arch per the public realesrgan srvgg_arch.py:
+# conv(in,nf)+PReLU, num_conv x (conv(nf,nf)+PReLU), conv(nf, out*r²),
+# PixelShuffle(r), plus a nearest-upsampled input residual.
+# --------------------------------------------------------------------------
+
+def _pixel_shuffle(x, r: int):
+    """(B,H,W,C·r²) → (B,H·r,W·r,C), torch PixelShuffle channel order."""
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    return x.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * r, w * r, c)
+
+
+def is_srvgg(sd: dict) -> bool:
+    return any(k.startswith("body.") for k in sd) and \
+        not any(".rdb" in k or ".RDB" in k for k in sd) and \
+        "conv_first.weight" not in sd and "model.0.weight" not in sd
+
+
+def apply_srvgg(params, x, scale: int):
+    body = params["body"]
+    h = x
+    for i in range(len(body)):
+        p = body[str(i)]
+        w = p["weight"]
+        if w.ndim == 4:                      # conv
+            h = conv2d(p, h)
+        else:                                # PReLU (per-channel alpha)
+            h = jnp.where(h > 0, h, h * w.astype(h.dtype))
+    out = _pixel_shuffle(h, scale)
+    base = jnp.repeat(jnp.repeat(x, scale, axis=1), scale, axis=2)
+    return jnp.clip(out + base, 0.0, 1.0)
+
+
+def load_srvgg(path: str):
+    """file → (params, scale); scale derived from the last conv's output
+    channels (out_ch·r²)."""
+    if path.endswith(".safetensors"):
+        from sdwebui_tpu.loader.safetensors_io import read_state_dict
+
+        sd = read_state_dict(path)
+    else:
+        from sdwebui_tpu.loader.torch_ckpt import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(path)
+    if "params" in sd and isinstance(sd["params"], dict):
+        sd = sd["params"]
+    sd = {k.replace("params.", "", 1) if k.startswith("params.") else k: v
+          for k, v in sd.items()}
+    from sdwebui_tpu.loader.convert import convert_leaf
+    from sdwebui_tpu.utils.pytree import unflatten
+
+    tree = unflatten({k: convert_leaf(k, np.asarray(v)) for k, v in sd.items()})
+    body = tree["body"]
+    last = body[str(max(int(k) for k in body.keys()))]
+    out_ch = last["weight"].shape[3]
+    scale = int(round((out_ch / 3) ** 0.5))
+    return jax.device_put(tree), max(scale, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _apply_srvgg_batch(params, tiles, scale):
+    return apply_srvgg(params, tiles, scale)
+
+
+def upscale_image_srvgg(params, image: Image.Image, model_scale: int,
+                        tile: int | None = None,
+                        overlap: int | None = None) -> Image.Image:
+    from sdwebui_tpu.postprocessing.upscalers import tiled_sr_upscale
+
+    return tiled_sr_upscale(
+        lambda arr: _apply_srvgg_batch(params, jnp.asarray(arr), model_scale),
+        model_scale, 1, image, tile=tile, overlap=overlap)

@@ -230,3 +230,54 @@ def test_realesrgan_x2_pixel_unshuffle_parity():
     # loader derives net scale 2 for the 12-channel variant
     # (4 from two upsamples, /2 from the unshuffle)
     from sdwebui_tpu.models.esrgan import load_esrgan  # noqa: F401
+
+
+def test_srvgg_compact_parity():
+    """SRVGGNetCompact (realesr-general-v3 family) vs a torch twin: conv+
+    PReLU stack, pixel-shuffle upsampler, nearest input residual."""
+    import torch
+    import torch.nn.functional as F
+
+    nf, num_conv, scale = 8, 2, 2
+    torch.manual_seed(3)
+    layers = [torch.nn.Conv2d(3, nf, 3, 1, 1), torch.nn.PReLU(nf)]
+    for _ in range(num_conv):
+        layers += [torch.nn.Conv2d(nf, nf, 3, 1, 1), torch.nn.PReLU(nf)]
+    layers += [torch.nn.Conv2d(nf, 3 * scale * scale, 3, 1, 1)]
+    body = torch.nn.Sequential(*layers).eval()
+
+    sd = {f"body.{i}.{k}": v.detach().numpy()
+          for i, m in enumerate(layers)
+          for k, v in m.state_dict().items()}
+
+    from sdwebui_tpu.loader.convert import convert_leaf
+    from sdwebui_tpu.models.esrgan import (apply_srvgg, is_srvgg, load_srvgg)
+    from sdwebui_tpu.utils.pytree import unflatten
+
+    assert is_srvgg(sd)
+    tree = unflatten({k: convert_leaf(k, np.asarray(v))
+                      for k, v in sd.items()})
+
+    rng = np.random.default_rng(3)
+    x = rng.random((1, 6, 7, 3)).astype(np.float32)
+    ours = np.asarray(apply_srvgg(tree, jnp.asarray(x), scale))
+    assert ours.shape == (1, 12, 14, 3)
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        out = body(xt)
+        out = F.pixel_shuffle(out, scale)
+        out = out + F.interpolate(xt, scale_factor=scale, mode="nearest")
+        ref = np.clip(out.numpy(), 0, 1).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+    # loader round-trip derives scale from the final conv width
+    import tempfile
+
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/srvgg.safetensors"
+        write_safetensors(path, {k: np.asarray(v) for k, v in sd.items()})
+        params, s = load_srvgg(path)
+        assert s == scale
