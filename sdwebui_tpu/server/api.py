@@ -154,6 +154,8 @@ class Api:
         r("GET", "/sdapi/v1/script-info", self.script_info)
         r("GET", "/sdapi/v1/extensions", self.extensions)
         r("POST", "/internal/extensions/install", self.extensions_install)
+        r("POST", "/internal/extra-networks/user-metadata",
+          self.extra_network_user_metadata)
         r("POST", "/internal/extensions/check-updates",
           self.extensions_check_updates)
         r("POST", "/sdapi/v1/create/embedding", self.create_embedding)
@@ -656,6 +658,8 @@ class Api:
         the extra-networks cards like the reference's NetworkOnDisk."""
         from sdwebui_tpu.networks.extra_networks import default_registry
 
+        import json as _json
+
         out = []
         for name, path in default_registry().files.items():
             meta = {}
@@ -669,9 +673,37 @@ class Api:
                     alias = meta.get("ss_output_name") or name
                 except Exception:
                     pass
-            out.append({"name": name, "alias": alias, "path": path,
-                        "metadata": meta})
+            entry = {"name": name, "alias": alias, "path": path,
+                     "metadata": meta}
+            # user metadata sidecar <file>.json (reference
+            # ui_extra_networks_user_metadata.py): description, activation
+            # text, preferred weight feed the cards + click-to-insert
+            side = os.path.splitext(path)[0] + ".json"
+            if os.path.isfile(side):
+                try:
+                    with open(side, encoding="utf-8") as f:
+                        entry["user_metadata"] = _json.load(f)
+                except (OSError, ValueError):
+                    pass
+            out.append(entry)
         return out
+
+    def extra_network_user_metadata(self, body: dict):
+        """Write the <file>.json user-metadata sidecar (reference
+        UserMetadataEditor.write_user_metadata)."""
+        import json as _json
+
+        from sdwebui_tpu.networks.extra_networks import default_registry
+
+        name = (body or {}).get("name", "")
+        path = default_registry().files.get(name)
+        if path is None:
+            raise ApiError(404, f"network {name!r} not found")
+        side = os.path.splitext(path)[0] + ".json"
+        data = {k: v for k, v in body.items() if k != "name"}
+        with open(side, "w", encoding="utf-8") as f:
+            _json.dump(data, f, indent=2)
+        return {"path": side}
 
     def refresh_loras(self, body=None):
         from sdwebui_tpu.networks.extra_networks import default_registry

@@ -451,3 +451,28 @@ def test_extras_operation_order_and_disable(server, monkeypatch):
                         ["CodeFormer", "GFPGAN", "Upscale"])
     r3 = requests.post(f"{server}/sdapi/v1/extra-single-image", json=body)
     assert _decode(r3.json()["image"]).size == (64, 64)
+
+
+def test_extra_network_user_metadata(server, tmp_path, monkeypatch):
+    """User-metadata sidecars round-trip through the API (reference
+    ui_extra_networks_user_metadata.py write_user_metadata)."""
+    import numpy as np
+
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+    from sdwebui_tpu.networks.extra_networks import default_registry
+
+    path = tmp_path / "stylelora.safetensors"
+    write_safetensors(str(path), {"w": np.zeros((2, 2), np.float32)})
+    reg = default_registry()
+    monkeypatch.setitem(reg.files, "stylelora", str(path))
+
+    r = requests.post(f"{server}/internal/extra-networks/user-metadata",
+                      json={"name": "stylelora",
+                            "description": "my style",
+                            "activation text": "in the style of X",
+                            "preferred weight": 0.8})
+    assert r.status_code == 200
+    loras = requests.get(f"{server}/sdapi/v1/loras").json()
+    hit = next(l for l in loras if l["name"] == "stylelora")
+    assert hit["user_metadata"]["description"] == "my style"
+    assert hit["user_metadata"]["preferred weight"] == 0.8
