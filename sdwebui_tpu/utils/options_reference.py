@@ -7,6 +7,22 @@ Names, defaults, and labels mirror the reference so config.json files and
 data (name, default, label) grouped by the reference's section keys; options
 with engine behavior behind them graduate into utils/options.py's typed
 templates as features consume them.
+
+What remains after the round-2 graduations is almost entirely
+environment-specific no-ops with no TPU/stdlib-server counterpart:
+torch memory/precision knobs (pin_memory, cache_fp16_weight, fp8_storage,
+upcast/autocast variants already subsumed by the bf16+fp32-islands dtype
+policy), gradio-frontend plumbing (js_modal_lightbox*, gradio_theme,
+compact_prompt_box, accordion toggles), console-noise toggles
+(multiple_tqdm, hide_ldm_prints, enable_upscale_progressbar — tiles run as
+ONE batched device call here, there is no per-tile loop to report), and
+torch-DataLoader training knobs (pin_memory, unload_models_when_training —
+params are HBM-resident by design).  pad_cond_uncond* are structurally
+always-on: the fused CFG batch requires equal cond/uncond chunk counts, so
+the conditioner always pads (reference behavior with pad_cond_uncond=True).
+no_dpmpp_sde_batch_determinism is likewise N/A: per-image Philox streams
+make SDE noise batch-size-invariant (the reference's enable_batch_seeds=True
+behavior) by construction.
 """
 
 REFERENCE_OPTIONS = [
