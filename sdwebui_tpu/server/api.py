@@ -925,11 +925,41 @@ class Api:
         return {}
 
     def sysinfo(self, body=None):
+        """Environment report (reference modules/sysinfo.py get_dict):
+        platform, RAM, config, cmd flags, loaded model, extensions."""
+        import platform
+        import sys
+
         import jax
 
-        return {"version": f"sdwebui-tpu-{__version__}",
-                "jax": jax.__version__, "backend": jax.default_backend(),
-                "device_count": jax.device_count()}
+        try:
+            import resource
+
+            ram_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        except Exception:
+            ram_mb = None
+        from sdwebui_tpu.extensions import list_extensions
+        from sdwebui_tpu.server.cmd_flags import cmd_opts
+
+        model = self.engine.sd_model
+        return {
+            "version": f"sdwebui-tpu-{__version__}",
+            "python": sys.version.split()[0],
+            "platform": platform.platform(),
+            "jax": jax.__version__,
+            "backend": jax.default_backend(),
+            "device_count": jax.device_count(),
+            "ram_peak_mb": ram_mb,
+            "checkpoint": getattr(model, "title", None),
+            "checkpoint_hash": (model.sha256[:10]
+                                if getattr(model, "sha256", "") else None),
+            "model_kind": getattr(model, "kind", None),
+            "cmd_flags": {k: v for k, v in vars(cmd_opts).items()
+                          if v not in (None, False, "")},
+            "config": dict(opts.data),
+            "extensions": [{"name": e.name, "enabled": e.enabled}
+                           for e in list_extensions()],
+        }
 
     # ---- training (reference modules/api/api.py train routes) ----------
 

@@ -476,3 +476,14 @@ def test_extra_network_user_metadata(server, tmp_path, monkeypatch):
     hit = next(l for l in loras if l["name"] == "stylelora")
     assert hit["user_metadata"]["description"] == "my style"
     assert hit["user_metadata"]["preferred weight"] == 0.8
+
+
+def test_sysinfo_report(server):
+    """Rich environment report (reference modules/sysinfo.py get_dict)."""
+    r = requests.get(f"{server}/internal/sysinfo")
+    assert r.status_code == 200
+    d = r.json()
+    for key in ("version", "python", "platform", "jax", "backend",
+                "checkpoint", "config", "extensions"):
+        assert key in d, key
+    assert isinstance(d["config"], dict) and "samples_save" in d["config"]
