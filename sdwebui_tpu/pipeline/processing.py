@@ -882,7 +882,8 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
         pairs["User"] = p.user
     if _opts.get("textual_inversion_add_hashes_to_infotext", True):
         # reference sd_hijack TI hash recording: name its used embeddings
-        db = getattr(model.conditioner, "embedding_db", None)
+        db = getattr(getattr(model, "conditioner", None), "embedding_db",
+                     None)
         used = sorted(getattr(db, "used_names", []) or []) if db else []
         if used:
             pairs["TI hashes"] = ", ".join(
