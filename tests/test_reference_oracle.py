@@ -580,3 +580,84 @@ def test_taesd_encoder_reference_state_dict_forward(latent_channels):
     got = np.asarray(taesd_encode(params, x.numpy().transpose(0, 2, 3, 1)))
     assert got.shape == expected.shape
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
+# ===========================================================================
+# 9. UniPC — reference modules/models/diffusion/uni_pc (pure torch) as
+#    oracle for the scan-fused VE-space UniPC solver
+# ===========================================================================
+
+@pytest.mark.parametrize("steps", [8, 20])
+def test_unipc_trajectory_parity(steps):
+    """Reference UniPCCFG multistep run (variant bh1, order 3,
+    time_uniform grid, predict_x0) vs sampling/solvers.py unipc on the SAME
+    continuous-time grid, mapped x_vp = x_ve·α(σ).  λ_vp == -log σ_ve, so
+    the reference grid converts to VE sigmas exactly."""
+    import torch
+
+    impl = ro.load("modules.sd_samplers_timesteps_impl")
+    uni_pc = ro.load("modules.models.diffusion.uni_pc.uni_pc")
+
+    from sdwebui_tpu.sampling.discretization import make_alphas_cumprod
+
+    ac = make_alphas_cumprod()
+    ns = uni_pc.NoiseScheduleVP(
+        "discrete", alphas_cumprod=torch.as_tensor(ac, dtype=torch.float32))
+
+    def eps_torch(x, t_input, **kw):
+        # bounded analytic "network" — the trajectory stays O(1) so fp32
+        # noise is not amplified by the 14-sigma start
+        t = torch.as_tensor(t_input).view(-1, 1, 1, 1).float()
+        return torch.tanh(x * 0.3) * 0.9 + 0.05 * torch.cos(t / 100.0)
+
+    rng = np.random.default_rng(11)
+    x0_vp = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+
+    sampler = impl.UniPCCFG(eps_torch, {}, lambda d: None, ns,
+                            predict_x0=True, thresholding=False,
+                            variant="bh1")
+    with torch.no_grad():
+        ref = sampler.sample(torch.from_numpy(x0_vp.copy()), steps=steps,
+                             t_start=None, skip_type="time_uniform",
+                             method="multistep", order=3,
+                             lower_order_final=True).numpy()
+
+    # the reference's continuous grid → VE sigmas (λ_vp == -log σ_ve)
+    t_T, t_0 = float(ns.T), 1.0 / ns.total_N
+    t_grid = torch.linspace(t_T, t_0, steps + 1)
+    lam = ns.marginal_lambda(t_grid).numpy().astype(np.float64)
+    sigmas_ve = np.exp(-lam)
+
+    # σ → model-input time mapping (UniPCCFG.get_model_input_time) via a
+    # dense inversion table of the SAME discrete noise schedule
+    ts_dense = torch.linspace(t_0, t_T, 4001)
+    lam_dense = ns.marginal_lambda(ts_dense).numpy().astype(np.float64)
+    t_input_dense = (ts_dense.numpy() - 1.0 / ns.total_N) * 1000.0
+    order_ix = np.argsort(lam_dense)
+    lam_sorted = lam_dense[order_ix]
+    t_input_sorted = t_input_dense[order_ix]
+
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.sampling.sampler import sample
+
+    lam_tab = jnp.asarray(lam_sorted, jnp.float32)
+    tin_tab = jnp.asarray(t_input_sorted, jnp.float32)
+
+    def model(x_ve, sigma, i):
+        lam_x = -jnp.log(jnp.maximum(sigma, 1e-12))
+        t_in = jnp.interp(lam_x, lam_tab, tin_tab)
+        a = jnp.sqrt(1.0 / (1.0 + sigma ** 2))
+        x_vp = x_ve * a
+        eps = jnp.tanh(x_vp * 0.3) * 0.9 + 0.05 * jnp.cos(t_in / 100.0)
+        return x_ve - sigma * eps
+
+    a0 = np.sqrt(1.0 / (1.0 + sigmas_ve[0] ** 2))
+    x_ve = jnp.asarray(x0_vp / a0, jnp.float32)
+    out_ve = np.asarray(sample(model, x_ve, sigmas_ve.astype(np.float32),
+                               solver="unipc", mode="loop"))
+    a_end = np.sqrt(1.0 / (1.0 + sigmas_ve[-1] ** 2))
+    got = out_ve * a_end
+    # fp32 noise amplified ~150x by the VP x0-prediction at t_T (1/alpha);
+    # semantic drift would diverge at O(0.1+)
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
