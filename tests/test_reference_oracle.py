@@ -661,3 +661,59 @@ def test_unipc_trajectory_parity(steps):
     # fp32 noise amplified ~150x by the VP x0-prediction at t_T (1/alpha);
     # semantic drift would diverge at O(0.1+)
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# ===========================================================================
+# 10. Masking + styles — reference modules/masking.py / modules/styles.py
+#     (pure PIL / pure python) as oracles
+# ===========================================================================
+
+def test_masking_crop_region_parity():
+    """get_crop_region_v2 + expand_crop_region vs the reference's own
+    implementations across random masks and paddings."""
+    ref = ro.load("modules.masking")
+    from sdwebui_tpu.utils import masking as ours
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        h, w = int(rng.integers(16, 96)), int(rng.integers(16, 96))
+        mask = (rng.random((h, w)) > float(rng.uniform(0.5, 0.999)))
+        from PIL import Image
+
+        mask_img = Image.fromarray((mask * 255).astype(np.uint8))
+        pad = int(rng.integers(0, 12))
+        r_ref = ref.get_crop_region_v2(mask_img, pad)
+        r_our = ours.get_crop_region_v2(mask, pad)
+        if r_ref is None:
+            assert r_our is None
+            continue
+        assert tuple(r_our) == tuple(r_ref), (trial, r_our, r_ref)
+
+        pw, ph = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        e_ref = ref.expand_crop_region(list(r_ref), pw, ph, w, h)
+        e_our = ours.expand_crop_region(tuple(r_our), pw, ph, w, h)
+        assert tuple(e_our) == tuple(e_ref), (trial, e_our, e_ref)
+
+
+def test_styles_extraction_parity():
+    """extract_original_prompt behavior vs the reference's
+    extract_style_text_from_prompt over template and suffix styles."""
+    ref = ro.load("modules.styles")
+    from sdwebui_tpu.text.styles import extract_original_prompt
+
+    cases = [
+        ("masterpiece, best quality", "a cat, masterpiece, best quality"),
+        ("masterpiece, best quality", "a cat"),
+        ("photo of {prompt}, 4k", "photo of a dog, 4k"),
+        ("photo of {prompt}, 4k", "painting of a dog, 8k"),
+        ("", "anything"),
+        ("x", "x"),
+    ]
+    for style_text, prompt in cases:
+        ok_ref, ref_prompt = ref.extract_style_text_from_prompt(style_text,
+                                                                prompt)
+        our_prompt, ok_our = extract_original_prompt(style_text, prompt)
+        assert ok_our == ok_ref, (style_text, prompt)
+        if ok_ref:
+            assert our_prompt.strip() == ref_prompt.strip(), \
+                (style_text, prompt, our_prompt, ref_prompt)
