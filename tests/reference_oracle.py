@@ -62,7 +62,13 @@ def _k_diffusion_stub():
             ramp * (math.log(sigma_max) - math.log(sigma_min)) + math.log(sigma_min))
         return append_zero(sigmas)
 
+    def to_d(x, sigma, denoised):
+        # k-diffusion's public ODE-derivative utility (one line, Karras
+        # eq.(3)); needed by the reference's restart sampler
+        return (x - denoised) / sigma.view(-1, *([1] * (x.ndim - 1)))
+
     sampling.append_zero = append_zero
+    sampling.to_d = to_d
     sampling.get_sigmas_karras = get_sigmas_karras
     sampling.get_sigmas_exponential = get_sigmas_exponential
     sampling.get_sigmas_polyexponential = get_sigmas_polyexponential

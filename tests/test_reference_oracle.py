@@ -717,3 +717,47 @@ def test_styles_extraction_parity():
         if ok_ref:
             assert our_prompt.strip() == ref_prompt.strip(), \
                 (style_text, prompt, our_prompt, ref_prompt)
+
+
+# ===========================================================================
+# 11. Restart sampler — reference modules/sd_samplers_extra.py (pure torch,
+#     k-diffusion deps stubbed with the public 3-line utilities)
+# ===========================================================================
+
+@pytest.mark.parametrize("steps", [12, 30, 40])
+def test_restart_sampler_trajectory_parity(steps):
+    """Whole-run parity incl. the automatic restart-plan construction (the
+    ≥20-step karras re-schedule and re-noise segments); s_noise=0 makes the
+    reference deterministic, matching our zero pre-generated noise."""
+    import torch
+
+    extra = ro.load("modules.sd_samplers_extra")
+
+    def denoised_torch(x, sigma, **kw):
+        s = sigma.view(-1, 1, 1, 1)
+        return torch.tanh(x * 0.3) + 0.1 * torch.cos(s)
+
+    rng = np.random.default_rng(13)
+    sigmas_np = None
+    from sdwebui_tpu.sampling.schedulers import karras as karras_schedule
+
+    sigmas_np = karras_schedule(steps, 0.0292, 14.6146).astype(np.float64)
+    x0 = (rng.standard_normal((2, 8, 8, 4)) * sigmas_np[0]).astype(np.float32)
+
+    with torch.no_grad():
+        ref = extra.restart_sampler(
+            denoised_torch, torch.from_numpy(x0.copy()),
+            torch.as_tensor(sigmas_np, dtype=torch.float64),
+            disable=True, s_noise=0.0).numpy()
+
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.sampling.sampler import sample
+
+    def model(x, sigma, i):
+        return jnp.tanh(x * 0.3) + 0.1 * jnp.cos(sigma)
+
+    got = np.asarray(sample(model, jnp.asarray(x0),
+                            sigmas_np.astype(np.float32), solver="restart",
+                            mode="loop"))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
