@@ -220,6 +220,10 @@ def install_from_url(url: str, dirname: str | None = None,
     name = dirname or os.path.basename(url.rstrip("/")).removesuffix(".git")
     if not name:
         raise ValueError(f"cannot derive extension name from {url!r}")
+    # single path component only: no traversal out of extensions/
+    if name in (".", "..") or any(c in name for c in ("/", "\\", "\0")) \
+            or name.startswith("."):
+        raise ValueError(f"invalid extension directory name {name!r}")
     target = os.path.join(target_root, name)
     if os.path.exists(target):
         raise FileExistsError(

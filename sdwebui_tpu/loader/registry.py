@@ -75,9 +75,12 @@ class CheckpointRegistry:
             if not os.path.isdir(d):
                 continue
             for ext in ("*.safetensors", "*.ckpt", "*.pt"):
+                import sys
+
+                hidden_kw = ({"include_hidden": True}
+                             if sys.version_info >= (3, 11) else {})
                 for path in sorted(glob.glob(os.path.join(d, "**", ext),
-                                             recursive=True,
-                                             include_hidden=True)):
+                                             recursive=True, **hidden_kw)):
                     if ".vae." in os.path.basename(path).lower():
                         continue   # sibling VAE files are not checkpoints
                     from sdwebui_tpu.utils.fs import visible

@@ -150,7 +150,10 @@ def tag_image(params, tags, image, threshold: float = 0.5,
     img = image.convert("RGB").resize((512, 512), Image.LANCZOS)
     arr = jnp.asarray(np.asarray(img, np.float32)[None] / 255.0)
     probs = np.asarray(apply(params, arr))[0]
-    excluded = {t.strip() for t in filter_tags.split(",") if t.strip()}
+    # reference deepbooru.py:81: filter entries normalized to the raw
+    # underscore tag form before matching
+    excluded = {t.strip().replace(" ", "_")
+                for t in filter_tags.split(",") if t.strip()}
     picked = [(tags[i], float(probs[i])) for i in np.nonzero(probs >= threshold)[0]
               if i < len(tags) and not tags[i].startswith("rating:")
               and tags[i] not in excluded]

@@ -116,16 +116,20 @@ def normalize_keys(sd: dict) -> dict:
     return out
 
 
-def load_esrgan(path: str):
-    """file → (params, scale)."""
+def _read_sd(path: str) -> dict:
     if path.endswith(".safetensors"):
         from sdwebui_tpu.loader.safetensors_io import read_state_dict
 
-        sd = read_state_dict(path)
-    else:
-        from sdwebui_tpu.loader.torch_ckpt import load_torch_checkpoint
+        return read_state_dict(path)
+    from sdwebui_tpu.loader.torch_ckpt import load_torch_checkpoint
 
-        sd = load_torch_checkpoint(path)
+    return load_torch_checkpoint(path)
+
+
+def load_esrgan(path: str, sd: dict | None = None):
+    """file → (params, scale)."""
+    if sd is None:
+        sd = _read_sd(path)
     sd = {k.replace("model.", "", 1) if k.startswith("model.model.") else k: v
           for k, v in sd.items()}
     sd = normalize_keys(sd)
@@ -239,24 +243,15 @@ def register_esrgan_dir(dirs=("models/ESRGAN", "models/RealESRGAN")):
 
                 def fn_(image, scale):
                     if "params" not in cache:
-                        # sniff the arch: SRVGGNetCompact (RealESRGAN v3
-                        # "general"/"animevideo" models) vs RRDBNet
-                        if p.endswith(".safetensors"):
-                            from sdwebui_tpu.loader.safetensors_io import \
-                                read_state_dict as _rd
-
-                            keys = set(_rd(p).keys())
-                        else:
-                            from sdwebui_tpu.loader.torch_ckpt import \
-                                load_torch_checkpoint as _lt
-
-                            keys = set(_lt(p).keys())
-                        keys = {k.replace("params.", "", 1) for k in keys}
+                        # sniff the arch once from the loaded state dict:
+                        # SRVGGNetCompact (RealESRGAN v3) vs RRDBNet
+                        sd = _read_sd(p)
+                        keys = {k.replace("params.", "", 1) for k in sd}
                         if is_srvgg(dict.fromkeys(keys)):
-                            cache["params"], cache["scale"] = load_srvgg(p)
+                            cache["params"], cache["scale"] = load_srvgg(p, sd)
                             cache["srvgg"] = True
                         else:
-                            cache["params"], cache["scale"] = load_esrgan(p)
+                            cache["params"], cache["scale"] = load_esrgan(p, sd)
                             cache["srvgg"] = False
                     if cache["srvgg"]:
                         return upscale_image_srvgg(cache["params"], image,
@@ -306,17 +301,11 @@ def apply_srvgg(params, x, scale: int):
     return jnp.clip(out + base, 0.0, 1.0)
 
 
-def load_srvgg(path: str):
+def load_srvgg(path: str, sd: dict | None = None):
     """file → (params, scale); scale derived from the last conv's output
     channels (out_ch·r²)."""
-    if path.endswith(".safetensors"):
-        from sdwebui_tpu.loader.safetensors_io import read_state_dict
-
-        sd = read_state_dict(path)
-    else:
-        from sdwebui_tpu.loader.torch_ckpt import load_torch_checkpoint
-
-        sd = load_torch_checkpoint(path)
+    if sd is None:
+        sd = _read_sd(path)
     if "params" in sd and isinstance(sd["params"], dict):
         sd = sd["params"]
     sd = {k.replace("params.", "", 1) if k.startswith("params.") else k: v

@@ -359,6 +359,9 @@ def _process_img2img(model: SDModel, p: GenerationParams,
                 runner.postprocess_maskoverlay(p, PostProcessMaskOverlayArgs(
                     idx, mask_info.get("overlay_mask"),
                     mask_info.get("originals")))
+        # reference processing.py:1096 original_denoised_image: the mask
+        # composites are built from the PRE-overlay model output
+        pre_overlay = list(pils)
         if _opts.get("overlay_inpaint", True):
             pils = [apply_overlay(p, img, mask_info, idx)
                     for idx, img in enumerate(pils)]
@@ -381,7 +384,7 @@ def _process_img2img(model: SDModel, p: GenerationParams,
                     img.convert("RGBA").convert("RGBa"),
                     PILImage.new("RGBa", img.size),
                     mask_l.resize(img.size)).convert("RGBA")
-                    for img in pils]
+                    for img in pre_overlay]
                 save_extra_copies(comps, p, model, outdir, seeds,
                                   "-mask-composite", lo)
 
@@ -405,11 +408,12 @@ def _process_img2img(model: SDModel, p: GenerationParams,
             from PIL import Image as PILImage
 
             mask_l = mask_info["mask"].convert("L")
-            for img in pils:
+            for idx in range(len(pils)):
                 if _opts.get("return_mask", False):
                     all_images.append(mask_l.convert("RGB"))
                     infotexts.append(infotexts[-1] if infotexts else "")
                 if _opts.get("return_mask_composite", False):
+                    img = pre_overlay[idx]
                     all_images.append(PILImage.composite(
                         img.convert("RGBA").convert("RGBa"),
                         PILImage.new("RGBa", img.size),

@@ -39,9 +39,14 @@ class State:
         self.skipped = True
 
     def interrupt(self):
-        # opts.interrupt_after_current (reference ui_toprow.py:106): first
-        # interrupt of a multi-image job finishes the in-flight image and
-        # stops before the next; a second interrupt stops immediately
+        # immediate, like the reference State.interrupt() used by the API
+        self.interrupted = True
+
+    def interrupt_ui(self):
+        """UI Interrupt button semantics (reference ui_toprow.py:106 with
+        opts.interrupt_after_current): the first interrupt of a multi-image
+        job finishes the in-flight image and stops before the next; a
+        second click stops immediately."""
         from sdwebui_tpu.utils.options import opts as _opts
 
         if not self.stopping_generation and self.job_count > 1 \

@@ -26,6 +26,15 @@ def _clone(p: GenerationParams) -> GenerationParams:
 # X/Y/Z plot (reference scripts/xyz_grid.py — core axis set)
 # ==========================================================================
 
+def _run_cell(engine, q: GenerationParams) -> Processed:
+    """Run one script cell: img2img when init images are present, else
+    txt2img (the reference scripts call process_images, which dispatches on
+    the processing class — scripts work from both tabs)."""
+    if getattr(q, "init_images", None):
+        return engine.img2img_inner(q)
+    return _run_cell(engine, q)
+
+
 def _apply_field(field):
     def fn(p, v):
         setattr(p, field, type(getattr(p, field, v))(v) if getattr(p, field, None) is not None else v)
@@ -260,7 +269,7 @@ class XYZPlot(Script):
                     q = _clone(p)
                     for axis, val in ((x_axis, xv), (y_axis, yv), (z_axis, zv)):
                         apply(q, axis, val)
-                    res = engine.txt2img_inner(q)
+                    res = _run_cell(engine, q)
                     if first is None:
                         first = res
                     row_imgs.extend(res.images)
@@ -338,7 +347,7 @@ class PromptMatrix(Script):
             q = _clone(p)
             q.prompt = prompt
             q.do_not_save_grid = True  # reference prompt_matrix.py:87
-            res = engine.txt2img_inner(q)
+            res = _run_cell(engine, q)
             if first is None:
                 first = res
             all_images.extend(res.images)
@@ -380,7 +389,7 @@ class PromptsFromFile(Script):
             q = _clone(p)
             q.prompt = line
             q.do_not_save_grid = True  # reference prompts_from_file.py:133
-            res = engine.txt2img_inner(q)
+            res = _run_cell(engine, q)
             if first is None:
                 first = res
             if checkbox_iterate:
@@ -690,7 +699,7 @@ class CustomCode(Script):
         if isinstance(result, Processed):
             return result
         if display_data["images"] is None:
-            res = engine.txt2img_inner(p)
+            res = _run_cell(engine, p)
             return res
         imgs = display_data["images"]
         return Processed(images=imgs, params=p,

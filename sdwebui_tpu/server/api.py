@@ -89,6 +89,11 @@ def _apply_infotext(body: dict) -> dict:
 
 def _fields_from_request(req: schema.Txt2ImgRequest) -> dict:
     d = req.model_dump(exclude_unset=False)
+    # authenticated API user → 'User' infotext field (gated on
+    # opts.add_user_name_to_info in create_infotext)
+    user = getattr(current_user, "name", "")
+    if user:
+        d["user"] = user
     sampler = d.pop("sampler_name", None) or d.pop("sampler_index", None) or "Euler a"
     d.pop("sampler_index", None)
     gp_fields = {f.name for f in GenerationParams.__dataclass_fields__.values()}
@@ -156,6 +161,7 @@ class Api:
         r("POST", "/internal/extensions/install", self.extensions_install)
         r("POST", "/internal/extra-networks/user-metadata",
           self.extra_network_user_metadata)
+        r("POST", "/internal/interrupt", self.interrupt_ui)
         r("POST", "/internal/extensions/check-updates",
           self.extensions_check_updates)
         r("POST", "/sdapi/v1/create/embedding", self.create_embedding)
@@ -460,6 +466,12 @@ class Api:
             "id_live_preview": state.id_live_preview,
             "textinfo": state.textinfo,
         }
+
+    def interrupt_ui(self, body=None):
+        """UI-button interrupt honoring opts.interrupt_after_current
+        (reference ui_toprow.py:106); /sdapi/v1/interrupt stays immediate."""
+        state.interrupt_ui()
+        return {}
 
     def interrupt(self, body: dict):
         state.interrupt()
@@ -1119,6 +1131,10 @@ class Api:
 # HTTP plumbing
 # ==========================================================================
 
+#: per-request authenticated username (threading.local: ThreadingHTTPServer
+#: dispatches each request on its own thread)
+current_user = threading.local()
+
 def make_handler(api: Api, credentials: dict | None = None):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -1133,7 +1149,12 @@ def make_handler(api: Api, credentials: dict | None = None):
             if header.startswith("Basic "):
                 try:
                     user, pw = base64.b64decode(header[6:]).decode().split(":", 1)
-                    return credentials.get(user) == pw
+                    if credentials.get(user) == pw:
+                        # feeds the 'User' infotext field
+                        # (opts.add_user_name_to_info)
+                        current_user.name = user
+                        return True
+                    return False
                 except Exception:
                     return False
             return False

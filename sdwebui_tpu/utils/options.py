@@ -316,7 +316,7 @@ def make_default_templates() -> dict:
             "Apply if any", "Infer styles from prompts of pasted infotext",
             component_args={"choices": ["Ignore", "Apply", "Discard", "Apply if any"]}),
         "infotext_skip_pasting": OptionInfo([], "Disregard fields from pasted infotext"),
-        "disable_weights_auto_swap": OptionInfo(False, "Disregard checkpoint information from pasted infotext"),
+        "disable_weights_auto_swap": OptionInfo(True, "Disregard checkpoint information from pasted infotext"),
         "add_user_name_to_info": OptionInfo(False, "Add user name to infotext when authenticated"),
         "textual_inversion_add_hashes_to_infotext": OptionInfo(True, "Add textual inversion hashes to infotext"),
     }))

@@ -410,9 +410,13 @@ def test_parse_infotext_paste_options(server, monkeypatch):
     # register a style matching the prompt suffix via the engine database
     import requests as _rq
 
+    # reference default disable_weights_auto_swap=True drops checkpoint info
     r0 = _rq.post(f"{server}/internal/parse-infotext", json={"text": text})
     base = r0.json()["parsed"]
-    assert base["Model"] == "some-model"
+    assert "Model" not in base and "Model hash" not in base
+    monkeypatch.setitem(opts.data, "disable_weights_auto_swap", False)
+    r0b = _rq.post(f"{server}/internal/parse-infotext", json={"text": text})
+    assert r0b.json()["parsed"]["Model"] == "some-model"
 
     from sdwebui_tpu.text.styles import PromptStyle, get_style_database
 
@@ -487,3 +491,25 @@ def test_sysinfo_report(server):
                 "checkpoint", "config", "extensions"):
         assert key in d, key
     assert isinstance(d["config"], dict) and "samples_save" in d["config"]
+
+
+def test_interrupt_semantics(server, monkeypatch):
+    """/sdapi/v1/interrupt is immediate (reference API behavior);
+    /internal/interrupt honors interrupt_after_current for the UI button."""
+    from sdwebui_tpu.runtime.state import state
+
+    state.job_count = 4
+    state.interrupted = False
+    state.stopping_generation = False
+    requests.post(f"{server}/sdapi/v1/interrupt", json={})
+    assert state.interrupted          # immediate
+    state.interrupted = False
+    state.stopping_generation = False
+
+    requests.post(f"{server}/internal/interrupt", json={})
+    assert state.stopping_generation and not state.interrupted
+    requests.post(f"{server}/internal/interrupt", json={})
+    assert state.interrupted          # second click: hard stop
+    state.interrupted = False
+    state.stopping_generation = False
+    state.job_count = 0

@@ -182,3 +182,15 @@ def test_install_from_local_git(tmp_path, monkeypatch):
         install_from_url(str(src))
 
     assert check_updates()["cool-ext"] in ("latest", "unknown")
+
+
+def test_install_rejects_path_traversal(tmp_path, monkeypatch):
+    """dirname is a single path component — no escaping extensions/."""
+    import pytest as _pytest
+
+    from sdwebui_tpu.extensions import install_from_url
+
+    monkeypatch.chdir(tmp_path)
+    for bad in ("../evil", "a/b", "..", ".hidden", "c\\d"):
+        with _pytest.raises(ValueError):
+            install_from_url("/tmp/whatever", dirname=bad)
