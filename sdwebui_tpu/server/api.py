@@ -162,6 +162,7 @@ class Api:
         r("POST", "/internal/extra-networks/user-metadata",
           self.extra_network_user_metadata)
         r("POST", "/internal/interrupt", self.interrupt_ui)
+        r("POST", "/sdapi/v1/preprocess", self.preprocess)
         r("POST", "/internal/extensions/check-updates",
           self.extensions_check_updates)
         r("POST", "/sdapi/v1/create/embedding", self.create_embedding)
@@ -974,6 +975,38 @@ class Api:
         }
 
     # ---- training (reference modules/api/api.py train routes) ----------
+
+    def preprocess(self, body: dict):
+        """Training-dataset preprocessing pass (reference
+        postprocessing-for-training scripts; route name mirrors the old
+        /sdapi/v1/preprocess API)."""
+        from sdwebui_tpu.training.preprocess import preprocess_dir
+
+        src = body.get("process_src", body.get("input_dir", ""))
+        dst = body.get("process_dst", body.get("output_dir", ""))
+        if not src or not os.path.isdir(src):
+            raise ApiError(404, f"source directory not found: {src!r}")
+        if not dst:
+            raise ApiError(400, "process_dst is required")
+        with self.engine.queue_lock:
+            written = preprocess_dir(
+                src, dst,
+                width=int(body.get("process_width", 512)),
+                height=int(body.get("process_height", 512)),
+                split=bool(body.get("process_split", False)),
+                split_threshold=float(body.get("process_split_threshold", 2.0)),
+                overlap_ratio=float(body.get("process_overlap_ratio", 0.2)),
+                flip=bool(body.get("process_flip", False)),
+                focal_crop=bool(body.get("process_focal_crop", False)),
+                auto_size_crop=bool(body.get("process_multicrop", False)),
+                caption_deepbooru=bool(body.get("process_caption_deepbooru",
+                                                False)),
+                existing_caption_action=str(body.get(
+                    "existing_caption_action",
+                    opts.get("postprocessing_existing_caption_action",
+                             "ignore"))).lower())
+        return {"info": f"preprocess complete: {len(written)} images",
+                "outputs": written}
 
     def create_embedding(self, body: dict):
         import os

@@ -417,6 +417,9 @@ def make_default_templates() -> dict:
         "save_optimizer_state": OptionInfo(False, "Saves Optimizer state as separate *.optim file, so training can resume with Adam moments intact"),
         "save_training_settings_to_txt": OptionInfo(True, "Save textual inversion and hypernet settings to a text file whenever training starts"),
         "training_write_csv_every": OptionInfo(500, "Save an csv containing the loss to log directory every N steps, 0 to disable"),
+        "postprocessing_existing_caption_action": OptionInfo(
+            "ignore", "Action for existing captions during preprocessing",
+            component_args={"choices": ["ignore", "copy", "prepend", "append"]}),
     }))
     t.update(options_section(("api", "API"), {
         "api_enable_requests": OptionInfo(True, "Allow http:// and https:// URLs for input images", restrict_api=True),

@@ -164,7 +164,6 @@ REFERENCE_OPTIONS = [
     ]),
     (("postprocessing", "Postprocessing"), [
         ('postprocessing_enable_in_main_ui', [], 'Enable postprocessing operations in txt2img and img2img tabs'),
-        ('postprocessing_existing_caption_action', 'Ignore', 'Action for existing captions'),
     ]),
     (("None", "Hidden options"), [
         ('restore_config_state_file', '', "Config state file to restore from, under 'config-states/' folder"),

@@ -513,3 +513,17 @@ def test_interrupt_semantics(server, monkeypatch):
     state.interrupted = False
     state.stopping_generation = False
     state.job_count = 0
+
+
+def test_preprocess_route(server, tmp_path):
+    """POST /sdapi/v1/preprocess runs the for-training preprocessing pass."""
+    from PIL import Image as PILImage
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    PILImage.new("RGB", (64, 200), (1, 2, 3)).save(src / "a.png")
+    r = requests.post(f"{server}/sdapi/v1/preprocess", json={
+        "process_src": str(src), "process_dst": str(tmp_path / "out"),
+        "process_width": 64, "process_height": 64, "process_split": True})
+    assert r.status_code == 200, r.text
+    assert len(r.json()["outputs"]) >= 2

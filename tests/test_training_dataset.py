@@ -367,3 +367,42 @@ def test_training_persistence_options(model, data_dir, tmp_path, monkeypatch):
     l_fresh = jax.tree_util.tree_leaves(fresh.inner_state)
     l_rest = jax.tree_util.tree_leaves(restored.inner_state)
     assert any(not np.allclose(a, b) for a, b in zip(l_fresh, l_rest))
+
+
+def test_preprocess_dir(tmp_path):
+    """Training preprocessing pass (reference postprocessing-for-training):
+    split-oversized strips, flips, autosized crop, caption passthrough."""
+    from PIL import Image
+
+    from sdwebui_tpu.training.preprocess import (autosized_crop,
+                                                 preprocess_dir,
+                                                 split_oversized)
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    Image.new("RGB", (64, 256), (200, 30, 30)).save(src / "tall.png")
+    Image.new("RGB", (96, 96), (30, 200, 30)).save(src / "square.png")
+    (src / "square.txt").write_text("a green square")
+
+    import os
+
+    written = preprocess_dir(str(src), str(dst), width=64, height=64,
+                             split=True, flip=True,
+                             existing_caption_action="copy")
+    # tall image splits into >=2 strips, each flipped; square → 2 (flip)
+    names = sorted(os.path.basename(w) for w in written)
+    assert sum(n.startswith("tall") for n in names) >= 4
+    assert sum(n.startswith("square") for n in names) == 2
+    # caption copied alongside outputs
+    assert (dst / "square-0.txt").exists() or (dst / "square.txt").exists()
+
+    # split geometry: strips match the target size
+    strips = split_oversized(Image.new("RGB", (64, 256)), 64, 64)
+    assert len(strips) >= 2 and all(s.size == (64, 64) for s in strips)
+
+    # autosized crop picks a 64-multiple size within bounds
+    out = autosized_crop(Image.new("RGB", (300, 200)), mindim=64, maxdim=192,
+                         minarea=64 * 64, maxarea=192 * 192, threshold=0.5)
+    assert out is not None
+    assert out.width % 64 == 0 and out.height % 64 == 0
