@@ -542,7 +542,14 @@ def _refiner_split_idx(model: SDModel, sigmas, switch_at: float,
     decides per step in the NOISE domain (apply_refiner,
     sd_samplers_common.py:156-167: completed_ratio = (999 - timestep(σ))/
     1000, switch once it reaches switch_at); computed from the schedule's
-    sigmas here because the run is scan-fused."""
+    sigmas here because the run is scan-fused.
+    opts.refiner_switch_by_sample_steps restores the old step-quantized
+    behavior (reference sd_samplers_common.py:169)."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if _opts.get("refiner_switch_by_sample_steps", False):
+        n = len(sigmas) - 1
+        return min(max(int(n * switch_at), 1), max_steps - 1)
     log_s = np.log(np.maximum(np.asarray(sigmas[:-1]), 1e-12))
     tsteps = np.argmin(
         np.abs(log_s[:, None]

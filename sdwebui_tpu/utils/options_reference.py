@@ -100,7 +100,6 @@ REFERENCE_OPTIONS = [
     (("compatibility", "Compatibility"), [
         ('use_old_emphasis_implementation', False, 'Use old emphasis implementation. Can be useful to reproduce old seeds.'),
         ('no_dpmpp_sde_batch_determinism', False, 'Do not make DPM++ SDE deterministic across different batch sizes.'),
-        ('refiner_switch_by_sample_steps', False, 'Switch to refiner by sampling steps instead of model timesteps. Old behavior for refiner.'),
     ]),
     (("interrogate", "Interrogate"), [
     ]),
