@@ -25,10 +25,34 @@ from sdwebui_tpu.text.tokenizer import get_tokenizer
 from sdwebui_tpu.utils import devices
 
 
+_SD_CACHE: dict = {}
+
+
 def read_checkpoint(path: str) -> dict:
+    """File → state dict, with an optional host-RAM LRU keyed by (path,
+    mtime) sized by opts.sd_checkpoint_cache (reference sd_models.py
+    checkpoints_loaded) — checkpoint switching skips the re-read+unpickle."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    cache_n = int(_opts.get("sd_checkpoint_cache", 0) or 0)
+    key = None
+    if cache_n > 0:
+        try:
+            key = (path, os.path.getmtime(path))
+        except OSError:
+            key = None
+        if key is not None and key in _SD_CACHE:
+            _SD_CACHE[key] = _SD_CACHE.pop(key)   # LRU touch
+            return _SD_CACHE[key]
     if path.endswith(".safetensors"):
-        return read_state_dict(path)
-    return load_torch_checkpoint(path)
+        sd = read_state_dict(path)
+    else:
+        sd = load_torch_checkpoint(path)
+    if key is not None:
+        _SD_CACHE[key] = sd
+        while len(_SD_CACHE) > cache_n:
+            _SD_CACHE.pop(next(iter(_SD_CACHE)))
+    return sd
 
 
 def load_model(path: str, prediction_type: str | None = None,

@@ -201,6 +201,7 @@ def make_default_templates() -> dict:
         "sd_model_checkpoint": OptionInfo(None, "Stable Diffusion checkpoint", "dropdown"),
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of loaded checkpoints"),
         "list_hidden_files": OptionInfo(True, "Load models/files in hidden directories"),
+        "sd_checkpoint_cache": OptionInfo(0, "Checkpoints to cache in RAM (state dicts; skips file re-read on switch)"),
         "sd_vae": OptionInfo("Automatic", "SD VAE"),
         "sd_vae_overrides_per_model_preferences": OptionInfo(True, "Selected VAE overrides per-model preferences (off: a .vae file beside the checkpoint wins)"),
         "sd_vae_encode_method": OptionInfo(

@@ -77,7 +77,6 @@ REFERENCE_OPTIONS = [
     ]),
     (("sd", "Stable Diffusion"), [
         ('sd_checkpoints_keep_in_cpu', True, 'Only keep one model on device'),
-        ('sd_checkpoint_cache', 0, 'Checkpoints to cache in RAM'),
         ('sd_unet', 'Automatic', 'SD Unet'),
         ('enable_batch_seeds', True, 'Make K-diffusion samplers produce same images in a batch as when making a single image'),
     ]),

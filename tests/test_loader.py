@@ -377,3 +377,28 @@ def test_sd_vae_overrides_per_model_preferences(tmp_path, monkeypatch):
     monkeypatch.setitem(opts.data, "sd_vae_overrides_per_model_preferences",
                         False)
     assert resolve_vae(str(ckpt), vae_dirs=(str(vdir),)) == str(near)
+
+
+def test_sd_checkpoint_cache(tmp_path, monkeypatch):
+    """opts.sd_checkpoint_cache: host-RAM state-dict LRU keyed by
+    (path, mtime) — repeat loads skip the file read."""
+    import numpy as np
+
+    from sdwebui_tpu.loader import load as load_mod
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+    from sdwebui_tpu.utils.options import opts
+
+    p = tmp_path / "m.safetensors"
+    write_safetensors(str(p), {"w": np.ones((2,), np.float32)})
+
+    load_mod._SD_CACHE.clear()
+    monkeypatch.setitem(opts.data, "sd_checkpoint_cache", 2)
+    a = load_mod.read_checkpoint(str(p))
+    b = load_mod.read_checkpoint(str(p))
+    assert a is b                       # cache hit
+    assert len(load_mod._SD_CACHE) == 1
+
+    monkeypatch.setitem(opts.data, "sd_checkpoint_cache", 0)
+    c = load_mod.read_checkpoint(str(p))
+    assert c is not a                   # cache disabled
+    load_mod._SD_CACHE.clear()
