@@ -32,7 +32,7 @@ def _run_cell(engine, q: GenerationParams) -> Processed:
     the processing class — scripts work from both tabs)."""
     if getattr(q, "init_images", None):
         return engine.img2img_inner(q)
-    return _run_cell(engine, q)
+    return engine.txt2img_inner(q)
 
 
 def _apply_field(field):
