@@ -905,11 +905,58 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
         pairs)
 
 
+#: opts.persistent_cond_cache (reference shared_options optimizations +
+#: processing.get_conds_with_caching): re-encoding identical prompts across
+#: jobs is skipped; bounded LRU, keyed on everything that shapes the banks
+_COND_CACHE: dict = {}
+
+
 def _build_conds(model: SDModel, p: GenerationParams, steps: int,
                  cfg_scale: float | None = None,
                  prompt: str | None = None, negative: str | None = None,
                  width: int | None = None, height: int | None = None,
                  adm_vector=None, hires_steps: int | None = None):
+    import copy as _copy
+
+    from sdwebui_tpu.utils.options import opts as _cc_opts
+
+    cache_on = bool(_cc_opts.get("persistent_cond_cache", True)) \
+        and adm_vector is None
+    key = None
+    if cache_on:
+        key = (id(model), model.kind,
+               id(getattr(model.conditioner, "embedding_db", None)),
+               prompt if prompt is not None else p.prompt,
+               negative if negative is not None else p.negative_prompt,
+               steps, hires_steps,
+               cfg_scale if cfg_scale is not None else p.cfg_scale,
+               p.clip_skip, width or p.width, height or p.height,
+               bool(_cc_opts.get("use_old_scheduling", False)),
+               bool(_cc_opts.get("sdxl_clip_l_skip", False)),
+               int(_cc_opts.get("sdxl_crop_top", 0)),
+               int(_cc_opts.get("sdxl_crop_left", 0)),
+               str(_cc_opts.get("emphasis", "Original")))
+        hit = _COND_CACHE.get(key)
+        if hit is not None:
+            _COND_CACHE[key] = _COND_CACHE.pop(key)  # LRU touch
+            # shallow copy: callers assign .skip_uncond per run
+            return _copy.copy(hit)
+    sched = _build_conds_uncached(model, p, steps, cfg_scale, prompt,
+                                  negative, width, height, adm_vector,
+                                  hires_steps)
+    if key is not None:
+        _COND_CACHE[key] = _copy.copy(sched)
+        while len(_COND_CACHE) > 16:
+            _COND_CACHE.pop(next(iter(_COND_CACHE)))
+    return sched
+
+
+def _build_conds_uncached(model: SDModel, p: GenerationParams, steps: int,
+                          cfg_scale: float | None = None,
+                          prompt: str | None = None,
+                          negative: str | None = None,
+                          width: int | None = None, height: int | None = None,
+                          adm_vector=None, hires_steps: int | None = None):
     from sdwebui_tpu.utils.options import opts as _cs_opts
 
     if model.is_sdxl and not _cs_opts.get("sdxl_clip_l_skip", False):

@@ -92,7 +92,6 @@ REFERENCE_OPTIONS = [
     (("optimizations", "Optimizations"), [
         ('pad_cond_uncond', False, 'Pad prompt/negative prompt'),
         ('pad_cond_uncond_v0', False, 'Pad prompt/negative prompt (v0)'),
-        ('persistent_cond_cache', True, 'Persistent cond cache'),
         ('fp8_storage', 'Disable', 'FP8 weight'),
         ('cache_fp16_weight', False, 'Cache FP16 weight for LoRA'),
     ]),

@@ -345,3 +345,32 @@ def test_use_old_hires_fix_width_height(monkeypatch):
     assert (p.hr_resize_x, p.hr_resize_y) == (1024, 768)
     assert (p.width, p.height) == (640, 448)   # ceil(512²-scaled / 64) * 64
     assert calculate_hr_target(p) == (1024, 768)
+
+
+def test_persistent_cond_cache(model, monkeypatch):
+    """Identical prompts across jobs reuse encoded cond banks (reference
+    get_conds_with_caching via opts.persistent_cond_cache); results stay
+    byte-identical and differing prompts miss the cache."""
+    from sdwebui_tpu.pipeline import processing as proc
+
+    proc._COND_CACHE.clear()
+    calls = {"n": 0}
+    orig = proc._build_conds_uncached
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(proc, "_build_conds_uncached", counted)
+    p = lambda: GenerationParams(prompt="a cat", seed=7, steps=2,
+                                 width=64, height=64)
+    r1 = process_txt2img(model, p())
+    n_first = calls["n"]
+    r2 = process_txt2img(model, p())
+    assert calls["n"] == n_first          # cache hit: no re-encode
+    np.testing.assert_array_equal(np.asarray(r1.images[0]),
+                                  np.asarray(r2.images[0]))
+    q = GenerationParams(prompt="a dog", seed=7, steps=2, width=64, height=64)
+    process_txt2img(model, q)
+    assert calls["n"] > n_first           # different prompt: miss
+    proc._COND_CACHE.clear()
