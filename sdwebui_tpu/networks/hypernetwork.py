@@ -123,6 +123,19 @@ def save_hypernetwork(hn: dict, path: str, name: str = "", step: int = 0,
         "activation_func": activation})
 
 
+def _maybe_print_hn_info(path: str, tree: dict, activation: str):
+    """opts.print_hypernet_extra (reference shared_options system section):
+    log layer dims + activation when a hypernetwork loads."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    if _opts.get("print_hypernet_extra", False):
+        import os as _os
+
+        dims = ", ".join(sorted(tree.keys(), key=lambda d: int(d)))
+        print(f"Hypernetwork {_os.path.basename(path)}: dims=[{dims}] "
+              f"activation={activation}", flush=True)
+
+
 def load_hypernetwork(path: str) -> dict:
     """.safetensors (ours) or .pt (reference layout via restricted
     unpickler)."""
@@ -141,6 +154,7 @@ def load_hypernetwork(path: str) -> dict:
                 while len(mod) <= li:
                     mod.append({})
                 mod[li][kind] = np.asarray(f.tensor(key))
+            _maybe_print_hn_info(path, out, activation)
             return out, activation
 
     from sdwebui_tpu.loader.torch_ckpt import load_torch_checkpoint

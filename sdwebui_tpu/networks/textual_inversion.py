@@ -126,6 +126,7 @@ class EmbeddingDatabase:
     def load_from_dir(self, dirpath: str):
         if not os.path.isdir(dirpath):
             return
+        n_before = len(self.embeddings)
         for fn in sorted(os.listdir(dirpath)):
             if not fn.lower().endswith((".pt", ".safetensors", ".bin",
                                         ".png", ".webp")):
@@ -135,6 +136,14 @@ class EmbeddingDatabase:
                 self.register(load_embedding_file(path))
             except Exception:
                 self.skipped.append(fn)
+        from sdwebui_tpu.utils.options import opts as _opts
+
+        if _opts.get("textual_inversion_print_at_load", False):
+            names = sorted(set(self.embeddings) )
+            print(f"Textual inversion embeddings loaded"
+                  f"({len(self.embeddings) - n_before} new, "
+                  f"{len(self.embeddings)} total): {', '.join(names)}",
+                  flush=True)
 
     def find_at(self, ids: list, position: int):
         """(embedding, consumed_token_count) at ids[position], else (None, 0)

@@ -392,6 +392,8 @@ def _process_img2img(model: SDModel, p: GenerationParams,
             info = create_infotext(p, model, lo + i,
                                    extra={"Denoising strength": p.denoising_strength})
             infotexts.append(info)
+            if _opts.get("samples_log_stdout", False):
+                print(info, flush=True)   # reference shared_options system
             if should_save_samples(p, outdir):
                 p.batch_index, p.iteration = i, n
                 p.sd_model_name, p.sd_model_hash = model.title, model.sha256[:10]

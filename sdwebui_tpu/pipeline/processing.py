@@ -1401,6 +1401,8 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
         for i, img in enumerate(pils):
             info = create_infotext(p, model, lo + i)
             infotexts.append(info)
+            if _sv_opts.get("samples_log_stdout", False):
+                print(info, flush=True)   # reference shared_options system
             if should_save_samples(p, outdir):
                 p.batch_index, p.iteration = i, n
                 p.sd_model_name, p.sd_model_hash = model.title, model.sha256[:10]

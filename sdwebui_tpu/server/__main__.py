@@ -61,6 +61,14 @@ def main(argv=None):
     set_cmd_opts(args)
     opts.load(args.config_path)
 
+    if opts.get("dump_stacks_on_signal", False):
+        # reference shared_options system section: ctrl+c prints all-thread
+        # stacks before exit
+        import faulthandler
+        import signal
+
+        faulthandler.register(signal.SIGINT, chain=True)
+
     credentials = None
     if args.api_auth:
         credentials = dict(pair.split(":", 1) for pair in args.api_auth.split(","))

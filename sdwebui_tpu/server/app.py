@@ -272,10 +272,17 @@ class Engine:
             try:
                 outdir = self._apply_save_flags(p, save, "txt2img")
                 refiner = self._resolve_refiner(p)
-                return process_txt2img(self.sd_model, p, outdir=outdir,
-                                       callback=self._batch_callback,
-                                       refiner_model=refiner,
-                                       step_callback=self._make_step_callback())
+                from sdwebui_tpu.utils.profiling import profile
+
+                with profile(bool(opts.get("profiling_enable", False)),
+                             outdir=os.path.dirname(
+                                 opts.get("profiling_filename",
+                                          "trace.json")) or "profile-traces"):
+                    return process_txt2img(
+                        self.sd_model, p, outdir=outdir,
+                        callback=self._batch_callback,
+                        refiner_model=refiner,
+                        step_callback=self._make_step_callback())
             finally:
                 state.end()
 

@@ -230,6 +230,12 @@ def make_default_templates() -> dict:
         "upcast_attn": OptionInfo(False, "Upcast cross attention layer to float32 (scores/softmax are always fp32 on TPU; this additionally upcasts QKV/PV)"),
         "sd_hypernetwork": OptionInfo("None", "Add hypernetwork to prompt"),
         "enable_console_prompts": OptionInfo(False, "Print prompts to console when generating with txt2img and img2img"),
+        "samples_log_stdout": OptionInfo(False, "Always print all generation info to standard output"),
+        "textual_inversion_print_at_load": OptionInfo(False, "Print a list of Textual Inversion embeddings when loading"),
+        "print_hypernet_extra": OptionInfo(False, "Print extra hypernetwork information to console"),
+        "dump_stacks_on_signal": OptionInfo(False, "Print stack traces before exiting the program with ctrl+c"),
+        "profiling_enable": OptionInfo(False, "Enable profiling (jax profiler trace per generation; view in Perfetto)"),
+        "profiling_filename": OptionInfo("profile-traces/trace", "Profile output location"),
         "ddim_discretize": OptionInfo(
             "uniform", "img2img DDIM discretize",
             component_args={"choices": ["uniform", "quad"]}),

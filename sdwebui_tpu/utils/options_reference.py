@@ -46,22 +46,17 @@ REFERENCE_OPTIONS = [
         ('show_warnings', False, 'Show warnings in console.'),
         ('show_gradio_deprecation_warnings', True, 'Show gradio deprecation warnings in console.'),
         ('memmon_poll_rate', 8, 'VRAM usage polls per second during generation.'),
-        ('samples_log_stdout', False, 'Always print all generation info to standard output'),
         ('multiple_tqdm', True, 'Add a second progress bar to the console that shows progress for an entire job.'),
         ('enable_upscale_progressbar', True, 'Show a progress bar in the console for tiled upscaling.'),
-        ('print_hypernet_extra', False, 'Print extra hypernetwork information to console.'),
         ('disable_mmap_load_safetensors', False, 'Disable memmapping for loading .safetensors files.'),
         ('hide_ldm_prints', True, "Prevent Stability-AI's ldm/sgm modules from printing noise to console."),
-        ('dump_stacks_on_signal', False, 'Print stack traces before exiting the program with ctrl+c.'),
     ]),
     (("profiler", "Profiler"), [
         ('profiling_explanation', '\nThose settings allow you to enable torch profiler when generating pictures.\nProfiling allows you to see which code uses how much of computer\'s resources during generation.\nEach generation writes its own profile to one file, overwriting previous.\nThe file can be viewed in <a href="chrome:tracing">Chrome</a>, or on a <a href="https://ui.perfetto.dev/">Perfetto</a> web site.\nWarning: writing profile can take a lot of time, up to 30 seconds, and the file itelf can be around 500MB in size.\n', 'profiling_explanation'),
-        ('profiling_enable', False, 'Enable profiling'),
         ('profiling_activities', ['CPU'], 'Activities'),
         ('profiling_record_shapes', True, 'Record shapes'),
         ('profiling_profile_memory', True, 'Profile memory'),
         ('profiling_with_stack', True, 'Include python stack'),
-        ('profiling_filename', 'trace.json', 'Profile filename'),
     ]),
     (("API", "API"), [
         ('api_useragent', '', 'User agent for requests'),
@@ -112,7 +107,6 @@ REFERENCE_OPTIONS = [
         ('extra_networks_tree_view_default_enabled', True, 'Show the Extra Networks directory view by default'),
         ('extra_networks_tree_view_default_width', 180, 'Default width for the Extra Networks directory tree view'),
         ('ui_extra_networks_tab_reorder', '', 'Extra networks tab order'),
-        ('textual_inversion_print_at_load', False, 'Print a list of Textual Inversion embeddings when loading model'),
     ]),
     (("ui_prompt_editing", "Prompt editing"), [
         ('keyedit_precision_extra', 0.05, 'Precision for <extra networks:0.9> when editing the prompt with Ctrl+up/down'),
