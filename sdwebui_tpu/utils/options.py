@@ -407,6 +407,7 @@ def make_default_templates() -> dict:
         "live_previews_image_format": OptionInfo(
             "png", "Live preview file format",
             component_args={"choices": ["png", "jpeg", "webp"]}),
+        "live_preview_refresh_period": OptionInfo(1000, "Progressbar and preview update period (ms)"),
     }))
     t.update(options_section(("ui", "User interface"), {
         "localization": OptionInfo("None", "Localization"),
@@ -418,6 +419,10 @@ def make_default_templates() -> dict:
         "show_progress_in_title": OptionInfo(True, "Show generation progress in window title"),
         "show_progressbar": OptionInfo(True, "Show progressbar"),
         "keyedit_precision_attention": OptionInfo(0.1, "Precision for (attention:1.1) when editing the prompt with Ctrl+up/down"),
+        "do_not_show_images": OptionInfo(False, "Do not show any images in gallery results"),
+        "notification_audio": OptionInfo(True, "Play notification sound after image generation"),
+        "notification_volume": OptionInfo(100, "Notification sound volume"),
+        "send_size": OptionInfo(True, "Send size when sending prompt or image to another interface"),
         "send_seed": OptionInfo(True, "Send seed when sending prompt or image to other interface"),
     }))
     t.update(options_section(("training", "Training"), {

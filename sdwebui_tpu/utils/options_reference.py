@@ -29,8 +29,6 @@ REFERENCE_OPTIONS = [
     (("saving-images", "Saving images/grids"), [
         ('temp_dir', '', 'Directory for temporary images; leave empty for default'),
         ('clean_temp_dir_at_start', False, 'Cleanup non-default temporary directory when starting webui'),
-        ('notification_audio', True, 'Play notification sound after image generation'),
-        ('notification_volume', 100, 'Notification sound volume'),
     ]),
     (("saving-paths", "Paths for saving"), [
     ]),
@@ -116,7 +114,6 @@ REFERENCE_OPTIONS = [
         ('include_styles_into_token_counters', True, 'Count tokens of enabled styles'),
     ]),
     (("ui_gallery", "Gallery"), [
-        ('do_not_show_images', False, 'Do not show any images in gallery'),
         ('js_modal_lightbox', True, 'Full page image viewer: enable'),
         ('js_modal_lightbox_initially_zoomed', True, 'Full page image viewer: show images zoomed in by default'),
         ('js_modal_lightbox_gamepad', False, 'Full page image viewer: navigate with gamepad'),
@@ -139,7 +136,6 @@ REFERENCE_OPTIONS = [
         ('ui_reorder_list', [], 'UI item order for txt2img/img2img tabs'),
         ('gradio_theme', 'Default', 'Gradio theme'),
         ('gradio_themes_cache', True, 'Cache gradio themes locally'),
-        ('send_size', True, 'Send size when sending prompt or image to another interface'),
         ('enable_reloading_ui_scripts', False, 'Reload UI scripts when using Reload UI option'),
     ]),
     (("infotext", "Infotext"), [
@@ -147,7 +143,6 @@ REFERENCE_OPTIONS = [
     ]),
     (("ui", "Live previews"), [
         ('live_preview_allow_lowvram_full', False, 'Allow Full live preview method with lowvram/medvram'),
-        ('live_preview_refresh_period', 1000, 'Progressbar and preview update period'),
         ('js_live_preview_in_modal_lightbox', False, 'Show Live preview in full page image viewer'),
         ('prevent_screen_sleep_during_generation', True, 'Prevent screen sleep during generation'),
     ]),
