@@ -420,6 +420,7 @@ def make_default_templates() -> dict:
         "show_progressbar": OptionInfo(True, "Show progressbar"),
         "keyedit_precision_attention": OptionInfo(0.1, "Precision for (attention:1.1) when editing the prompt with Ctrl+up/down"),
         "do_not_show_images": OptionInfo(False, "Do not show any images in gallery results"),
+        "keyedit_delimiters": OptionInfo(".,\\/!?%^*;:{}=`~()", "Word delimiters when editing the prompt with Ctrl+up/down"),
         "notification_audio": OptionInfo(True, "Play notification sound after image generation"),
         "notification_volume": OptionInfo(100, "Notification sound volume"),
         "send_size": OptionInfo(True, "Send size when sending prompt or image to another interface"),

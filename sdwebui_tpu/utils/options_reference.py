@@ -108,7 +108,6 @@ REFERENCE_OPTIONS = [
     ]),
     (("ui_prompt_editing", "Prompt editing"), [
         ('keyedit_precision_extra', 0.05, 'Precision for <extra networks:0.9> when editing the prompt with Ctrl+up/down'),
-        ('keyedit_delimiters', '.,\\/!?%^*;:{}=`~() ', 'Word delimiters when editing the prompt with Ctrl+up/down'),
         ('keyedit_delimiters_whitespace', ['Tab', 'Carriage Return', 'Line Feed'], 'Ctrl+up/down whitespace delimiters'),
         ('keyedit_move', True, 'Alt+left/right moves prompt elements'),
         ('include_styles_into_token_counters', True, 'Count tokens of enabled styles'),
