@@ -28,13 +28,14 @@ from sdwebui_tpu.utils import devices
 _SD_CACHE: dict = {}
 
 
-def read_checkpoint(path: str) -> dict:
+def read_checkpoint(path: str, cache_opt: str = "sd_checkpoint_cache") -> dict:
     """File → state dict, with an optional host-RAM LRU keyed by (path,
-    mtime) sized by opts.sd_checkpoint_cache (reference sd_models.py
-    checkpoints_loaded) — checkpoint switching skips the re-read+unpickle."""
+    mtime) sized by opts.sd_checkpoint_cache / sd_vae_checkpoint_cache
+    (reference sd_models.py checkpoints_loaded, sd_vae.py vae_dict cache) —
+    switching skips the re-read+unpickle."""
     from sdwebui_tpu.utils.options import opts as _opts
 
-    cache_n = int(_opts.get("sd_checkpoint_cache", 0) or 0)
+    cache_n = int(_opts.get(cache_opt, 0) or 0)
     key = None
     if cache_n > 0:
         try:
@@ -129,7 +130,7 @@ def load_external_vae(path: str, scale_factor: float = 0.18215):
     load_vae). Keys may carry the first_stage_model prefix or be bare."""
     global loaded_vae_file
     loaded_vae_file = path
-    sd = read_checkpoint(path)
+    sd = read_checkpoint(path, cache_opt="sd_vae_checkpoint_cache")
     prefix = "first_stage_model." if any(
         k.startswith("first_stage_model.") for k in sd) else ""
     if prefix:

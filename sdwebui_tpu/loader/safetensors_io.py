@@ -46,7 +46,14 @@ class SafetensorsFile:
     def __init__(self, path: str):
         self.path = path
         self._f = open(path, "rb")
-        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        from sdwebui_tpu.utils.options import opts as _opts
+
+        if _opts.get("disable_mmap_load_safetensors", False):
+            # reference shared option: read the file eagerly instead of
+            # mmapping (helps on network filesystems)
+            self._mm = self._f.read()
+        else:
+            self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
         (header_len,) = struct.unpack("<Q", self._mm[:8])
         if header_len > len(self._mm) - 8:
             raise ValueError(f"corrupt safetensors header in {path}")
@@ -81,7 +88,8 @@ class SafetensorsFile:
         return {k: self.tensor(k) for k in self.keys()}
 
     def close(self):
-        self._mm.close()
+        if isinstance(self._mm, mmap.mmap):
+            self._mm.close()
         self._f.close()
 
     def __enter__(self):

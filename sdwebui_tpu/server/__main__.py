@@ -61,6 +61,25 @@ def main(argv=None):
     set_cmd_opts(args)
     opts.load(args.config_path)
 
+    restore_state = opts.get("restore_config_state_file", "")
+    if restore_state:
+        # reference initialize_util.restore_config_state_file: apply a saved
+        # config state once at startup, then clear the option
+        try:
+            import json as _json
+
+            from sdwebui_tpu.utils.config_states import \
+                restore_extension_config
+
+            with open(restore_state, encoding="utf-8") as f:
+                restore_extension_config(_json.load(f))
+            print(f"restored config state from {restore_state}", flush=True)
+        except Exception as e:
+            print(f"could not restore config state {restore_state!r}: {e}",
+                  flush=True)
+        opts.set("restore_config_state_file", "")
+        opts.save(args.config_path)
+
     if opts.get("dump_stacks_on_signal", False):
         # reference shared_options system section: ctrl+c prints all-thread
         # stacks before exit

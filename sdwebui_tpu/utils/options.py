@@ -202,6 +202,9 @@ def make_default_templates() -> dict:
         "sd_checkpoints_limit": OptionInfo(1, "Maximum number of loaded checkpoints"),
         "list_hidden_files": OptionInfo(True, "Load models/files in hidden directories"),
         "sd_checkpoint_cache": OptionInfo(0, "Checkpoints to cache in RAM (state dicts; skips file re-read on switch)"),
+        "sd_vae_checkpoint_cache": OptionInfo(0, "VAE Checkpoints to cache in RAM"),
+        "disable_mmap_load_safetensors": OptionInfo(False, "Disable memmapping for loading .safetensors files (read eagerly; helps on network filesystems)"),
+        "restore_config_state_file": OptionInfo("", "Config state file to restore from (applied once at next server start)"),
         "sd_vae": OptionInfo("Automatic", "SD VAE"),
         "sd_vae_overrides_per_model_preferences": OptionInfo(True, "Selected VAE overrides per-model preferences (off: a .vae file beside the checkpoint wins)"),
         "sd_vae_encode_method": OptionInfo(

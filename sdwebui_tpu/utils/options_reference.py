@@ -46,7 +46,6 @@ REFERENCE_OPTIONS = [
         ('memmon_poll_rate', 8, 'VRAM usage polls per second during generation.'),
         ('multiple_tqdm', True, 'Add a second progress bar to the console that shows progress for an entire job.'),
         ('enable_upscale_progressbar', True, 'Show a progress bar in the console for tiled upscaling.'),
-        ('disable_mmap_load_safetensors', False, 'Disable memmapping for loading .safetensors files.'),
         ('hide_ldm_prints', True, "Prevent Stability-AI's ldm/sgm modules from printing noise to console."),
     ]),
     (("profiler", "Profiler"), [
@@ -77,7 +76,6 @@ REFERENCE_OPTIONS = [
     ]),
     (("vae", "VAE"), [
         ('sd_vae_explanation', "\n<abbr title='Variational autoencoder'>VAE</abbr> is a neural network that transforms a standard <abbr title='red/green/blue'>RGB</abbr>\nimage into latent space representation and back. Latent space representation is what stable diffusion is working on during sampling\n(i.e. when the progress bar is between empty and full). For txt2img, VAE is used to create a resulting image after the sampling is finished.\nFor img2img, VAE is used to process user's input image before the sampling, and to create an image after sampling.\n", 'sd_vae_explanation'),
-        ('sd_vae_checkpoint_cache', 0, 'VAE Checkpoints to cache in RAM'),
         ('auto_vae_precision_bfloat16', False, 'Automatically convert VAE to bfloat16'),
     ]),
     (("img2img", "img2img"), [
@@ -151,7 +149,6 @@ REFERENCE_OPTIONS = [
         ('postprocessing_enable_in_main_ui', [], 'Enable postprocessing operations in txt2img and img2img tabs'),
     ]),
     (("None", "Hidden options"), [
-        ('restore_config_state_file', '', "Config state file to restore from, under 'config-states/' folder"),
         ('sd_checkpoint_hash', '', 'SHA256 hash of the current checkpoint'),
     ]),
 ]
