@@ -686,8 +686,12 @@ class Api:
                     alias = meta.get("ss_output_name") or name
                 except Exception:
                     pass
+            try:
+                mtime = os.path.getmtime(path)
+            except OSError:
+                mtime = 0
             entry = {"name": name, "alias": alias, "path": path,
-                     "metadata": meta}
+                     "metadata": meta, "mtime": mtime}
             # user metadata sidecar <file>.json (reference
             # ui_extra_networks_user_metadata.py): description, activation
             # text, preferred weight feed the cards + click-to-insert
@@ -890,6 +894,13 @@ class Api:
         from sdwebui_tpu.text.prompt_parser import parse_prompt_attention
 
         text = (body or {}).get("text", "")
+        styles = (body or {}).get("styles") or []
+        if styles and opts.get("include_styles_into_token_counters", True):
+            # reference token-counters.js recalcTokenCounter with styles
+            pos, neg = self.engine.styles.apply(
+                text if not (body or {}).get("negative") else "",
+                text if (body or {}).get("negative") else "", styles)
+            text = neg if (body or {}).get("negative") else pos
         tok = self.engine.sd_model.conditioner.tokenizer
         n = 0
         for part, _w in parse_prompt_attention(text):

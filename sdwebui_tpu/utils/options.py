@@ -427,6 +427,14 @@ def make_default_templates() -> dict:
         "notification_audio": OptionInfo(True, "Play notification sound after image generation"),
         "notification_volume": OptionInfo(100, "Notification sound volume"),
         "send_size": OptionInfo(True, "Send size when sending prompt or image to another interface"),
+        "include_styles_into_token_counters": OptionInfo(True, "Count tokens of enabled styles"),
+        "prevent_screen_sleep_during_generation": OptionInfo(True, "Prevent screen sleep during generation"),
+        "extra_networks_card_order_field": OptionInfo(
+            "Name", "Default order field for Extra Networks cards",
+            component_args={"choices": ["Name", "Date Created"]}),
+        "extra_networks_card_order": OptionInfo(
+            "Ascending", "Default order for Extra Networks cards",
+            component_args={"choices": ["Ascending", "Descending"]}),
         "send_seed": OptionInfo(True, "Send seed when sending prompt or image to other interface"),
     }))
     t.update(options_section(("training", "Training"), {

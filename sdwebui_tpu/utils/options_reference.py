@@ -97,8 +97,6 @@ REFERENCE_OPTIONS = [
         ('extra_networks_dir_button_function', False, "Add a '/' to the beginning of directory buttons"),
         ('extra_networks_hidden_models', 'When searched', 'Show cards for models in hidden directories'),
         ('extra_networks_card_description_is_html', False, 'Treat card description as HTML'),
-        ('extra_networks_card_order_field', 'Path', 'Default order field for Extra Networks cards'),
-        ('extra_networks_card_order', 'Ascending', 'Default order for Extra Networks cards'),
         ('extra_networks_tree_view_style', 'Dirs', 'Extra Networks directory view style'),
         ('extra_networks_tree_view_default_enabled', True, 'Show the Extra Networks directory view by default'),
         ('extra_networks_tree_view_default_width', 180, 'Default width for the Extra Networks directory tree view'),
@@ -108,7 +106,6 @@ REFERENCE_OPTIONS = [
         ('keyedit_precision_extra', 0.05, 'Precision for <extra networks:0.9> when editing the prompt with Ctrl+up/down'),
         ('keyedit_delimiters_whitespace', ['Tab', 'Carriage Return', 'Line Feed'], 'Ctrl+up/down whitespace delimiters'),
         ('keyedit_move', True, 'Alt+left/right moves prompt elements'),
-        ('include_styles_into_token_counters', True, 'Count tokens of enabled styles'),
     ]),
     (("ui_gallery", "Gallery"), [
         ('js_modal_lightbox', True, 'Full page image viewer: enable'),
@@ -141,7 +138,6 @@ REFERENCE_OPTIONS = [
     (("ui", "Live previews"), [
         ('live_preview_allow_lowvram_full', False, 'Allow Full live preview method with lowvram/medvram'),
         ('js_live_preview_in_modal_lightbox', False, 'Show Live preview in full page image viewer'),
-        ('prevent_screen_sleep_during_generation', True, 'Prevent screen sleep during generation'),
     ]),
     (("sampler-params", "Sampler parameters"), [
     ]),
