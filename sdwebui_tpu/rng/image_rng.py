@@ -116,11 +116,16 @@ class ImageRNG:
     # ------------------------------------------------------------------
 
     def first(self) -> np.ndarray:
-        self.is_first = False
+        """NOTE reference quirk (modules/rng.py ImageRNG): first() does NOT
+        consume the is_first flag — only next() does.  So the first next()
+        call after first() REPLAYS the first-draw logic (subseed slerp /
+        seed-resize overlay) on the generators' advanced streams; the
+        reference's samplers rely on this for their first ancestral noise."""
         return self._layout(self._first())
 
     def next(self) -> np.ndarray:
         if self.is_first:
+            self.is_first = False
             return self.first()
         xs = np.stack([g.randn(self.shape) for g in self.generators])
         return self._layout(xs.astype(np.float32))
@@ -132,13 +137,17 @@ class ImageRNG:
         Philox pass — used to bake a whole run's ancestral/SDE noise into a
         single device upload consumed by the `lax.scan` sampling loop.
         """
-        if self.is_first:
-            raise RuntimeError("call first() before next_k()")
         if k == 0:
             b = len(self.seeds)
             c, h, w = self.shape
             shp = (0, b, h, w, c) if self.channels_last else (0, b, c, h, w)
             return np.zeros(shp, dtype=np.float32)
+        if self.is_first:
+            # mirror next(): the first draw replays the first-draw logic
+            head = self.next()[None]
+            if k == 1:
+                return head
+            return np.concatenate([head, self.next_k(k - 1)], axis=0)
         per_img = [g.randn_batch(k, self.shape) for g in self.generators]  # each (k,C,H,W)
         out = np.stack(per_img, axis=1)  # (k,B,C,H,W)
         if self.channels_last:

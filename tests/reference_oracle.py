@@ -90,6 +90,8 @@ class _Opts:
     use_old_scheduling = False
     sdxl_crop_left = 0
     sdxl_crop_top = 0
+    randn_source = "NV"
+    eta_noise_seed_delta = 0
 
 
 class _SharedSDModel:
@@ -112,6 +114,7 @@ def install_stubs():
         "modules.shared": lambda m: (
             setattr(m, "opts", _Opts()), setattr(m, "sd_model", _SharedSDModel()),
             setattr(m, "state", types.SimpleNamespace(interrupted=False, skipped=False)),
+            setattr(m, "device", "cpu"),
         ),
         "modules.devices": lambda m: (
             setattr(m, "unet_needs_upcast", False),

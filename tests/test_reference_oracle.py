@@ -761,3 +761,51 @@ def test_restart_sampler_trajectory_parity(steps):
                             sigmas_np.astype(np.float32), solver="restart",
                             mode="loop"))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+# ===========================================================================
+# 12. ImageRNG — reference modules/rng.py (randn_source=NV path) as the
+#     whole-flow oracle: first/next, subseed slerp, seed-resize, ENSD
+# ===========================================================================
+
+def _ref_image_rng(**kw):
+    rng_mod = ro.load("modules.rng")
+    return rng_mod
+
+
+@pytest.mark.parametrize("case", ["plain", "slerp", "resize", "ensd"])
+def test_image_rng_reference_parity(case):
+    rng_mod = _ref_image_rng()
+    shared = ro.install_stubs()
+
+    kwargs = dict(shape=(4, 8, 10), seeds=[5, 6])
+    ours_kwargs = dict(kwargs, channels_last=False)
+    if case == "slerp":
+        kwargs.update(subseeds=[100, 101], subseed_strength=0.4)
+        ours_kwargs.update(subseeds=[100, 101], subseed_strength=0.4)
+    if case == "resize":
+        kwargs.update(seed_resize_from_h=48, seed_resize_from_w=64)
+        ours_kwargs.update(seed_resize_from_h=48, seed_resize_from_w=64)
+    old_ensd = shared.opts.eta_noise_seed_delta
+    if case == "ensd":
+        shared.opts.eta_noise_seed_delta = 31337
+        ours_kwargs.update(eta_noise_seed_delta=31337)
+
+    try:
+        ref = rng_mod.ImageRNG(**kwargs)
+        r1 = ref.first().numpy()
+        r2 = ref.next().numpy()
+
+        from sdwebui_tpu.rng import ImageRNG as OurRNG
+
+        ours = OurRNG(**ours_kwargs)
+        o1 = np.asarray(ours.first())
+        o2 = np.asarray(ours.next())
+        # slerp accumulates fp32 rounding differently in torch vs numpy
+        # (≤1e-6); every other path is bit-exact
+        np.testing.assert_allclose(o1, r1, atol=2e-6, rtol=0,
+                                   err_msg=f"{case} first")
+        np.testing.assert_allclose(o2, r2, atol=2e-6, rtol=0,
+                                   err_msg=f"{case} next")
+    finally:
+        shared.opts.eta_noise_seed_delta = old_ensd
