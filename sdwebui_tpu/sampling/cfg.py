@@ -176,10 +176,13 @@ def make_cfg_denoiser(denoise_fn: Callable, sched: CondSchedule,
         out_conds, out_uncond = out[:k], out[k]
 
         # reference combine_denoised (sd_samplers_cfg_denoiser.py:74):
-        # uncond + Σ_k w_k * scale * (cond_k - uncond)
+        # uncond + Σ_k w_k * scale * (cond_k - uncond).  CFG++ maps the
+        # scale from [0, 12.5] to [0, 1] (reference ddim_cfgpp:56
+        # cond_scale_miltiplier = 1/12.5)
+        scale = sched.cond_scale * (1.0 / 12.5 if return_uncond else 1.0)
         w = sched.cond_weights.astype(out.dtype)[:, None, None, None, None]
         cfg = out_uncond + jnp.sum(
-            w * (out_conds - out_uncond[None]), axis=0) * sched.cond_scale
+            w * (out_conds - out_uncond[None]), axis=0) * scale
 
         if sched.skip_uncond is not None:
             # NGMS semantics: the skipped-uncond step returns the weighted

@@ -809,3 +809,80 @@ def test_image_rng_reference_parity(case):
                                    err_msg=f"{case} next")
     finally:
         shared.opts.eta_noise_seed_delta = old_ensd
+
+
+# ===========================================================================
+# 13. DDIM CFG++ — reference sd_samplers_timesteps_impl.ddim_cfgpp as the
+#     whole-trajectory oracle (incl. the 1/12.5 cond-scale mapping)
+# ===========================================================================
+
+def test_ddim_cfgpp_trajectory_parity():
+    import torch
+
+    impl = ro.load("modules.sd_samplers_timesteps_impl")
+
+    from sdwebui_tpu.sampling.discretization import (Discretization,
+                                                     make_alphas_cumprod)
+
+    ac = make_alphas_cumprod()
+    disc = Discretization(ac)
+    steps = 12
+    timesteps = np.clip(np.arange(0, 1000, 1000 // steps) + 1, 0, 999)
+    cfg_scale = 7.0
+
+    def eps_uncond_t(x, t):
+        return torch.sin(x * 1.3) * 0.8
+
+    def eps_cond_t(x, t):
+        return torch.cos(x * 0.7) * 0.8 + 0.05 * torch.cos(t / 100.0)
+
+    class _Chain:
+        cond_scale_miltiplier = 1.0
+        need_last_noise_uncond = False
+
+        def __init__(self):
+            inner2 = type("I2", (), {})()
+            inner2.alphas_cumprod = torch.as_tensor(ac, dtype=torch.float32)
+            inner = type("I1", (), {})()
+            inner.inner_model = inner2
+            self.inner_model = inner
+
+        def __call__(self, x, ts, **kw):
+            t = ts.view(-1, 1, 1, 1).float()
+            unc = eps_uncond_t(x, t)
+            cond = eps_cond_t(x, t)
+            self.last_noise_uncond = unc
+            return unc + (cond - unc) * cfg_scale * self.cond_scale_miltiplier
+
+    rng = np.random.default_rng(17)
+    x0 = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = impl.ddim_cfgpp(_Chain(), torch.from_numpy(x0.copy()),
+                              torch.as_tensor(timesteps), disable=True).numpy()
+
+    # ours: VE-space run on the same integer grid; model returns stacked
+    # [cfg_denoised, uncond_denoised] with the same 1/12.5 scale mapping
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.sampling.sampler import sample
+
+    t_desc = timesteps[::-1].astype(np.float64)
+    sigmas = disc.sigmas[t_desc.astype(int)]
+    log_sigmas = jnp.asarray(disc.log_sigmas, jnp.float32)
+
+    def model(x, sigma, i):
+        a = 1.0 / (1.0 + sigma ** 2)
+        t = jnp.argmin(jnp.abs(jnp.log(jnp.maximum(sigma, 1e-12))
+                               - log_sigmas)).astype(jnp.float32)
+        x_vp = x * jnp.sqrt(a)
+        unc = jnp.sin(x_vp * 1.3) * 0.8
+        cond = jnp.cos(x_vp * 0.7) * 0.8 + 0.05 * jnp.cos(t / 100.0)
+        eps = unc + (cond - unc) * cfg_scale * (1.0 / 12.5)
+        return jnp.stack([x - sigma * eps, x - sigma * unc], axis=0)
+
+    a0 = 1.0 / (1.0 + float(sigmas[0]) ** 2)
+    x_ve = jnp.asarray(x0 / np.sqrt(a0), jnp.float32)
+    out = sample(model, x_ve, sigmas.astype(np.float32),
+                 solver="ddim_cfgpp", mode="loop")
+    got = np.asarray(out) * np.sqrt(1.0 / (1.0 + float(sigmas[-1]) ** 2))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
