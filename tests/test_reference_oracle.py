@@ -886,3 +886,32 @@ def test_ddim_cfgpp_trajectory_parity():
                  solver="ddim_cfgpp", mode="loop")
     got = np.asarray(out) * np.sqrt(1.0 / (1.0 + float(sigmas[-1]) ** 2))
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
+# ===========================================================================
+# 14. Extra-network tag parsing — reference modules/extra_networks.py
+# ===========================================================================
+
+def test_extra_network_tag_parsing_parity():
+    """parse_prompt strips the same tags with the same (kind, items) splits
+    as the reference's re_extra_net + ExtraNetworkParams."""
+    ref = ro.load("modules.extra_networks")
+    from sdwebui_tpu.networks.extra_networks import parse_prompt as ours
+
+    cases = [
+        "a cat <lora:style:0.8> walking",
+        "<hypernet:net:1> <lora:a:0.5:0.7> text",
+        "no tags at all",
+        "<lora:name with space:1>",
+        "<lyco:x>, <lora:y:> end",
+        "broken <lora:unclosed and <lora:ok:1>",
+        "nested <lora:a<b:1>",
+    ]
+    for prompt in cases:
+        ref_clean, ref_data = ref.parse_prompt(prompt)
+        our_clean, our_nets = ours(prompt)
+        assert our_clean == ref_clean, prompt
+        flat_ref = [(kind, p.items) for kind, params in ref_data.items()
+                    for p in params]
+        flat_ours = [(n.kind, n.items) for n in our_nets]
+        assert sorted(map(str, flat_ours)) == sorted(map(str, flat_ref)), prompt
