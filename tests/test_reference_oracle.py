@@ -915,3 +915,75 @@ def test_extra_network_tag_parsing_parity():
                     for p in params]
         flat_ours = [(n.kind, n.items) for n in our_nets]
         assert sorted(map(str, flat_ours)) == sorted(map(str, flat_ref)), prompt
+
+
+def test_ddim_eta_trajectory_parity():
+    """DDIM with η=1 (stochastic DDPM-like): same precomputed noise fed to
+    both the reference loop (via a randn_like intercept) and our scan."""
+    import types
+
+    import torch
+
+    impl = ro.load("modules.sd_samplers_timesteps_impl")
+
+    from sdwebui_tpu.sampling.discretization import (Discretization,
+                                                     make_alphas_cumprod)
+
+    ac = make_alphas_cumprod()
+    disc = Discretization(ac)
+    steps = 10
+    timesteps = np.clip(np.arange(0, 1000, 1000 // steps) + 1, 0, 999)
+
+    rng = np.random.default_rng(23)
+    x0 = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    noises = [rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+              for _ in range(steps)]
+
+    class _Chain:
+        def __init__(self):
+            inner2 = type("I2", (), {})()
+            inner2.alphas_cumprod = torch.as_tensor(ac, dtype=torch.float32)
+            inner = type("I1", (), {})()
+            inner.inner_model = inner2
+            self.inner_model = inner
+
+        def __call__(self, x, ts, **kw):
+            t = ts.view(-1, 1, 1, 1).float()
+            return torch.sin(x * 1.7) * 0.9 + 0.05 * x * torch.cos(t / 100.0)
+
+    queue = [torch.from_numpy(n.copy()) for n in noises]
+    fake_torch = types.SimpleNamespace(randn_like=lambda x: queue.pop(0))
+    orig = impl.k_diffusion.sampling.torch
+    impl.k_diffusion.sampling.torch = fake_torch
+    try:
+        with torch.no_grad():
+            ref = impl.ddim(_Chain(), torch.from_numpy(x0.copy()),
+                            torch.as_tensor(timesteps), disable=True,
+                            eta=1.0).numpy()
+    finally:
+        impl.k_diffusion.sampling.torch = orig
+
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.sampling.sampler import sample
+
+    t_desc = timesteps[::-1].astype(np.float64)
+    sigmas = disc.sigmas[t_desc.astype(int)]
+    log_sigmas = jnp.asarray(disc.log_sigmas, jnp.float32)
+
+    def model(x, sigma, i):
+        a = 1.0 / (1.0 + sigma ** 2)
+        t = jnp.argmin(jnp.abs(jnp.log(jnp.maximum(sigma, 1e-12))
+                               - log_sigmas)).astype(jnp.float32)
+        x_vp = x * jnp.sqrt(a)
+        eps = jnp.sin(x_vp * 1.7) * 0.9 + 0.05 * x_vp * jnp.cos(t / 100.0)
+        return x - sigma * eps
+
+    a0 = 1.0 / (1.0 + float(sigmas[0]) ** 2)
+    x_ve = jnp.asarray(x0 / np.sqrt(a0), jnp.float32)
+    noise_arr = np.stack(noises)[:, None]   # (n, 1, B, H, W, C)
+    out = sample(model, x_ve, sigmas.astype(np.float32), solver="ddim",
+                 noise=jnp.asarray(noise_arr), extra={"eta": 1.0},
+                 mode="loop")
+    got = np.asarray(out) * np.sqrt(1.0 / (1.0 + float(sigmas[-1]) ** 2))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
