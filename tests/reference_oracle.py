@@ -92,6 +92,8 @@ class _Opts:
     sdxl_crop_top = 0
     randn_source = "NV"
     eta_noise_seed_delta = 0
+    emphasis = "Original"
+    comma_padding_backtrack = 20
 
 
 class _SharedSDModel:

@@ -987,3 +987,59 @@ def test_ddim_eta_trajectory_parity():
                  mode="loop")
     got = np.asarray(out) * np.sqrt(1.0 / (1.0 + float(sigmas[-1]) ** 2))
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+# ===========================================================================
+# 15. Prompt chunking — reference sd_hijack_clip.TextConditionalModel
+#     .tokenize_line (75-token chunks, BREAK, comma backtracking) fuzz
+# ===========================================================================
+
+def test_tokenize_line_chunking_parity():
+    import random
+    import sys
+    import types
+
+    hijack_mod = sys.modules.get("modules.sd_hijack")
+    ro.install_stubs()
+    hijack_mod = sys.modules["modules.sd_hijack"]
+    db = types.SimpleNamespace(
+        find_embedding_at_position=lambda tokens, pos: (None, None))
+    hijack_mod.model_hijack = types.SimpleNamespace(embedding_db=db)
+
+    clip_mod = ro.load("modules.sd_hijack_clip")
+    from sdwebui_tpu.text.conditioner import TextConditioner
+    from sdwebui_tpu.text.tokenizer import BOS, EOS, get_tokenizer
+
+    tok = get_tokenizer()
+
+    class RefModel(clip_mod.TextConditionalModel):
+        def __init__(self):
+            super().__init__()
+            self.id_start, self.id_end, self.id_pad = BOS, EOS, EOS
+            self.comma_token = 267
+
+        def tokenize(self, texts):
+            return [tok.encode(t) for t in texts]
+
+    ref = RefModel()
+    ours = TextConditioner(None, None, tok)
+
+    words = ["cat", "dog", "tree,", "blue", "sky,", "runs", "masterpiece,",
+             "BREAK", "(red:1.3)", "[dark]", "photo", "of,"]
+    rng = random.Random(4)
+    prompts = ["a cat, a dog", "x " * 90, ("word, " * 40).strip()]
+    for _ in range(25):
+        prompts.append(" ".join(rng.choice(words)
+                                for _ in range(rng.randrange(1, 160))))
+
+    for prompt in prompts:
+        ref_chunks, ref_count = ref.tokenize_line(prompt)
+        our_chunks, our_count = ours.tokenize_line(prompt)
+        assert our_count == ref_count, prompt[:60]
+        assert len(our_chunks) == len(ref_chunks), prompt[:60]
+        for rc, oc in zip(ref_chunks, our_chunks):
+            # ours defers BOS/EOS framing to encode(); strip the
+            # reference's frame for comparison
+            assert list(oc.tokens) == list(rc.tokens)[1:-1], prompt[:60]
+            assert [round(float(m), 5) for m in oc.multipliers] == \
+                [round(float(m), 5) for m in rc.multipliers][1:-1], prompt[:60]
