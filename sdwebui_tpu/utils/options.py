@@ -424,6 +424,7 @@ def make_default_templates() -> dict:
         "keyedit_precision_attention": OptionInfo(0.1, "Precision for (attention:1.1) when editing the prompt with Ctrl+up/down"),
         "do_not_show_images": OptionInfo(False, "Do not show any images in gallery results"),
         "keyedit_delimiters": OptionInfo(".,\\/!?%^*;:{}=`~()", "Word delimiters when editing the prompt with Ctrl+up/down"),
+        "keyedit_move": OptionInfo(True, "Alt+left/right moves prompt elements"),
         "notification_audio": OptionInfo(True, "Play notification sound after image generation"),
         "notification_volume": OptionInfo(100, "Notification sound volume"),
         "send_size": OptionInfo(True, "Send size when sending prompt or image to another interface"),

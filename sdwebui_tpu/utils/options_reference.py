@@ -105,7 +105,6 @@ REFERENCE_OPTIONS = [
     (("ui_prompt_editing", "Prompt editing"), [
         ('keyedit_precision_extra', 0.05, 'Precision for <extra networks:0.9> when editing the prompt with Ctrl+up/down'),
         ('keyedit_delimiters_whitespace', ['Tab', 'Carriage Return', 'Line Feed'], 'Ctrl+up/down whitespace delimiters'),
-        ('keyedit_move', True, 'Alt+left/right moves prompt elements'),
     ]),
     (("ui_gallery", "Gallery"), [
         ('js_modal_lightbox', True, 'Full page image viewer: enable'),
