@@ -478,19 +478,33 @@ class SDUpscale(Script):
 
         grid = images_util.split_grid(upscaled, p.width, p.height,
                                       int(tile_overlap))
+        # tiles run in batches of p.batch_size like the reference
+        # (scripts/sd_upscale.py:60-84) — same-shaped tiles batch into one
+        # fused device program here, so this is also the TPU fast path
+        slots = [(y_i, idx) for y_i, (_, _, row) in enumerate(grid.tiles)
+                 for idx in range(len(row))]
+        tiles = [grid.tiles[y_i][2][idx][2] for y_i, idx in slots]
         first = None
         infotexts = []
-        for y, h, row in grid.tiles:
-            for idx, (x, w, tile) in enumerate(row):
-                q = _clone(p)
-                q.init_images = [tile]
-                q.width, q.height = tile.width, tile.height
-                q.do_not_save_grid = True  # reference sd_upscale.py:54
-                res = engine.img2img_inner(q)
-                if first is None:
-                    first = res
-                row[idx] = [x, w, res.images[0]]
-                infotexts.extend(res.infotexts)
+        outs = []
+        bs = max(int(p.batch_size or 1), 1)
+        for lo in range(0, len(tiles), bs):
+            chunk = tiles[lo: lo + bs]
+            q = _clone(p)
+            q.init_images = list(chunk)
+            q.batch_size = len(chunk)
+            q.n_iter = 1
+            q.width, q.height = chunk[0].width, chunk[0].height
+            q.do_not_save_grid = True  # reference sd_upscale.py:54
+            res = engine.img2img_inner(q)
+            if first is None:
+                first = res
+            outs.extend(res.images[res.index_of_first_image:]
+                        if res.index_of_first_image else res.images)
+            infotexts.extend(res.infotexts)
+        for (y_i, idx), img in zip(slots, outs):
+            x, w, _ = grid.tiles[y_i][2][idx]
+            grid.tiles[y_i][2][idx] = [x, w, img]
         combined = images_util.combine_grid(grid)
         return Processed(images=[combined], params=p, seed=first.seed,
                          subseed=first.subseed, infotexts=infotexts[:1],

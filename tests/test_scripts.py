@@ -616,3 +616,16 @@ def test_xyz_plot_reference_index_convention(engine):
         [9, "", ["Euler", "Heun"], 0, "", [], 0, "", [], False, False,
          False, False])
     assert len(res2.images) == 3  # 1 grid + 2 sampler cells
+
+
+def test_sd_upscale_batched_tiles(engine):
+    """Tiles run batched (reference sd_upscale batches into p.batch_size);
+    batch_size=4 must produce the same-size output as batch_size=1."""
+    from PIL import Image as PILImage
+
+    init = PILImage.new("RGB", (96, 96), (90, 120, 60))
+    p = GenerationParams(prompt="x", seed=5, steps=1, width=64, height=64,
+                         batch_size=4, init_images=[init],
+                         denoising_strength=0.4)
+    res = engine.run_script("SD upscale", p, [32, "Lanczos", 2.0])
+    assert res.images[0].size == (192, 192)
