@@ -28,6 +28,9 @@ class XLMRConfig:
     heads: int = 16
     intermediate: int = 4096
     project_dim: int = 768
+    # AltDiffusion-m18 (reference modules/xlmr_m18.py): project the
+    # PENULTIMATE hidden state through pre_LN + transformation_pre
+    pre_transformation: bool = False
     pad_token_id: int = 1
     eps: float = 1e-5
 
@@ -78,9 +81,16 @@ def apply(params, cfg: XLMRConfig, ids, attention_mask=None):
                    eps=cfg.eps)
     bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) \
         * -1e9
+    penult = None
     for i in range(cfg.layers):
+        if cfg.pre_transformation and i == cfg.layers - 1:
+            penult = x   # hidden_states[-2] in the reference m18 forward
         x = _block(params["roberta"]["encoder"]["layer"][str(i)], x,
                    cfg.heads, bias, cfg.eps)
+    if cfg.pre_transformation:
+        h = layer_norm(penult, params["pre_LN"]["weight"],
+                       params["pre_LN"]["bias"], eps=cfg.eps)
+        return _linear(params["transformation_pre"], h)
     return _linear(params["transformation"], x)
 
 
@@ -97,9 +107,13 @@ def convert_xlmr(sd: dict, prefix: str = "cond_stage_model."):
         if not k.startswith(prefix):
             continue
         kk = k[len(prefix):]
-        if kk.startswith(("roberta.pooler", "pooler", "pre_LN",
+        if kk.startswith(("roberta.pooler", "pooler",
                           "roberta.embeddings.position_ids")):
             continue   # rank-pooling head unused for conditioning
+        if kk.startswith("pre_LN") and not any(
+                k2.startswith(prefix + "transformation_pre")
+                for k2 in sd):
+            continue   # pre_LN only matters for the m18 variant
         arr = np.asarray(v)
         if "embeddings" in kk and kk.endswith(".weight"):
             flat[kk] = arr
@@ -116,7 +130,10 @@ def convert_xlmr(sd: dict, prefix: str = "cond_stage_model."):
               else max(emb.shape[1] // 16, 1),
         intermediate=tree["roberta"]["encoder"]["layer"]["0"]["intermediate"]
                          ["dense"]["weight"].shape[-1],
-        project_dim=tree["transformation"]["weight"].shape[-1])
+        project_dim=(tree["transformation_pre"]["weight"].shape[-1]
+                     if "transformation_pre" in tree
+                     else tree["transformation"]["weight"].shape[-1]),
+        pre_transformation="transformation_pre" in tree)
     return tree, cfg
 
 

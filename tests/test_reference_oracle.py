@@ -1043,3 +1043,48 @@ def test_tokenize_line_chunking_parity():
             assert list(oc.tokens) == list(rc.tokens)[1:-1], prompt[:60]
             assert [round(float(m), 5) for m in oc.multipliers] == \
                 [round(float(m), 5) for m in rc.multipliers][1:-1], prompt[:60]
+
+
+# ===========================================================================
+# 16. AltDiffusion-m18 — reference modules/xlmr_m18.py as oracle (penultimate
+#     hidden + pre_LN + transformation_pre projection)
+# ===========================================================================
+
+@pytest.mark.slow
+def test_xlmr_m18_reference_state_dict_forward():
+    import types
+
+    import torch
+
+    m18 = ro.load("modules.xlmr_m18")
+    # __init__ eagerly fetches the xlm-roberta-large tokenizer (network +
+    # sentencepiece, both absent); the conditioning math never touches it
+    m18.XLMRobertaTokenizer = types.SimpleNamespace(
+        from_pretrained=lambda *a, **k: None)
+    from sdwebui_tpu.models import xlmr as ours
+
+    cfg = m18.BertSeriesConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, project_dim=40, pad_token_id=1)
+    torch.manual_seed(0)
+    net = m18.BertSeriesModelWithTransformation(cfg).eval()
+
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    tree, ocfg = ours.convert_xlmr(sd, prefix="")
+    assert ocfg.pre_transformation and ocfg.project_dim == 40
+
+    ids = np.array([[0, 5, 9, 7, 2, 1, 1, 1], [0, 11, 3, 2, 1, 1, 1, 1]],
+                   np.int32)
+    mask = (ids != 1).astype(np.int32)
+    with torch.no_grad():
+        ref = net(input_ids=torch.from_numpy(ids.astype(np.int64)),
+                  attention_mask=torch.from_numpy(mask.astype(np.int64)))
+        expected = ref["projection_state"].numpy()
+
+    import jax.numpy as jnp
+
+    got = np.asarray(ours.apply(tree, ocfg, jnp.asarray(ids),
+                                attention_mask=jnp.asarray(mask)))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=3e-4, atol=3e-5)
