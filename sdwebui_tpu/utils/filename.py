@@ -1,11 +1,15 @@
 """Filename-pattern engine for saved images.
 
-Behaviour mirrors the reference's FilenameGenerator
-(/root/reference/modules/images.py:381-541): ``[token]`` patterns with
-``<arg>`` suffixes, NOTHING_AND_SKIP_PREVIOUS_TEXT semantics (a skipped
-token also drops the literal text preceding it), unknown tokens kept
-verbatim, per-token error tolerance.  Drives the samples_filename_pattern /
-directories_filename_pattern options.
+The ``[token]`` names, ``<arg>`` suffix grammar, and skip-previous-text
+semantics are a compatibility contract with the reference's
+samples_filename_pattern option (/root/reference/modules/images.py:381-541)
+— users carry these patterns between installs, so every token must resolve
+to the same text.  The implementation is our own: tokens are ordinary
+methods registered with the @_token decorator (not a lambda table), and
+pattern expansion is a single tokenizer loop over ``literal [name<arg>…]``
+segments.
+
+Drives the samples_filename_pattern / directories_filename_pattern options.
 """
 
 from __future__ import annotations
@@ -18,87 +22,40 @@ import string
 
 from sdwebui_tpu.utils.images import sanitize_filename_part
 
-NOTHING_AND_SKIP_PREVIOUS_TEXT = object()
 
-re_nonletters = re.compile(r"[\s" + string.punctuation + "]+")
-re_pattern = re.compile(r"(.*?)(?:\[([^\[\]]+)\]|$)")
-re_pattern_arg = re.compile(r"(.*)<([^>]*)>$")
+class _SkipToken:
+    """Sentinel: token resolves to nothing AND eats the literal text before
+    it (so "foo-[seed_last]" at batch_size=1 drops the "foo-" too)."""
 
 
-def _scheduler_str(p, with_sampler: bool):
-    from sdwebui_tpu.sampling.registry import get_sampler
+SKIP = _SkipToken()
 
-    scheduler = getattr(p, "scheduler", None)
-    sampler_name = getattr(p, "sampler_name", None)
-    if scheduler is None or sampler_name is None:
-        return NOTHING_AND_SKIP_PREVIOUS_TEXT
-    if scheduler == "Automatic":
-        try:
-            scheduler = get_sampler(sampler_name).scheduler_override or "Automatic"
-        except ValueError:
-            pass
-    text = f"{sampler_name} {scheduler.capitalize()}" if with_sampler \
-        else scheduler.capitalize()
-    return sanitize_filename_part(text, replace_spaces=False)
+_WORD_SPLIT = re.compile(r"[\s" + string.punctuation + "]+")
+_SEGMENT = re.compile(r"(.*?)(?:\[([^\[\]]+)\]|$)")
+_TRAILING_ARG = re.compile(r"(.*)<([^>]*)>$")
+
+_TOKENS: dict = {}
+
+
+def _token(name):
+    """Register a FilenameGenerator method as the handler for [name]."""
+    def register(fn):
+        _TOKENS[name] = fn
+        return fn
+    return register
+
+
+def _opt(key, default=None):
+    from sdwebui_tpu.utils.options import opts
+
+    return opts.get(key, default)
+
+
+def _clean(text, keep_spaces=True):
+    return sanitize_filename_part(text, replace_spaces=not keep_spaces)
 
 
 class FilenameGenerator:
-    replacements = {
-        "basename": lambda self: self.basename or "img",
-        "seed": lambda self: self.seed if self.seed is not None else "",
-        "seed_first": lambda self: self.seed if self.p.batch_size == 1
-        else self.p.all_seeds[0],
-        "seed_last": lambda self: NOTHING_AND_SKIP_PREVIOUS_TEXT
-        if self.p.batch_size == 1 else self.p.all_seeds[-1],
-        "steps": lambda self: self.p and self.p.steps,
-        "cfg": lambda self: self.p and self.p.cfg_scale,
-        "width": lambda self: self.image.width,
-        "height": lambda self: self.image.height,
-        "styles": lambda self: self.p and sanitize_filename_part(
-            ", ".join(s for s in self.p.styles if s != "None") or "None",
-            replace_spaces=False),
-        "sampler": lambda self: self.p and sanitize_filename_part(
-            self.p.sampler_name, replace_spaces=False),
-        "sampler_scheduler": lambda self: self.p and _scheduler_str(self.p, True),
-        "scheduler": lambda self: self.p and _scheduler_str(self.p, False),
-        "model_hash": lambda self: getattr(self.p, "sd_model_hash", "") or
-        NOTHING_AND_SKIP_PREVIOUS_TEXT,
-        "model_name": lambda self: sanitize_filename_part(
-            getattr(self.p, "sd_model_name", "") or "", replace_spaces=False)
-        or NOTHING_AND_SKIP_PREVIOUS_TEXT,
-        "date": lambda self: datetime.datetime.now().strftime("%Y-%m-%d"),
-        "datetime": lambda self, *args: self.datetime(*args),
-        "job_timestamp": lambda self: getattr(self.p, "job_timestamp", "") or
-        datetime.datetime.now().strftime("%Y%m%d%H%M%S"),
-        "prompt_hash": lambda self, *args: self.string_hash(self.prompt, *args),
-        "negative_prompt_hash": lambda self, *args: self.string_hash(
-            self.p.negative_prompt, *args),
-        "full_prompt_hash": lambda self, *args: self.string_hash(
-            f"{self.p.prompt} {self.p.negative_prompt}", *args),
-        "prompt": lambda self: sanitize_filename_part(self.prompt),
-        "prompt_no_styles": lambda self: self.prompt_no_style(),
-        "prompt_spaces": lambda self: sanitize_filename_part(
-            self.prompt, replace_spaces=False),
-        "prompt_words": lambda self: self.prompt_words(),
-        "batch_number": lambda self: NOTHING_AND_SKIP_PREVIOUS_TEXT
-        if self.p.batch_size == 1 or self.zip
-        else getattr(self.p, "batch_index", 0) + 1,
-        "batch_size": lambda self: self.p.batch_size,
-        "generation_number": lambda self: NOTHING_AND_SKIP_PREVIOUS_TEXT
-        if (self.p.n_iter == 1 and self.p.batch_size == 1) or self.zip
-        else (getattr(self.p, "iteration", 0) * self.p.batch_size
-              + getattr(self.p, "batch_index", 0) + 1),
-        "hasprompt": lambda self, *args: self.hasprompt(*args),
-        "clip_skip": lambda self: _opt("CLIP_stop_at_last_layers"),
-        "denoising": lambda self: self.p.denoising_strength
-        if self.p and self.p.denoising_strength
-        else NOTHING_AND_SKIP_PREVIOUS_TEXT,
-        "user": lambda self: getattr(self.p, "user", None) or
-        NOTHING_AND_SKIP_PREVIOUS_TEXT,
-        "vae_filename": lambda self: self.get_vae_filename(),
-        "none": lambda self: "",
-        "image_hash": lambda self, *args: self.image_hash(*args),
-    }
     default_time_format = "%Y%m%d%H%M%S"
 
     def __init__(self, p, seed, prompt, image, zip=False, basename=""):
@@ -109,61 +66,256 @@ class FilenameGenerator:
         self.zip = zip
         self.basename = basename
 
-    def get_vae_filename(self):
-        from sdwebui_tpu.loader import load as loader_load
+    # ---- expansion -----------------------------------------------------
 
-        loaded = getattr(loader_load, "loaded_vae_file", None)
-        if not loaded:
-            return "NoneType"
-        name = os.path.basename(loaded).split(".")
-        if len(name) > 1 and name[0] == "":
-            return name[1]
-        return name[0]
+    def apply(self, pattern: str) -> str:
+        """Expand every ``literal[token<arg>…]`` segment of the pattern.
+        Unknown tokens are kept verbatim (including brackets); a handler
+        error keeps the segment verbatim too; SKIP drops the token and its
+        preceding literal."""
+        out = []
+        for match in _SEGMENT.finditer(pattern):
+            literal, token_expr = match.groups()
+            if token_expr is None:
+                out.append(literal)
+                continue
+            name, args = self._split_args(token_expr)
+            handler = _TOKENS.get(name.lower())
+            value = None
+            if handler is not None:
+                try:
+                    value = handler(self, *args)
+                except Exception:
+                    value = None
+            if value is SKIP:
+                continue
+            if value is None:
+                out.append(f"{literal}[{token_expr}]")
+            else:
+                out.append(literal + str(value))
+        return "".join(out)
 
-    def hasprompt(self, *args):
-        if self.p is None or self.prompt is None:
+    @staticmethod
+    def _split_args(token_expr: str):
+        """Peel trailing <arg> suffixes: "datetime<%Y><UTC>" ->
+        ("datetime", ["%Y", "UTC"])."""
+        args = []
+        while (m := _TRAILING_ARG.match(token_expr)) is not None:
+            token_expr, arg = m.groups()
+            args.insert(0, arg)
+        return token_expr, args
+
+    # ---- simple field tokens -------------------------------------------
+
+    @_token("basename")
+    def _basename(self):
+        return self.basename or "img"
+
+    @_token("none")
+    def _none(self):
+        return ""
+
+    @_token("seed")
+    def _seed(self):
+        return self.seed if self.seed is not None else ""
+
+    @_token("seed_first")
+    def _seed_first(self):
+        return self.seed if self.p.batch_size == 1 else self.p.all_seeds[0]
+
+    @_token("seed_last")
+    def _seed_last(self):
+        return SKIP if self.p.batch_size == 1 else self.p.all_seeds[-1]
+
+    @_token("steps")
+    def _steps(self):
+        return self.p and self.p.steps
+
+    @_token("cfg")
+    def _cfg(self):
+        return self.p and self.p.cfg_scale
+
+    @_token("width")
+    def _width(self):
+        return self.image.width
+
+    @_token("height")
+    def _height(self):
+        return self.image.height
+
+    @_token("batch_size")
+    def _batch_size(self):
+        return self.p.batch_size
+
+    @_token("clip_skip")
+    def _clip_skip(self):
+        return _opt("CLIP_stop_at_last_layers")
+
+    @_token("denoising")
+    def _denoising(self):
+        if self.p and self.p.denoising_strength:
+            return self.p.denoising_strength
+        return SKIP
+
+    @_token("user")
+    def _user(self):
+        return getattr(self.p, "user", None) or SKIP
+
+    @_token("model_hash")
+    def _model_hash(self):
+        return getattr(self.p, "sd_model_hash", "") or SKIP
+
+    @_token("model_name")
+    def _model_name(self):
+        name = _clean(getattr(self.p, "sd_model_name", "") or "")
+        return name or SKIP
+
+    @_token("styles")
+    def _styles(self):
+        if not self.p:
             return None
-        lower = self.prompt.lower()
-        outres = ""
-        for arg in args:
-            if arg != "":
-                division = arg.split("|")
-                expected = division[0].lower()
-                default = division[1] if len(division) > 1 else ""
-                if lower.find(expected) >= 0:
-                    outres = f"{outres}{expected}"
-                else:
-                    outres = outres if default == "" else f"{outres}{default}"
-        return sanitize_filename_part(outres)
+        joined = ", ".join(s for s in self.p.styles if s != "None")
+        return _clean(joined or "None")
 
-    def prompt_no_style(self):
+    # ---- batch-position tokens -------------------------------------------
+
+    @_token("batch_number")
+    def _batch_number(self):
+        if self.p.batch_size == 1 or self.zip:
+            return SKIP
+        return getattr(self.p, "batch_index", 0) + 1
+
+    @_token("generation_number")
+    def _generation_number(self):
+        if (self.p.n_iter == 1 and self.p.batch_size == 1) or self.zip:
+            return SKIP
+        iteration = getattr(self.p, "iteration", 0)
+        return iteration * self.p.batch_size + getattr(self.p, "batch_index", 0) + 1
+
+    # ---- sampler / scheduler tokens ---------------------------------------
+
+    @_token("sampler")
+    def _sampler(self):
+        return self.p and _clean(self.p.sampler_name)
+
+    @_token("sampler_scheduler")
+    def _sampler_scheduler(self):
+        return self.p and self._scheduler_text(with_sampler=True)
+
+    @_token("scheduler")
+    def _scheduler(self):
+        return self.p and self._scheduler_text(with_sampler=False)
+
+    def _scheduler_text(self, with_sampler: bool):
+        scheduler = getattr(self.p, "scheduler", None)
+        sampler_name = getattr(self.p, "sampler_name", None)
+        if scheduler is None or sampler_name is None:
+            return SKIP
+        if scheduler == "Automatic":
+            from sdwebui_tpu.sampling.registry import get_sampler
+
+            try:
+                scheduler = (get_sampler(sampler_name).scheduler_override
+                             or "Automatic")
+            except ValueError:
+                pass
+        name = scheduler.capitalize()
+        return _clean(f"{sampler_name} {name}" if with_sampler else name)
+
+    # ---- prompt tokens -----------------------------------------------------
+
+    @_token("prompt")
+    def _prompt(self):
+        return sanitize_filename_part(self.prompt)
+
+    @_token("prompt_spaces")
+    def _prompt_spaces(self):
+        return _clean(self.prompt)
+
+    @_token("prompt_words")
+    def _prompt_words(self):
+        words = [w for w in _WORD_SPLIT.split(self.prompt or "") if w]
+        limit = _opt("directories_max_prompt_words", 8)
+        return _clean(" ".join(words[:limit] or ["empty"]))
+
+    @_token("prompt_no_styles")
+    def _prompt_no_styles(self):
         if self.p is None or self.prompt is None:
             return None
         from sdwebui_tpu.text.styles import get_style_database
 
-        prompt_no_style = self.prompt
+        remaining = self.prompt
         for style in get_style_database().get_style_prompts(self.p.styles):
-            if style:
-                for part in style.split("{prompt}"):
-                    prompt_no_style = prompt_no_style.replace(part, "") \
-                        .replace(", ,", ",").strip().strip(",")
-                prompt_no_style = prompt_no_style.replace(style, "") \
-                    .strip().strip(",").strip()
-        return sanitize_filename_part(prompt_no_style, replace_spaces=False)
+            if not style:
+                continue
+            for fragment in style.split("{prompt}"):
+                remaining = (remaining.replace(fragment, "")
+                             .replace(", ,", ",").strip().strip(","))
+            remaining = remaining.replace(style, "").strip().strip(",").strip()
+        return _clean(remaining)
 
-    def prompt_words(self):
-        words = [x for x in re_nonletters.split(self.prompt or "") if x]
-        if len(words) == 0:
-            words = ["empty"]
-        max_words = _opt("directories_max_prompt_words", 8)
-        return sanitize_filename_part(" ".join(words[0:max_words]),
-                                      replace_spaces=False)
+    @_token("hasprompt")
+    def _hasprompt(self, *specs):
+        """[hasprompt<term|fallback>…]: emit term if present in the prompt,
+        else the fallback (if given)."""
+        if self.p is None or self.prompt is None:
+            return None
+        lowered = self.prompt.lower()
+        parts = []
+        for spec in specs:
+            if spec == "":
+                continue
+            term, _, fallback = spec.partition("|")
+            if lowered.find(term.lower()) >= 0:
+                parts.append(term.lower())
+            elif fallback:
+                parts.append(fallback)
+        return sanitize_filename_part("".join(parts))
 
-    def datetime(self, *args):
-        now = datetime.datetime.now()
-        time_format = args[0] if (args and args[0] != "") \
-            else self.default_time_format
-        # time zones: zoneinfo replaces the reference's pytz dependency
+    # ---- hash tokens -------------------------------------------------------
+
+    @staticmethod
+    def _sha(data: bytes, length) -> str:
+        return hashlib.sha256(data).hexdigest()[:length]
+
+    @_token("prompt_hash")
+    def _prompt_hash(self, *args):
+        return self._text_hash(self.prompt, *args)
+
+    @_token("negative_prompt_hash")
+    def _negative_prompt_hash(self, *args):
+        return self._text_hash(self.p.negative_prompt, *args)
+
+    @_token("full_prompt_hash")
+    def _full_prompt_hash(self, *args):
+        return self._text_hash(
+            f"{self.p.prompt} {self.p.negative_prompt}", *args)
+
+    def _text_hash(self, text, *args):
+        length = int(args[0]) if args and args[0] != "" else 8
+        return self._sha((text or "").encode(), length)
+
+    @_token("image_hash")
+    def _image_hash(self, *args):
+        length = int(args[0]) if args and args[0] != "" else None
+        return self._sha(self.image.tobytes(), length)
+
+    # ---- time tokens ---------------------------------------------------------
+
+    @_token("date")
+    def _date(self):
+        return datetime.datetime.now().strftime("%Y-%m-%d")
+
+    @_token("job_timestamp")
+    def _job_timestamp(self):
+        stamp = getattr(self.p, "job_timestamp", "")
+        return stamp or datetime.datetime.now().strftime(self.default_time_format)
+
+    @_token("datetime")
+    def _datetime(self, *args):
+        """[datetime<format><timezone>]: zoneinfo replaces the reference's
+        pytz dependency."""
+        fmt = args[0] if args and args[0] != "" else self.default_time_format
         tz = None
         if len(args) > 1:
             try:
@@ -172,69 +324,43 @@ class FilenameGenerator:
                 tz = zoneinfo.ZoneInfo(args[1])
             except Exception:
                 tz = None
-        localized = now.astimezone(tz)
+        stamped = datetime.datetime.now().astimezone(tz)
         try:
-            formatted = localized.strftime(time_format)
+            text = stamped.strftime(fmt)
         except (ValueError, TypeError):
-            formatted = localized.strftime(self.default_time_format)
-        return sanitize_filename_part(formatted, replace_spaces=False)
+            text = stamped.strftime(self.default_time_format)
+        return _clean(text)
 
-    def image_hash(self, *args):
-        length = int(args[0]) if (args and args[0] != "") else None
-        return hashlib.sha256(self.image.tobytes()).hexdigest()[0:length]
+    # ---- model-asset tokens ---------------------------------------------------
 
-    def string_hash(self, text, *args):
-        length = int(args[0]) if (args and args[0] != "") else 8
-        return hashlib.sha256((text or "").encode()).hexdigest()[0:length]
+    @_token("vae_filename")
+    def _vae_filename(self):
+        from sdwebui_tpu.loader import load as loader_load
 
-    def apply(self, x: str) -> str:
-        res = ""
-        for m in re_pattern.finditer(x):
-            text, pattern = m.groups()
-            if pattern is None:
-                res += text
-                continue
+        loaded = getattr(loader_load, "loaded_vae_file", None)
+        if not loaded:
+            return "NoneType"
+        pieces = os.path.basename(loaded).split(".")
+        if len(pieces) > 1 and pieces[0] == "":
+            return pieces[1]  # dotfiles: ".vae.pt" -> "vae"
+        return pieces[0]
 
-            pattern_args = []
-            while True:
-                m2 = re_pattern_arg.match(pattern)
-                if m2 is None:
-                    break
-                pattern, arg = m2.groups()
-                pattern_args.insert(0, arg)
-
-            fun = self.replacements.get(pattern.lower())
-            if fun is not None:
-                try:
-                    replacement = fun(self, *pattern_args)
-                except Exception:
-                    replacement = None
-                if replacement is NOTHING_AND_SKIP_PREVIOUS_TEXT:
-                    continue
-                elif replacement is not None:
-                    res += text + str(replacement)
-                    continue
-            res += f"{text}[{pattern}]"
-        return res
-
-
-def _opt(key, default=None):
-    from sdwebui_tpu.utils.options import opts
-
-    return opts.get(key, default)
+    # kept as a class attribute so callers/tests can introspect the registry
+    replacements = _TOKENS
 
 
 def get_next_sequence_number(path: str, basename: str) -> int:
-    """Next auto-number for files in `path` (reference images.py:633)."""
-    result = -1
-    if basename != "":
-        basename = f"{basename}-"
-    prefix_length = len(basename)
-    for p in os.listdir(path):
-        if p.startswith(basename):
-            parts = os.path.splitext(p[prefix_length:])[0].split("-")
-            try:
-                result = max(int(parts[0]), result)
-            except ValueError:
-                pass
-    return result + 1
+    """Next auto-number: scan `path` for "<basename->NNN-…" files and return
+    max(NNN)+1 (reference images.py:633 contract; 0 for an empty dir)."""
+    prefix = f"{basename}-" if basename else ""
+    highest = -1
+    for entry in os.listdir(path):
+        if not entry.startswith(prefix):
+            continue
+        stem = os.path.splitext(entry[len(prefix):])[0]
+        first = stem.split("-", 1)[0]
+        try:
+            highest = max(highest, int(first))
+        except ValueError:
+            pass
+    return highest + 1

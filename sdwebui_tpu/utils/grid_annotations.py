@@ -1,28 +1,60 @@
 """Grid legend / prompt-matrix annotation drawing.
 
-Behaviour mirrors the reference's PIL text pipeline
-(/root/reference/modules/images.py:144-250): word-wrap to the cell width,
-per-line font shrink-to-fit, active/inactive colors with strike-through for
-inactive prompt-matrix entries, left pad for row labels and top pad for
-column labels.  Colors and font come from the options system
-(grid_text_active_color / grid_text_inactive_color / grid_background_color /
-font), so the grid_* settings change observable output.
+Pixel-geometry spec comes from the reference's PIL text pipeline
+(/root/reference/modules/images.py:144-250): the layout *constants* below
+(label font = (cell_w+cell_h)/25, left gutter = 3/4 cell width, top gutter
+sized to the tallest wrapped column label plus one line of spacing,
+strike-through for inactive prompt-matrix entries) reproduce the
+reference's observable geometry so grids look identical; the code itself
+is structured as a separate measure pass (`_layout_labels`) + paint pass
+(`_paint_label_block`) rather than the reference's single interleaved
+function.  Colors and font come from the options system
+(grid_text_active_color / grid_text_inactive_color / grid_background_color
+/ font), so the grid_* settings change observable output.
 """
 
 from __future__ import annotations
 
 import functools
 import math
+from dataclasses import dataclass, field
 
 from PIL import Image, ImageColor, ImageDraw, ImageFont
 
 
 class GridAnnotation:
+    """One label fragment for a grid row/column (public API)."""
+
     def __init__(self, text: str = "", is_active: bool = True):
         self.text = text
         self.is_active = is_active
-        self.size = None
-        self.allowed_width = None
+
+
+@dataclass
+class _Line:
+    """A single wrapped, measured line of label text."""
+
+    text: str
+    active: bool
+    w: int = 0
+    h: int = 0
+
+
+@dataclass
+class _LabelBlock:
+    """All wrapped lines for one row/column label + the width they may use."""
+
+    lines: list = field(default_factory=list)
+    max_width: int = 0
+
+    def height(self, spacing: int, per_line_spacing: bool) -> int:
+        """Total painted height.  Column blocks separate lines by `spacing`;
+        row blocks deduct spacing per line (reference geometry quirk kept
+        for pixel parity)."""
+        if not self.lines:
+            return 0
+        total = sum(ln.h + spacing for ln in self.lines)
+        return total - spacing * (len(self.lines) if per_line_spacing else 1)
 
 
 @functools.lru_cache(maxsize=64)
@@ -42,14 +74,60 @@ def get_font(fontsize: int):
     return _load_font(opts.get("font") or "", max(int(fontsize), 1))
 
 
-def _text_size(drawing, text, font):
-    bbox = drawing.multiline_textbbox((0, 0), text, font=font)
-    return bbox[2] - bbox[0], bbox[3] - bbox[1]
+def _measure(draw, text: str, font) -> tuple[int, int]:
+    left, top, right, bottom = draw.multiline_textbbox((0, 0), text, font=font)
+    return right - left, bottom - top
+
+
+def _wrap_words(draw, text: str, font, max_width: int) -> list[str]:
+    """Greedy word wrap: keep appending words while the line still fits."""
+    out = [""]
+    for word in text.split():
+        candidate = (out[-1] + " " + word).strip()
+        if draw.textlength(candidate, font=font) <= max_width:
+            out[-1] = candidate
+        else:
+            out.append(word)
+    return out
+
+
+def _layout_labels(annotations, draw, font, max_width: int) -> _LabelBlock:
+    """Wrap + measure one label's annotation fragments into a _LabelBlock."""
+    block = _LabelBlock(max_width=max_width)
+    for ann in annotations:
+        for piece in _wrap_words(draw, ann.text, font, max_width):
+            w, h = _measure(draw, piece, font)
+            block.lines.append(_Line(piece, ann.is_active, w, h))
+    return block
+
+
+def _paint_label_block(draw, center_x: float, top_y: float, block: _LabelBlock,
+                       base_fontsize: int, spacing: int, color_active,
+                       color_inactive) -> None:
+    """Paint a measured block centered on center_x, flowing down from top_y.
+    Each line independently shrinks its font until it fits the block width;
+    inactive lines get a strike-through."""
+    y = top_y
+    for line in block.lines:
+        size = base_fontsize
+        font = get_font(size)
+        while size > 0 and _measure(draw, line.text, font)[0] > block.max_width:
+            size -= 1
+            font = get_font(size)
+        color = color_active if line.active else color_inactive
+        draw.multiline_text((center_x, y + line.h / 2), line.text, font=font,
+                            fill=color, anchor="mm", align="center")
+        if not line.active:
+            mid = y + line.h / 2
+            draw.line((center_x - line.w // 2, mid,
+                       center_x + line.w // 2, mid),
+                      fill=color_inactive, width=4)
+        y += line.h + spacing
 
 
 def draw_grid_annotations(im: Image.Image, width: int, height: int,
                           hor_texts, ver_texts, margin: int = 0) -> Image.Image:
-    """Annotate a (cols*width × rows*height) grid image with column labels
+    """Annotate a (cols*width x rows*height) grid image with column labels
     above and row labels to the left.  hor_texts/ver_texts are lists (one
     per column/row) of lists of GridAnnotation."""
     from sdwebui_tpu.utils.options import opts
@@ -61,121 +139,79 @@ def draw_grid_annotations(im: Image.Image, width: int, height: int,
     color_background = ImageColor.getcolor(
         opts.get("grid_background_color", "#ffffff"), "RGB")
 
-    def wrap(drawing, text, font, line_length):
-        lines = [""]
-        for word in text.split():
-            line = f"{lines[-1]} {word}".strip()
-            if drawing.textlength(line, font=font) <= line_length:
-                lines[-1] = line
-            else:
-                lines.append(word)
-        return lines
-
-    def draw_texts(drawing, draw_x, draw_y, lines, initial_fontsize):
-        for line in lines:
-            font = get_font(initial_fontsize)
-            fontsize = initial_fontsize
-            while (_text_size(drawing, line.text, font)[0] > line.allowed_width
-                   and fontsize > 0):
-                fontsize -= 1
-                font = get_font(fontsize)
-            drawing.multiline_text(
-                (draw_x, draw_y + line.size[1] / 2), line.text, font=font,
-                fill=color_active if line.is_active else color_inactive,
-                anchor="mm", align="center")
-            if not line.is_active:
-                drawing.line(
-                    (draw_x - line.size[0] // 2, draw_y + line.size[1] // 2,
-                     draw_x + line.size[0] // 2, draw_y + line.size[1] // 2),
-                    fill=color_inactive, width=4)
-            draw_y += line.size[1] + line_spacing
-
-    fontsize = (width + height) // 25
-    line_spacing = fontsize // 2
-    font = get_font(fontsize)
-
-    pad_left = 0 if sum(
-        sum(len(line.text) for line in lines) for lines in ver_texts
-    ) == 0 else width * 3 // 4
-
     cols = im.width // width
     rows = im.height // height
+    if cols != len(hor_texts):
+        raise AssertionError(
+            f"column label count {len(hor_texts)} != grid columns {cols}")
+    if rows != len(ver_texts):
+        raise AssertionError(
+            f"row label count {len(ver_texts)} != grid rows {rows}")
 
-    assert cols == len(hor_texts), \
-        f"bad number of horizontal texts: {len(hor_texts)}; must be {cols}"
-    assert rows == len(ver_texts), \
-        f"bad number of vertical texts: {len(ver_texts)}; must be {rows}"
+    base_fontsize = (width + height) // 25
+    spacing = base_fontsize // 2
+    font = get_font(base_fontsize)
 
-    calc_img = Image.new("RGB", (1, 1), color_background)
-    calc_d = ImageDraw.Draw(calc_img)
+    # Left gutter only when some row label has text; 3/4 of a cell width.
+    have_row_labels = any(ann.text for label in ver_texts for ann in label)
+    gutter_left = width * 3 // 4 if have_row_labels else 0
 
-    for texts, allowed_width in zip(
-            hor_texts + ver_texts,
-            [width] * len(hor_texts) + [pad_left] * len(ver_texts)):
-        items = [] + texts
-        texts.clear()
-        for line in items:
-            wrapped = wrap(calc_d, line.text, font, allowed_width)
-            texts += [GridAnnotation(x, line.is_active) for x in wrapped]
-        for line in texts:
-            line.size = _text_size(calc_d, line.text, font)
-            line.allowed_width = allowed_width
+    # Measure pass: wrap every label to its gutter/cell width.
+    scratch = ImageDraw.Draw(Image.new("RGB", (1, 1), color_background))
+    col_blocks = [_layout_labels(label, scratch, font, width)
+                  for label in hor_texts]
+    row_blocks = [_layout_labels(label, scratch, font, gutter_left)
+                  for label in ver_texts]
 
-    hor_text_heights = [
-        sum(line.size[1] + line_spacing for line in lines) - line_spacing
-        for lines in hor_texts]
-    ver_text_heights = [
-        sum(line.size[1] + line_spacing for line in lines)
-        - line_spacing * len(lines) for lines in ver_texts]
+    col_heights = [b.height(spacing, per_line_spacing=False)
+                   for b in col_blocks]
+    gutter_top = (max(col_heights) + spacing * 2) if any(col_heights) else 0
 
-    pad_top = 0 if sum(hor_text_heights) == 0 else \
-        max(hor_text_heights) + line_spacing * 2
-
-    result = Image.new(
+    # Assemble: paste every cell shifted by the gutters (+margin between).
+    canvas = Image.new(
         "RGB",
-        (im.width + pad_left + margin * (cols - 1),
-         im.height + pad_top + margin * (rows - 1)),
+        (im.width + gutter_left + margin * (cols - 1),
+         im.height + gutter_top + margin * (rows - 1)),
         color_background)
-
     for row in range(rows):
         for col in range(cols):
             cell = im.crop((width * col, height * row,
                             width * (col + 1), height * (row + 1)))
-            result.paste(cell, (pad_left + (width + margin) * col,
-                                pad_top + (height + margin) * row))
+            canvas.paste(cell, (gutter_left + (width + margin) * col,
+                                gutter_top + (height + margin) * row))
 
-    d = ImageDraw.Draw(result)
+    # Paint pass: column labels centered in the top gutter, row labels
+    # vertically centered against their row in the left gutter.
+    painter = ImageDraw.Draw(canvas)
+    for col, block in enumerate(col_blocks):
+        cx = gutter_left + (width + margin) * col + width / 2
+        top = gutter_top / 2 - col_heights[col] / 2
+        _paint_label_block(painter, cx, top, block, base_fontsize, spacing,
+                           color_active, color_inactive)
+    for row, block in enumerate(row_blocks):
+        cx = gutter_left / 2
+        top = (gutter_top + (height + margin) * row + height / 2
+               - block.height(spacing, per_line_spacing=True) / 2)
+        _paint_label_block(painter, cx, top, block, base_fontsize, spacing,
+                           color_active, color_inactive)
 
-    for col in range(cols):
-        x = pad_left + (width + margin) * col + width / 2
-        y = pad_top / 2 - hor_text_heights[col] / 2
-        draw_texts(d, x, y, hor_texts[col], fontsize)
-
-    for row in range(rows):
-        x = pad_left / 2
-        y = (pad_top + (height + margin) * row + height / 2
-             - ver_text_heights[row] / 2)
-        draw_texts(d, x, y, ver_texts[row], fontsize)
-
-    return result
+    return canvas
 
 
 def draw_prompt_matrix(im: Image.Image, width: int, height: int,
                        all_prompts, margin: int = 0) -> Image.Image:
     """Prompt-matrix legend: each cell's active prompt parts in the active
-    color, inactive ones struck through (reference modules/images.py:239)."""
-    prompts = all_prompts[1:]
-    boundary = math.ceil(len(prompts) / 2)
+    color, inactive ones struck through (reference modules/images.py:239).
+    Variable parts split half/half between the column axis (low bits of the
+    cell index) and the row axis (high bits)."""
+    parts = all_prompts[1:]
+    n_cols_bits = math.ceil(len(parts) / 2)
+    col_parts, row_parts = parts[:n_cols_bits], parts[n_cols_bits:]
 
-    prompts_horiz = prompts[:boundary]
-    prompts_vert = prompts[boundary:]
+    def axis_labels(axis_parts):
+        return [[GridAnnotation(text, is_active=bool(idx >> bit & 1))
+                 for bit, text in enumerate(axis_parts)]
+                for idx in range(1 << len(axis_parts))]
 
-    hor_texts = [[GridAnnotation(x, is_active=pos & (1 << i) != 0)
-                  for i, x in enumerate(prompts_horiz)]
-                 for pos in range(1 << len(prompts_horiz))]
-    ver_texts = [[GridAnnotation(x, is_active=pos & (1 << i) != 0)
-                  for i, x in enumerate(prompts_vert)]
-                 for pos in range(1 << len(prompts_vert))]
-
-    return draw_grid_annotations(im, width, height, hor_texts, ver_texts,
-                                 margin)
+    return draw_grid_annotations(im, width, height, axis_labels(col_parts),
+                                 axis_labels(row_parts), margin)
