@@ -27,6 +27,10 @@ class UNetConfig:
     context_dim: int = 768
     num_heads: int = 8            # used when num_head_channels == -1
     num_head_channels: int = -1   # SD2/SDXL use 64
+    # sgm transformer_depth_middle: middle-block attention depth; -1 = auto
+    # (last per-level depth, or 1 when the last level has none — SDXL
+    # refiner needs the explicit 4: its ds8 level has no attention)
+    transformer_depth_middle: int = -1
     use_linear_in_transformer: bool = False
     adm_in_channels: int = 0      # SDXL: 2816 (pooled text + size/crop embeds)
     dropout: float = 0.0
@@ -103,6 +107,7 @@ SDXL_INPAINT_UNET = dataclasses.replace(SDXL_UNET, in_channels=9)
 SDXL_REFINER_UNET = UNetConfig(
     model_channels=384, channel_mult=(1, 2, 4, 4),
     attention_resolutions=(4, 2), transformer_depth=(0, 4, 4, 4),
+    transformer_depth_middle=4,
     context_dim=1280, num_head_channels=64, num_heads=-1,
     use_linear_in_transformer=True, adm_in_channels=2560)
 

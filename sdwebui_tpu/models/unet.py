@@ -64,7 +64,10 @@ def build_plan(cfg: UNetConfig):
             input_chs.append(ch)
             ds *= 2
 
-    middle_depth = depth[-1] if depth[-1] > 0 else 1
+    if cfg.transformer_depth_middle >= 0:
+        middle_depth = cfg.transformer_depth_middle
+    else:
+        middle_depth = depth[-1] if depth[-1] > 0 else 1
 
     output_plan = []
     chs = list(input_chs)
@@ -118,15 +121,28 @@ def _cross_attention(p, x, context, heads, hypernet=None, upcast=False):
         return linear(p["to_out"]["0"], out)
     ctx_k = ctx_v = context
     if hypernet is not None:
-        tree, (activation, multiplier, activate_output) = hypernet
+        # (tree, meta) at inference; training appends (dropout_structure,
+        # rng) so the k/v MLPs regularize (networks/hypernetwork.py)
+        tree, (activation, multiplier, activate_output) = hypernet[:2]
+        dropout_structure, rng = hypernet[2] if len(hypernet) > 2 \
+            else (None, None)
         hn = tree.get(str(context.shape[-1]))
         if hn is not None:
             from sdwebui_tpu.networks.hypernetwork import apply_hypernetwork_module
 
+            dim = context.shape[-1]
+            rk = rv = None
+            if rng is not None:
+                import jax as _jax
+
+                rk = _jax.random.fold_in(rng, 2 * dim)
+                rv = _jax.random.fold_in(rng, 2 * dim + 1)
             ctx_k = apply_hypernetwork_module(hn[0], context, activation,
-                                              multiplier, activate_output)
+                                              multiplier, activate_output,
+                                              dropout_structure, rk)
             ctx_v = apply_hypernetwork_module(hn[1], context, activation,
-                                              multiplier, activate_output)
+                                              multiplier, activate_output,
+                                              dropout_structure, rv)
     q = linear(p["to_q"], x)
     k = linear(p["to_k"], ctx_k)
     v = linear(p["to_v"], ctx_v)
@@ -373,10 +389,10 @@ def _init_transformer(ini, c, depth, cfg: UNetConfig, dtype):
     }
 
 
-def init_params(cfg: UNetConfig, key, dtype=jnp.bfloat16):
+def init_params(cfg: UNetConfig, key, dtype=jnp.bfloat16, ini=None):
     from sdwebui_tpu.models.init_utils import HostInit
 
-    ini = HostInit(key)
+    ini = ini or HostInit(key)
     input_plan, middle_depth, output_plan, _ = build_plan(cfg)
     ted = cfg.time_embed_dim
 

@@ -25,11 +25,33 @@ def _act(name: str):
     }.get(name, lambda x: x)
 
 
+def parse_dropout_structure(layer_structure, use_dropout: bool,
+                            last_layer_dropout: bool):
+    """Per-layer dropout probabilities from the create-UI booleans (reference
+    modules/hypernetworks/hypernetwork.py:129-141): position 0 (the input)
+    and the final position never drop; interior hidden layers drop at 0.3;
+    the one before the output drops only when last_layer_dropout.
+    [1,2,1] → [0,0,0] (off) and [1,2,2,1] → [0,0.3,0.3,0] / [0,0.3,0,0]."""
+    layer_structure = list(layer_structure or (1, 2, 1))
+    if not use_dropout:
+        return [0.0] * len(layer_structure)
+    probs = [0.0] + [0.3] * (len(layer_structure) - 3)
+    probs.append(0.3 if last_layer_dropout else 0.0)
+    probs.append(0.0)
+    return probs
+
+
 def apply_hypernetwork_module(layers, x, activation: str = "linear",
                               multiplier: float = 1.0,
-                              activate_output: bool = False):
+                              activate_output: bool = False,
+                              dropout_structure=None, rng=None):
     """layers: list/tuple of {"weight","bias"} array dicts (jit-safe pytree;
-    activation/multiplier are static metadata).  ctx' = ctx + mult·MLP(ctx)."""
+    activation/multiplier are static metadata).  ctx' = ctx + mult·MLP(ctx).
+
+    dropout_structure/rng: training-only inverted dropout after each hidden
+    layer's activation(+layer-norm), probability dropout_structure[i+1]
+    (reference HypernetworkModule composition, hypernetwork.py:67-69).
+    Inference callers pass neither, so generation never drops."""
     h = x.astype(jnp.float32)
     act = _act(activation)
     n = len(layers)
@@ -45,6 +67,12 @@ def apply_hypernetwork_module(layers, x, activation: str = "linear",
             h = (h - mean) / jnp.sqrt(var + 1e-5)
             h = h * layer["ln_weight"].astype(jnp.float32) \
                 + layer["ln_bias"].astype(jnp.float32)
+        p = float(dropout_structure[i + 1]) if dropout_structure is not None \
+            and rng is not None and i + 1 < len(dropout_structure) else 0.0
+        if p > 0.0:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(rng, i), 1.0 - p, h.shape)
+            h = jnp.where(keep, h / (1.0 - p), 0.0)
     return (x.astype(jnp.float32) + h * multiplier).astype(x.dtype)
 
 
@@ -106,7 +134,8 @@ def create_hypernetwork(dims=(768, 320, 640, 1280), layer_structure=(1, 2, 1),
 # --------------------------------------------------------------------------
 
 def save_hypernetwork(hn: dict, path: str, name: str = "", step: int = 0,
-                      layer_structure=(1, 2, 1), activation="linear"):
+                      layer_structure=(1, 2, 1), activation="linear",
+                      dropout_structure=None):
     from sdwebui_tpu.loader.safetensors_io import write_safetensors
 
     tensors = {}
@@ -117,10 +146,16 @@ def save_hypernetwork(hn: dict, path: str, name: str = "", step: int = 0,
                     if kind in layer:
                         tensors[f"{dim}.{tag}.linear.{li}.{kind}"] = \
                             np.asarray(layer[kind])
-    write_safetensors(path, tensors, metadata={
+    meta = {
         "name": name, "step": str(step),
         "layer_structure": ",".join(str(x) for x in layer_structure),
-        "activation_func": activation})
+        "activation_func": activation}
+    if dropout_structure is not None:
+        # training provenance (the reference stores use_dropout/
+        # dropout_structure in the .pt, hypernetwork.py:229-231)
+        meta["dropout_structure"] = ",".join(
+            str(x) for x in dropout_structure)
+    write_safetensors(path, tensors, metadata=meta)
 
 
 def _maybe_print_hn_info(path: str, tree: dict, activation: str):

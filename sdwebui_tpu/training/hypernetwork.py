@@ -13,25 +13,32 @@ from sdwebui_tpu.models import unet as unet_model
 from sdwebui_tpu.networks.hypernetwork import create_hypernetwork, save_hypernetwork
 
 
-def make_hn_train_step(model, hn_meta=("linear", 1.0, False), lr: float = 1e-4):
+def make_hn_train_step(model, hn_meta=("linear", 1.0, False), lr: float = 1e-4,
+                       dropout_structure=None):
+    """dropout_structure: per-layer probabilities (training forward only —
+    reference applies torch.nn.Dropout modules in .train() mode)."""
     optimizer = optax.adamw(lr)
     ac = jnp.asarray(model.disc.alphas_cumprod, jnp.float32)
     sqrt_ac, sqrt_1mac = jnp.sqrt(ac), jnp.sqrt(1.0 - ac)
     unet_params = model.unet_params
     unet_cfg = model.unet_cfg
+    use_dropout = dropout_structure is not None and any(dropout_structure)
+    drop = tuple(dropout_structure) if use_dropout else None
 
-    def loss_fn(hn_tree, latents, noise, t, ctx):
+    def loss_fn(hn_tree, latents, noise, t, ctx, key):
         a = sqrt_ac[t][:, None, None, None]
         am = sqrt_1mac[t][:, None, None, None]
         x_t = a * latents + am * noise
+        hn = (hn_tree, hn_meta, (drop, key)) if use_dropout \
+            else (hn_tree, hn_meta)
         pred = unet_model.apply(unet_params, unet_cfg, x_t,
-                                t.astype(jnp.float32), ctx,
-                                hypernet=(hn_tree, hn_meta))
+                                t.astype(jnp.float32), ctx, hypernet=hn)
         return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
 
     @jax.jit
-    def step(hn_tree, opt_state, latents, noise, t, ctx):
-        loss, grads = jax.value_and_grad(loss_fn)(hn_tree, latents, noise, t, ctx)
+    def step(hn_tree, opt_state, latents, noise, t, ctx, key):
+        loss, grads = jax.value_and_grad(loss_fn)(hn_tree, latents, noise,
+                                                  t, ctx, key)
         updates, opt_state = optimizer.update(grads, opt_state, hn_tree)
         hn_tree = optax.apply_updates(hn_tree, updates)
         return hn_tree, opt_state, loss
@@ -42,16 +49,26 @@ def make_hn_train_step(model, hn_meta=("linear", 1.0, False), lr: float = 1e-4):
 def train_hypernetwork(model, name: str, latents: np.ndarray, conds: np.ndarray,
                        dims=None, layer_structure=(1, 2, 1), steps: int = 100,
                        lr: float = 1e-4, batch_size: int = 1, seed: int = 0,
-                       save_path: str | None = None, callback=None):
+                       save_path: str | None = None, callback=None,
+                       use_dropout: bool = False,
+                       last_layer_dropout: bool = True,
+                       dropout_structure=None):
     """latents: (N,h,w,C); conds: (N,S,D) pre-encoded caption conds.
 
     Returns (hn_tree, losses)."""
     if dims is None:
         dims = (model.unet_cfg.context_dim,)
+    from sdwebui_tpu.networks.hypernetwork import parse_dropout_structure
+
+    if dropout_structure is None:
+        dropout_structure = parse_dropout_structure(
+            layer_structure, use_dropout, last_layer_dropout)
     hn = create_hypernetwork(dims=dims, layer_structure=layer_structure, seed=seed)
     hn = jax.tree_util.tree_map(jnp.asarray, hn)
-    step_fn, init_fn = make_hn_train_step(model, lr=lr)
+    step_fn, init_fn = make_hn_train_step(model, lr=lr,
+                                          dropout_structure=dropout_structure)
     opt_state = init_fn(hn)
+    base_key = jax.random.PRNGKey(seed)
 
     rng = np.random.default_rng(seed)
     n = latents.shape[0]
@@ -62,7 +79,8 @@ def train_hypernetwork(model, name: str, latents: np.ndarray, conds: np.ndarray,
         noise = jnp.asarray(rng.standard_normal(batch.shape), jnp.float32)
         t = jnp.asarray(rng.integers(0, 1000, (batch_size,)), jnp.int32)
         ctx = jnp.asarray(conds[idx])
-        hn, opt_state, loss = step_fn(hn, opt_state, batch, noise, t, ctx)
+        hn, opt_state, loss = step_fn(hn, opt_state, batch, noise, t, ctx,
+                                      jax.random.fold_in(base_key, i))
         losses.append(float(loss))
         if callback is not None and callback(i, losses[-1]) is False:
             break
@@ -79,6 +97,9 @@ def train_hypernetwork_from_dir(model, name: str, data_root: str,
                                 activation: str = "linear",
                                 weight_init: str = "Normal",
                                 add_layer_norm: bool = False,
+                                use_dropout: bool = False,
+                                last_layer_dropout: bool = True,
+                                dropout_structure=None,
                                 steps: int = 100, learn_rate="0.00001",
                                 batch_size: int = 1,
                                 template: str = "hypernetwork",
@@ -97,8 +118,10 @@ def train_hypernetwork_from_dir(model, name: str, data_root: str,
     """Directory-of-images hypernetwork training (reference
     modules/hypernetworks/hypernetwork.py:472 train_hypernetwork) — dataset
     captions condition each step; layer structure / activation /
-    weight-init / layer-norm options mirror the reference's create UI.
-    Dropout is not implemented (would thread rng through the jitted UNet).
+    weight-init / layer-norm / dropout options mirror the reference's
+    create UI (dropout_structure derives from use_dropout +
+    last_layer_dropout via parse_dropout_structure and applies in the
+    training forward only, reference hypernetwork.py:43-57,180).
     """
     from sdwebui_tpu.training.dataset import (LearnRateScheduler,
                                               PersonalizedDataset)
@@ -122,24 +145,33 @@ def train_hypernetwork_from_dir(model, name: str, data_root: str,
     sqrt_ac, sqrt_1mac = jnp.sqrt(ac), jnp.sqrt(1.0 - ac)
     unet_params, unet_cfg = model.unet_params, model.unet_cfg
     hn_meta = (activation, 1.0, False)
+    from sdwebui_tpu.networks.hypernetwork import parse_dropout_structure
 
-    def loss_fn(hn_tree, latents, noise, t, ctx, weights):
+    if dropout_structure is None:
+        dropout_structure = parse_dropout_structure(
+            layer_structure, use_dropout, last_layer_dropout)
+    dropping = any(dropout_structure)
+    drop = tuple(dropout_structure) if dropping else None
+
+    def loss_fn(hn_tree, latents, noise, t, ctx, weights, key):
         a = sqrt_ac[t][:, None, None, None]
         am = sqrt_1mac[t][:, None, None, None]
         x_t = a * latents + am * noise
+        hyper = (hn_tree, hn_meta, (drop, key)) if dropping \
+            else (hn_tree, hn_meta)
         pred = unet_model.apply(unet_params, unet_cfg, x_t,
-                                t.astype(jnp.float32), ctx,
-                                hypernet=(hn_tree, hn_meta))
+                                t.astype(jnp.float32), ctx, hypernet=hyper)
         return jnp.mean((pred.astype(jnp.float32) - noise) ** 2 * weights)
 
     @jax.jit
-    def step_fn(hn_tree, opt_state, latents, noise, t, ctx, weights):
+    def step_fn(hn_tree, opt_state, latents, noise, t, ctx, weights, key):
         loss, grads = jax.value_and_grad(loss_fn)(
-            hn_tree, latents, noise, t, ctx, weights)
+            hn_tree, latents, noise, t, ctx, weights, key)
         updates, opt_state = optimizer.update(grads, opt_state, hn_tree)
         return optax.apply_updates(hn_tree, updates), opt_state, loss
 
     opt_state = optimizer.init(hn)
+    base_key = jax.random.PRNGKey(seed + 1)
     rng = np.random.default_rng(seed)
     losses = []
     for i in range(steps):
@@ -155,7 +187,8 @@ def train_hypernetwork_from_dir(model, name: str, data_root: str,
         w = np.ones_like(latents) if weights is None else weights
         hn, opt_state, loss = step_fn(hn, opt_state, jnp.asarray(latents),
                                       jnp.asarray(noise), jnp.asarray(t),
-                                      ctx, jnp.asarray(w))
+                                      ctx, jnp.asarray(w),
+                                      jax.random.fold_in(base_key, i))
         losses.append(float(loss))
         if callback is not None and callback(i, losses[-1]) is False:
             break
@@ -165,7 +198,9 @@ def train_hypernetwork_from_dir(model, name: str, data_root: str,
                 lambda x: np.asarray(jax.device_get(x)), hn)
             save_hypernetwork(host, save_path, name=name, step=i + 1,
                               layer_structure=layer_structure,
-                              activation=activation)
+                              activation=activation,
+                              dropout_structure=dropout_structure
+                              if dropping else None)
         if preview_every and save_path and (i + 1) % preview_every == 0:
             # reference create_image_every (hypernetwork.py:688): sample
             # with the in-training hypernetwork active
@@ -178,7 +213,9 @@ def train_hypernetwork_from_dir(model, name: str, data_root: str,
     if save_path:
         save_hypernetwork(hn_host, save_path, name=name, step=len(losses),
                           layer_structure=layer_structure,
-                          activation=activation)
+                          activation=activation,
+                          dropout_structure=dropout_structure
+                          if dropping else None)
     return hn_host, losses
 
 

@@ -121,3 +121,74 @@ def test_hypernetwork_training_runs(model, tmp_path):
     assert len(losses) == 10 and all(np.isfinite(losses))
     loaded, _ = load_hypernetwork(save)
     assert str(model.unet_cfg.context_dim) in loaded
+
+
+def test_parse_dropout_structure_reference_rule():
+    """Exact per-layer probabilities from the create-UI booleans
+    (reference hypernetwork.py:129-141 incl. the documented examples)."""
+    from sdwebui_tpu.networks.hypernetwork import parse_dropout_structure
+
+    assert parse_dropout_structure((1, 2, 1), False, True) == [0, 0, 0]
+    assert parse_dropout_structure((1, 2, 1), True, False) == [0, 0, 0]
+    assert parse_dropout_structure((1, 2, 1), True, True) == [0, 0.3, 0]
+    assert parse_dropout_structure((1, 2, 2, 1), True, True) == \
+        [0, 0.3, 0.3, 0]
+    assert parse_dropout_structure((1, 2, 2, 1), True, False) == \
+        [0, 0.3, 0, 0]
+    assert parse_dropout_structure(None, True, True) == [0, 0.3, 0]
+
+
+def test_hypernetwork_dropout_training(model):
+    """use_dropout regularizes the training forward only: losses differ
+    from the no-dropout run on identical data, stay finite, and the mask
+    varies per step (loss variance strictly positive even at lr→0)."""
+    rng = np.random.default_rng(1)
+    latents = rng.standard_normal((4, 8, 8, 4)).astype(np.float32) * 0.2
+    conds = rng.standard_normal((4, 77, 64)).astype(np.float32)
+
+    common = dict(dims=None, layer_structure=(1, 2, 2, 1), steps=8,
+                  batch_size=2, seed=5)
+    _, plain = train_hypernetwork(model, "hn", latents, conds,
+                                  use_dropout=False, **common)
+    _, dropped = train_hypernetwork(model, "hn", latents, conds,
+                                    use_dropout=True, **common)
+    assert all(np.isfinite(dropped))
+    assert not np.allclose(plain, dropped)
+
+    # at lr=0 params are frozen and both runs draw identical batches/t/noise
+    # (same numpy seed), so any per-step loss difference comes from the
+    # dropout mask alone — and the dropout run itself stays deterministic
+    frozen = dict(dims=None, layer_structure=(1, 2, 2, 1), steps=6,
+                  batch_size=4, seed=5, lr=0.0)
+    _, frozen_plain = train_hypernetwork(model, "hn", latents, conds,
+                                         use_dropout=False, **frozen)
+    _, frozen_drop = train_hypernetwork(model, "hn", latents, conds,
+                                        use_dropout=True, **frozen)
+    _, frozen_drop2 = train_hypernetwork(model, "hn", latents, conds,
+                                         use_dropout=True, **frozen)
+    assert not np.allclose(frozen_plain, frozen_drop)   # masks active
+    np.testing.assert_allclose(frozen_drop, frozen_drop2)  # seeded PRNG
+    # masks re-drawn per step: the dropout-induced loss delta varies
+    deltas = np.asarray(frozen_drop) - np.asarray(frozen_plain)
+    assert np.std(deltas) > 1e-9
+
+
+def test_hypernetwork_dropout_not_applied_at_inference(model):
+    """Generation never drops: the inference forward ignores dropout
+    metadata entirely (hypernet 2-tuple path)."""
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.networks.hypernetwork import (create_hypernetwork,
+                                                   parse_dropout_structure)
+    from sdwebui_tpu.models import unet as unet_model
+
+    hn = create_hypernetwork(dims=(model.unet_cfg.context_dim,),
+                             layer_structure=(1, 2, 2, 1), seed=3)
+    x = jnp.ones((1, 8, 8, 4), jnp.float32)
+    t = jnp.array([10.0])
+    ctx = jnp.ones((1, 77, model.unet_cfg.context_dim), jnp.float32)
+    a = unet_model.apply(model.unet_params, model.unet_cfg, x, t, ctx,
+                         hypernet=(hn, ("relu", 1.0, False)))
+    b = unet_model.apply(model.unet_params, model.unet_cfg, x, t, ctx,
+                         hypernet=(hn, ("relu", 1.0, False)))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
