@@ -137,6 +137,16 @@ def derive_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNet
     if prefix + "label_emb.0.0.weight" in sd:
         adm = int(sd[prefix + "label_emb.0.0.weight"].shape[1])
 
+    # middle-block depth is independent of the last level's (SDXL refiner:
+    # per-level (0,4,4,0) but middle 4 — sgm transformer_depth_middle)
+    mid_re = re.compile(re.escape(prefix)
+                        + r"middle_block\.1\.transformer_blocks\.(\d+)\.")
+    mid_depth = -1
+    for k in sd:
+        m = mid_re.match(k)
+        if m:
+            mid_depth = max(mid_depth, int(m.group(1)) + 1)
+
     # head count is not recorded in the weights: SD1 (ctx 768) uses 8 fixed
     # heads, every later family uses 64-channel heads; sub-64-channel models
     # (tests) get channels/8 per head
@@ -160,11 +170,100 @@ def derive_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNet
         transformer_depth=tuple(transformer_depth),
         context_dim=context_dim or 768,
         num_heads=num_heads, num_head_channels=num_head_channels,
-        use_linear_in_transformer=use_linear, adm_in_channels=adm)
+        use_linear_in_transformer=use_linear, adm_in_channels=adm,
+        transformer_depth_middle=mid_depth)
 
 
-def convert_unet(sd: dict, prefix: str = "model.diffusion_model."):
-    return _subtree(sd, prefix), derive_unet_config(sd, prefix)
+def _structure_names(kind: str, cfg) -> set:
+    """Expected param names for a derived config: run the model's own
+    init on a channel-shrunken copy (names depend only on the structure
+    — block/level/depth layout — never on the widths, so this is cheap).
+    init_params is the single source of truth for what the loader must
+    produce; anything else is a missing or unexpected checkpoint tensor."""
+    from sdwebui_tpu.utils.pytree import flatten
+
+    if kind == "unet":
+        from sdwebui_tpu.models import unet as m
+
+        small = dataclasses.replace(
+            cfg, model_channels=8,
+            context_dim=8 if cfg.context_dim else cfg.context_dim,
+            adm_in_channels=8 if cfg.adm_in_channels else 0,
+            num_heads=1, num_head_channels=-1)
+        params = m.init_params(small, 0)
+    elif kind == "vae":
+        from sdwebui_tpu.models import vae as m
+
+        small = dataclasses.replace(cfg, ch=8)
+        params = m.init_params(small, 0)
+    else:
+        from sdwebui_tpu.models import clip as m
+
+        small = dataclasses.replace(
+            cfg, width=8, heads=1, vocab_size=64,
+            projection_dim=8 if cfg.projection_dim else 0)
+        params = m.init_params(small, 0)
+    return set(flatten(params))
+
+
+# SSD-1B-style pruning removes WHOLE subtrees (reference
+# modules/sd_hijack.py:191 convert_sdxl_to_ssd: transformer blocks and the
+# middle attention/second res); tolerate a missing name only when its
+# entire prunable group is absent.
+_PRUNABLE_GROUP = re.compile(
+    r"((?:input|output)_blocks\.\d+\.1\.transformer_blocks\.\d+\.|"
+    r"middle_block\.[12]\.)")
+
+
+def verify_tree_names(got: set, kind: str, cfg, what: str) -> set:
+    """Loader contract check (VERDICT r2 item 3): a checkpoint tensor the
+    model doesn't expect, or an expected tensor the checkpoint lacks, must
+    never be silent — a silently missing weight is a randomly behaving
+    layer.  Raises on missing names (minus whole pruned groups); returns
+    the extra names for the caller to drop with a warning (the reference's
+    load_state_dict(strict=False) tolerance for merge junk)."""
+    expected = _structure_names(kind, cfg)
+    missing = expected - got
+    if missing and kind == "unet":
+        def pruned(name):
+            m = _PRUNABLE_GROUP.match(name)
+            if not m:
+                return False
+            group = m.group(1)
+            return all(e in missing for e in expected if e.startswith(group))
+
+        missing = {n for n in missing if not pruned(n)}
+    if missing:
+        raise ValueError(
+            f"{what}: checkpoint is missing {len(missing)} expected "
+            f"tensors, e.g. {sorted(missing)[:4]}")
+    return got - expected
+
+
+def _drop_extras(flat: dict, extra: set, what: str) -> None:
+    if not extra:
+        return
+    import logging
+
+    logging.getLogger("sdwebui_tpu").warning(
+        "%s: ignoring %d unexpected checkpoint tensors, e.g. %s",
+        what, len(extra), sorted(extra)[:4])
+    for k in extra:
+        flat.pop(k, None)
+
+
+def convert_unet(sd: dict, prefix: str = "model.diffusion_model.",
+                 verify: bool = True):
+    cfg = derive_unet_config(sd, prefix)
+    flat = {k[len(prefix):]: convert_leaf(k[len(prefix):], v)
+            for k, v in sd.items() if k.startswith(prefix)}
+    # legacy context-free LDM UNets (LDSR's bsr model) use the qkv
+    # AttentionBlock layout that the structure check does not model
+    legacy = any(k.endswith(".1.qkv.weight") or ".1.qkv." in k for k in flat)
+    if verify and not legacy:
+        extra = verify_tree_names(set(flat), "unet", cfg, prefix.rstrip("."))
+        _drop_extras(flat, extra, prefix.rstrip("."))
+    return unflatten(flat), cfg
 
 
 # --------------------------------------------------------------------------
@@ -287,8 +386,14 @@ def derive_vae_config(sd: dict, prefix: str = "first_stage_model.",
 
 
 def convert_vae(sd: dict, prefix: str = "first_stage_model.",
-                scale_factor: float = 0.18215):
-    return _subtree(sd, prefix), derive_vae_config(sd, prefix, scale_factor)
+                scale_factor: float = 0.18215, verify: bool = True):
+    cfg = derive_vae_config(sd, prefix, scale_factor)
+    flat = {k[len(prefix):]: convert_leaf(k[len(prefix):], v)
+            for k, v in sd.items() if k.startswith(prefix)}
+    if verify:
+        extra = verify_tree_names(set(flat), "vae", cfg, prefix.rstrip("."))
+        _drop_extras(flat, extra, prefix.rstrip("."))
+    return unflatten(flat), cfg
 
 
 # --------------------------------------------------------------------------
@@ -310,17 +415,19 @@ def convert_clip_hf(sd: dict, prefix: str):
     if "text_projection.weight" in flat:
         flat["text_projection.weight"] = np.ascontiguousarray(
             flat["text_projection.weight"].T)
-    tree = unflatten(flat)
-    width = tree["embeddings"]["token_embedding"]["weight"].shape[1]
-    layers = len(tree["encoder"]["layers"])
+    width = flat["embeddings.token_embedding.weight"].shape[1]
+    layers = 1 + max(int(k.split(".")[2]) for k in flat
+                     if k.startswith("encoder.layers."))
     cfg = CLIPTextConfig(
-        vocab_size=tree["embeddings"]["token_embedding"]["weight"].shape[0],
+        vocab_size=flat["embeddings.token_embedding.weight"].shape[0],
         width=width, layers=layers, heads=_clip_heads(width),
-        max_length=tree["embeddings"]["position_embedding"]["weight"].shape[0],
+        max_length=flat["embeddings.position_embedding.weight"].shape[0],
         activation="quick_gelu",
         projection_dim=flat["text_projection.weight"].shape[1]
         if "text_projection.weight" in flat else 0)
-    return tree, cfg
+    extra = verify_tree_names(set(flat), "clip", cfg, prefix.rstrip("."))
+    _drop_extras(flat, extra, prefix.rstrip("."))
+    return unflatten(flat), cfg
 
 
 # --------------------------------------------------------------------------
@@ -375,18 +482,20 @@ def convert_clip_openclip(sd: dict, prefix: str):
             flat[base + "mlp.fc1." + rest[9:]] = convert_leaf("fc1." + rest[9:], v)
         elif rest.startswith("mlp.c_proj."):
             flat[base + "mlp.fc2." + rest[11:]] = convert_leaf("fc2." + rest[11:], v)
-    tree = unflatten(flat)
     if text_projection is not None:
-        tree["text_projection"] = {"weight": text_projection}
-    width = tree["embeddings"]["token_embedding"]["weight"].shape[1]
-    layers = len(tree["encoder"]["layers"])
+        flat["text_projection.weight"] = text_projection
+    width = flat["embeddings.token_embedding.weight"].shape[1]
+    layers = 1 + max(int(k.split(".")[2]) for k in flat
+                     if k.startswith("encoder.layers."))
     cfg = CLIPTextConfig(
-        vocab_size=tree["embeddings"]["token_embedding"]["weight"].shape[0],
+        vocab_size=flat["embeddings.token_embedding.weight"].shape[0],
         width=width, layers=layers, heads=_clip_heads(width),
-        max_length=tree["embeddings"]["position_embedding"]["weight"].shape[0],
+        max_length=flat["embeddings.position_embedding.weight"].shape[0],
         activation="gelu",
         projection_dim=0 if text_projection is None else text_projection.shape[1])
-    return tree, cfg
+    extra = verify_tree_names(set(flat), "clip", cfg, prefix.rstrip("."))
+    _drop_extras(flat, extra, prefix.rstrip("."))
+    return unflatten(flat), cfg
 
 
 def cast_tree(tree, dtype):

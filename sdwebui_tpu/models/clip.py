@@ -122,10 +122,10 @@ def encode_with_fixes(params, cfg: CLIPTextConfig, tokens, fixes_per_item,
 # init
 # --------------------------------------------------------------------------
 
-def init_params(cfg: CLIPTextConfig, key, dtype=jnp.float32):
+def init_params(cfg: CLIPTextConfig, key, dtype=jnp.float32, ini=None):
     from sdwebui_tpu.models.init_utils import HostInit
 
-    ini = HostInit(key)
+    ini = ini or HostInit(key)
     lin = lambda cin, cout, bias=True: ini.linear(cin, cout, dtype, bias=bias)
     norm = lambda c: ini.norm(c, dtype)
 

@@ -143,10 +143,10 @@ def decode(params, cfg: VAEConfig, z):
 # init
 # --------------------------------------------------------------------------
 
-def init_params(cfg: VAEConfig, key, dtype=jnp.float32):
+def init_params(cfg: VAEConfig, key, dtype=jnp.float32, ini=None):
     from sdwebui_tpu.models.init_utils import HostInit
 
-    ini = HostInit(key)
+    ini = ini or HostInit(key)
     _conv = lambda kh, kw, cin, cout: ini.conv(kh, kw, cin, cout, dtype)
     _norm = lambda c: ini.norm(c, dtype)
 
