@@ -76,22 +76,34 @@ def make_alphas(cfg: LDSRConfig) -> np.ndarray:
     return np.cumprod(1.0 - betas)
 
 
-@functools.partial(jax.jit, static_argnames=("ucfg", "steps", "eta"))
+@functools.partial(jax.jit, static_argnames=("ucfg", "steps", "eta",
+                                              "eps_fn"))
 def _ddim_sample(unet_params, ucfg, lr_cond, noise_seq, x_T,
-                 alphas_cumprod, timesteps_seq, steps: int, eta: float):
-    """x_T → x_0 over the DDIM subsequence; UNet input = [x_t ⊕ LR]."""
+                 alphas_cumprod, timesteps_seq, steps: int, eta: float,
+                 eps_fn=None):
+    """x_T → x_0 over the DDIM subsequence; UNet input = [x_t ⊕ LR].
+
+    ldm DDIMSampler conventions (oracle-matched against the reference's own
+    integer-timestep DDIM, tests/test_ldsr.py): the step BELOW the last
+    subsequence timestep is t=0 — a_prev ends at alphas_cumprod[0], not 1.
+    eps_fn(x_concat, t_batch) overrides the UNet for trajectory tests."""
+    n_ts = timesteps_seq.shape[0]
+
     def step(x, inp):
         i, z_noise = inp
         t = timesteps_seq[i]
-        t_prev = jnp.where(i + 1 < steps, timesteps_seq[i + 1], -1)
+        t_prev = jnp.where(i + 1 < n_ts, timesteps_seq[jnp.minimum(
+            i + 1, n_ts - 1)], 0)
         a_t = alphas_cumprod[t]
-        a_prev = jnp.where(t_prev >= 0, alphas_cumprod[jnp.maximum(t_prev, 0)],
-                           1.0)
-        eps = unet_model.apply(
-            unet_params, ucfg,
-            jnp.concatenate([x, lr_cond], axis=-1).astype(jnp.bfloat16),
-            jnp.broadcast_to(t.astype(jnp.float32), (x.shape[0],)),
-            None).astype(jnp.float32)
+        a_prev = alphas_cumprod[t_prev]
+        x_in = jnp.concatenate([x, lr_cond], axis=-1)
+        tb = jnp.broadcast_to(t.astype(jnp.float32), (x.shape[0],))
+        if eps_fn is None:
+            eps = unet_model.apply(unet_params, ucfg,
+                                   x_in.astype(jnp.bfloat16), tb,
+                                   None).astype(jnp.float32)
+        else:
+            eps = eps_fn(x_in, tb)
         x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
         sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a_t)
                                * (1 - a_t / a_prev))
@@ -176,9 +188,12 @@ def super_resolution(unet_params, vq_params, cfg: LDSRConfig,
     noise_seq = jnp.asarray(
         rng.standard_normal((steps, 1, hh, ww, cfg.vq.embed_dim)), jnp.float32)
 
-    # DDIM subsequence (reference make_ddim_timesteps, uniform)
+    # DDIM subsequence (ldm make_ddim_timesteps uniform: the +1 "to get the
+    # final alpha right", clipped like the reference's own timestep DDIM —
+    # modules/sd_samplers_timesteps.py)
     c = cfg.timesteps // steps
-    ts = np.asarray(range(0, cfg.timesteps, c))[::-1].copy()
+    ts = np.clip(np.asarray(range(0, cfg.timesteps, c)) + 1, 0,
+                 cfg.timesteps - 1)[::-1].copy()
     alphas = jnp.asarray(make_alphas(cfg), jnp.float32)
 
     z = _ddim_sample(unet_params, cfg.unet, lr, noise_seq, x_T, alphas,

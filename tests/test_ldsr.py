@@ -162,3 +162,120 @@ def test_load_and_super_resolution(tmp_path):
 
 def test_register_ldsr_missing(tmp_path):
     assert ldsr.register_ldsr_dir((str(tmp_path / "nope"),)) == []
+
+
+# ---------------------------------------------------------------------------
+# reference oracles (VERDICT r2 item 4): the pieces of the reference's LDSR
+# implementation that are complete in-image — the VQ quantizer
+# (extensions-builtin/LDSR/vqvae_quantize.py, self-contained torch) and the
+# integer-timestep DDIM trajectory (modules/sd_samplers_timesteps_impl.ddim,
+# the reference's own ldm-convention DDIM: +1 uniform subsequence, final
+# a_prev = alphas_cumprod[0]).  The ldm-cloned UNet/VQGAN classes are NOT
+# in-image (git-clone deps), so their load paths stay covered by the
+# synthetic-checkpoint round-trip above.
+# ---------------------------------------------------------------------------
+
+def test_vq_quantize_matches_reference_quantizer():
+    import importlib.util
+
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "vqvae_quantize",
+        "/root/reference/extensions-builtin/LDSR/vqvae_quantize.py")
+    vq_ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vq_ref)
+
+    rng = np.random.default_rng(3)
+    n_embed, e_dim = 512, 3
+    codebook = rng.standard_normal((n_embed, e_dim)).astype(np.float32)
+    z = rng.standard_normal((2, 8, 8, e_dim)).astype(np.float32) * 1.7
+
+    q = vq_ref.VectorQuantizer2(n_embed, e_dim, beta=0.25)
+    with torch.no_grad():
+        q.embedding.weight.copy_(torch.from_numpy(codebook))
+        z_q, _, _ = q(torch.from_numpy(z).permute(0, 3, 1, 2))
+    expected = z_q.permute(0, 2, 3, 1).numpy()
+
+    got = np.asarray(ldsr.vq_quantize(jnp.asarray(z), jnp.asarray(codebook)))
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-6)
+
+
+def test_ldsr_ddim_trajectory_matches_reference():
+    """Our LDSR scan (concat-conditioned, eta=1, uniform +1 subsequence)
+    against the reference's own integer-timestep DDIM with intercepted
+    noise and the LDSR beta schedule.
+
+    The in-image oracle (sd_samplers_timesteps_impl.ddim) runs
+    len(timesteps)-1 updates — it never takes the final t=timesteps[0]
+    step that ldm's DDIMSampler does — so the comparison drives our scan
+    for steps-1 iterations; the final-step convention
+    (a_prev -> alphas_cumprod[0]) is ldm's documented behavior and stays
+    covered by the synthetic round-trip test."""
+    import types
+
+    import torch
+
+    from tests import reference_oracle as ro
+
+    impl = ro.load("modules.sd_samplers_timesteps_impl")
+
+    cfg = ldsr.LDSRConfig(timesteps=1000)
+    ac = ldsr.make_alphas(cfg)
+    steps = 10
+    ts = np.clip(np.arange(0, cfg.timesteps, cfg.timesteps // steps) + 1,
+                 0, cfg.timesteps - 1)
+
+    rng = np.random.default_rng(11)
+    x0 = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    lr = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    noises = [rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+              for _ in range(steps)]
+
+    # elementwise analytic eps (layout-agnostic across NCHW/NHWC)
+    def eps_np(x, lr_, t):                     # t: (B,)
+        return (np.sin(1.7 * x) * 0.9 + 0.3 * np.cos(2.1 * lr_)
+                + 0.02 * t.reshape(-1, 1, 1, 1) / 1000.0)
+
+    class _Chain:
+        def __init__(self):
+            inner2 = type("I2", (), {})()
+            inner2.alphas_cumprod = torch.as_tensor(ac, dtype=torch.float32)
+            inner = type("I1", (), {})()
+            inner.inner_model = inner2
+            self.inner_model = inner
+            self.lr = torch.from_numpy(lr).permute(0, 3, 1, 2)
+
+        def __call__(self, x, tsteps, **kw):
+            t = tsteps.float().numpy()
+            e = eps_np(x.numpy(), self.lr.numpy(),
+                       np.broadcast_to(t, (x.shape[0],)))
+            return torch.from_numpy(e.astype(np.float32))
+
+    queue = [torch.from_numpy(
+        np.transpose(n, (0, 3, 1, 2)).copy()) for n in noises]
+    fake_torch = types.SimpleNamespace(randn_like=lambda x: queue.pop(0))
+    orig = impl.k_diffusion.sampling.torch
+    impl.k_diffusion.sampling.torch = fake_torch
+    try:
+        with torch.no_grad():
+            x_t = torch.from_numpy(
+                np.transpose(x0, (0, 3, 1, 2)).copy())
+            ref = impl.ddim(_Chain(), x_t, torch.as_tensor(ts),
+                            disable=True, eta=1.0).numpy()
+    finally:
+        impl.k_diffusion.sampling.torch = orig
+    ref = np.transpose(ref, (0, 2, 3, 1))
+
+    def eps_fn(x_in, tb):
+        x, lr_ = x_in[..., :3], x_in[..., 3:]
+        return (jnp.sin(1.7 * x) * 0.9 + 0.3 * jnp.cos(2.1 * lr_)
+                + 0.02 * tb[:, None, None, None] / 1000.0)
+
+    got = np.asarray(ldsr._ddim_sample(
+        None, None, jnp.asarray(lr),
+        jnp.asarray(np.stack(noises[:steps - 1])),
+        jnp.asarray(x0), jnp.asarray(ac, jnp.float32),
+        jnp.asarray(ts[::-1].copy(), jnp.int32), steps - 1, 1.0,
+        eps_fn=eps_fn))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
