@@ -11,7 +11,8 @@ import numpy as np
 from PIL import Image
 
 from sdwebui_tpu.pipeline.params import GenerationParams, Processed
-from sdwebui_tpu.scripts.framework import Script, register_script
+from sdwebui_tpu.scripts.framework import (Script, ScriptArgError,
+                                           register_script)
 from sdwebui_tpu.utils import images as images_util
 
 
@@ -38,6 +39,7 @@ def _run_cell(engine, q: GenerationParams) -> Processed:
 def _apply_field(field):
     def fn(p, v):
         setattr(p, field, type(getattr(p, field, v))(v) if getattr(p, field, None) is not None else v)
+    fn._field = field  # validation introspects the target param type
     return fn
 
 
@@ -128,20 +130,61 @@ REF_AXES_IMG2IMG = (_REF_AXES_COMMON_HEAD + ["CFG Scale", "Image CFG Scale",
                     + _REF_AXES_TAIL2)
 
 
+def _axis_field_type(axis: str):
+    """Python type of the GenerationParams field an axis sweeps (None for
+    Nothing/option/compound axes) — drives range expansion + validation."""
+    fn = AXIS_OPTIONS.get(axis)
+    field = getattr(fn, "_field", None)
+    if field is None:
+        return None
+    cur = getattr(GenerationParams(prompt=""), field, None)
+    if cur is not None:
+        return type(cur)
+    # None defaults (denoising_strength, eta, ...): use the annotation
+    f = GenerationParams.__dataclass_fields__.get(field)
+    ann = str(f.type) if f else ""
+    return float if "float" in ann else int if "int" in ann else None
+
+
+_NUM = r"[+-]?\d+(?:\.\d*)?"
+# range grammar on numeric axes (reference xyz_grid.py process_axis):
+#   "A-B"        inclusive, step 1
+#   "A-B (+S)"   arithmetic step S
+#   "A-B [N]"    N evenly spaced values
+_RANGE_RE = __import__("re").compile(
+    rf"({_NUM})\s*-\s*({_NUM})"
+    rf"(?:\s*(?:\(\s*({_NUM})\s*\)|\[\s*(\d+)\s*\]))?$")
+
+
+def _expand_range(v: str, ftype):
+    m = _RANGE_RE.fullmatch(v.strip())
+    if not m:
+        return None
+    a, b, step, count = m.groups()
+    a, b = float(a), float(b)
+    if count is not None:
+        pts = np.linspace(a, b, max(int(count), 1))
+    else:
+        s = float(step) if step is not None else 1.0
+        if s == 0:
+            return None
+        pts = np.arange(a, b + s / 2, s)
+    return [int(round(p)) for p in pts] if ftype is int \
+        else [float(p) for p in pts]
+
+
 def parse_axis_values(axis: str, values) -> list:
     if axis == "Nothing" or not values:
         return [None]
     if isinstance(values, (list, tuple)):
         return list(values)
     vals = [v.strip() for v in str(values).split(",") if v.strip() != ""]
+    ftype = _axis_field_type(axis)
     out = []
     for v in vals:
-        # integer ranges "1-5" and "1-5 [3]" counts
-        import re
-
-        m = re.fullmatch(r"(-?\d+)\s*-\s*(-?\d+)", v)
-        if m and axis in ("Seed", "Steps", "Clip skip", "Width", "Height"):
-            out.extend(range(int(m.group(1)), int(m.group(2)) + 1))
+        rng = _expand_range(v, ftype) if ftype in (int, float) else None
+        if rng is not None:
+            out.extend(rng)
         else:
             out.append(v)
     return out
@@ -171,6 +214,67 @@ class XYZPlot(Script):
         _ui("include_sub_grids", "Include Sub Grids", "checkbox", False),
     ]
 
+    def validate_args(self, args):
+        """Accept the reference index convention (13 args: 3x(type_index,
+        values, values_dropdown) + 4 flags) as an alternate layout; returns
+        True when that layout applies (framework then skips the 8-control
+        ui_params check).  Named-axis calls fall through to the default."""
+        if not args:
+            return False
+        by_index = isinstance(args[0], (int, float)) \
+            and not isinstance(args[0], bool)
+        has_dropdown = any(isinstance(v, (list, tuple))
+                           for v in list(args)[2:9:3])
+        if not (by_index or has_dropdown):
+            return False
+        if len(args) > 13:
+            raise ScriptArgError(
+                self.name, 13, "<extra>",
+                f"reference-convention XYZ takes at most 13 script_args, "
+                f"got {len(args)}")
+        n_axes = max(len(REF_AXES_TXT2IMG), len(REF_AXES_IMG2IMG))
+        labels = ("X", "Y", "Z")
+        for a in range(3):
+            base = 3 * a
+            if base >= len(args):
+                break
+            t = args[base]
+            if not isinstance(t, (bool, int, float, str, type(None))):
+                raise ScriptArgError(self.name, base, f"{labels[a]} type",
+                                     f"expected an axis index or name, "
+                                     f"got {t!r}")
+            if isinstance(t, (int, float)) and not isinstance(t, bool) \
+                    and not 0 <= int(t) < n_axes:
+                raise ScriptArgError(self.name, base, f"{labels[a]} type",
+                                     f"axis index {t} out of range "
+                                     f"(0..{n_axes - 1})")
+            if base + 2 < len(args):
+                d = args[base + 2]
+                if d and not isinstance(d, (list, tuple)):
+                    raise ScriptArgError(
+                        self.name, base + 2,
+                        f"{labels[a]} values dropdown",
+                        f"expected a list of choices, got {d!r}")
+        return True
+
+    def _check_axis_values(self, axis, parsed, slot, label):
+        """A value string that cannot coerce to the axis's parameter type
+        must 400 naming the axis, not surface as a mid-sweep traceback
+        (reference call_queue.py user-facing error contract)."""
+        ftype = _axis_field_type(axis)
+        if ftype not in (int, float):
+            return
+        for v in parsed:
+            if not isinstance(v, str) or v.strip().lower() in ("true",
+                                                               "false"):
+                continue
+            try:
+                float(v)
+            except ValueError:
+                raise ScriptArgError(
+                    self.name, slot, label,
+                    f"axis {axis!r} expects numbers, got {v!r}") from None
+
     def run(self, engine, p: GenerationParams,
             x_axis="Nothing", x_values="", y_axis="Nothing", y_values="",
             z_axis="Nothing", z_values="", draw_legend=True,
@@ -191,17 +295,27 @@ class XYZPlot(Script):
                 i = int(i or 0)
                 return order[i] if 0 <= i < len(order) else "Nothing"
 
-            def vals(text, dropdown):
-                return list(dropdown) if dropdown else text
+            def vals(text, dropdown, slot):
+                if not dropdown:  # None/""/[]/0/False — no dropdown sent
+                    return text
+                if not isinstance(dropdown, (list, tuple)):
+                    raise ScriptArgError(
+                        self.name, slot, "values dropdown",
+                        f"expected a list of choices, got {dropdown!r}")
+                return list(dropdown)
 
-            x_axis, x_values = axis_name(args[0]), vals(args[1], args[2])
-            y_axis, y_values = axis_name(args[3]), vals(args[4], args[5])
-            z_axis, z_values = axis_name(args[6]), vals(args[7], args[8])
+            x_axis, x_values = axis_name(args[0]), vals(args[1], args[2], 2)
+            y_axis, y_values = axis_name(args[3]), vals(args[4], args[5], 5)
+            z_axis, z_values = axis_name(args[6]), vals(args[7], args[8], 8)
             draw_legend = bool(args[9]) if args[9] is not None else True
             include_sub_grids = bool(args[11])
         xs = parse_axis_values(x_axis, x_values)
         ys = parse_axis_values(y_axis, y_values)
         zs = parse_axis_values(z_axis, z_values)
+        for axis, parsed, slot, label in ((x_axis, xs, 1, "X values"),
+                                          (y_axis, ys, 3, "Y values"),
+                                          (z_axis, zs, 5, "Z values")):
+            self._check_axis_values(axis, parsed, slot, label)
         axis_values = {x_axis: xs, y_axis: ys, z_axis: zs}
 
         def _coerce(v):

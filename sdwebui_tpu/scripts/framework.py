@@ -137,6 +137,74 @@ class Script:
 _SCRIPT_REGISTRY: dict[str, type] = {}
 
 
+class ScriptArgError(ValueError):
+    """script_args validation failure: names the failing argument so API
+    callers get a 400 with the axis/control label instead of a raw
+    traceback (reference modules/call_queue.py:49-91 user-facing error
+    contract)."""
+
+    def __init__(self, script_name: str, index: int, label: str,
+                 message: str):
+        self.script_name = script_name
+        self.index = index
+        self.label = label
+        super().__init__(
+            f"script {script_name!r} argument {index} ({label}): {message}")
+
+
+def validate_script_args(script: Script, args) -> None:
+    """Check script_args arity and per-control types against the script's
+    declared ui_params before dispatch.  select controls accept either a
+    choice string or the reference API's index-int convention; dynamic
+    registry choices (a str key like "samplers") are resolved by the
+    script itself and only type-checked here.  A script whose API accepts
+    an alternate arg layout (XYZ's reference index convention) overrides
+    `validate_args`."""
+    custom = getattr(script, "validate_args", None)
+    if custom is not None and custom(args):
+        return
+    spec = script.ui_params
+    if len(args) > len(spec):
+        raise ScriptArgError(
+            script.name, len(spec), "<extra>",
+            f"takes at most {len(spec)} script_args, got {len(args)}")
+    for i, (param, val) in enumerate(zip(spec, args)):
+        kind = param.get("type", "text")
+        label = param.get("label", param.get("name", f"arg{i}"))
+
+        def fail(message):
+            raise ScriptArgError(script.name, i, label, message)
+
+        if val is None:
+            continue  # treated as "use default" by every script
+        if kind == "number":
+            if isinstance(val, bool):
+                fail("expected a number, got a boolean")
+            try:
+                float(val)
+            except (TypeError, ValueError):
+                fail(f"expected a number, got {val!r}")
+        elif kind == "checkbox":
+            if not isinstance(val, (bool, int)):
+                fail(f"expected true/false, got {val!r}")
+        elif kind == "select":
+            choices = param.get("choices")
+            if isinstance(val, bool) or not isinstance(val, (str, int)):
+                fail(f"expected a choice name or index, got {val!r}")
+            if isinstance(choices, (list, tuple)) and choices:
+                if isinstance(val, int):
+                    if not 0 <= val < len(choices):
+                        fail(f"choice index {val} out of range "
+                             f"(0..{len(choices) - 1})")
+                elif val not in choices:
+                    preview = ", ".join(map(repr, list(choices)[:4]))
+                    fail(f"{val!r} is not one of the {len(choices)} "
+                         f"choices ({preview}, ...)")
+        elif kind in ("text", "textarea"):
+            if not isinstance(val, (str, int, float)):
+                fail(f"expected text, got {type(val).__name__}")
+
+
 def register_script(cls):
     _SCRIPT_REGISTRY[cls.name.lower()] = cls
     return cls

