@@ -119,7 +119,7 @@ def test_every_fetched_route_is_registered(script):
 
 def test_generate_payload_covers_new_controls(script):
     """The round-2 controls must actually reach the request body."""
-    gen = script[script.index('$("generate").onclick'):]
+    gen = script[script.index("const PAYLOAD_FIELDS"):]
     for field in ["n_iter", "restore_faces", "tiling", "subseed",
                   "subseed_strength", "styles", "refiner_checkpoint",
                   "script_name", "script_args", "enable_hr", "hr_scale",
@@ -128,3 +128,83 @@ def test_generate_payload_covers_new_controls(script):
                   "inpaint_full_res", "inpaint_full_res_padding",
                   "input_dir", "output_dir"]:
         assert re.search(rf"\b{field}\b", gen), f"payload misses {field}"
+
+
+# ---------------------------------------------------------------------------
+# Payload contract (VERDICT r2 item 8): the SPA declares its generate-body
+# shape as data (PAYLOAD_FIELDS, strict JSON).  Validate it field-for-field
+# against server/schema.py and the markup, so a UI field drifting from the
+# schema fails here instead of 500ing at runtime.
+# ---------------------------------------------------------------------------
+
+import json
+import typing
+
+
+@pytest.fixture(scope="module")
+def payload_fields(script):
+    m = re.search(r"const PAYLOAD_FIELDS = JSON\.parse\(`(\{.*?\})`\)",
+                  script, re.S)
+    assert m, "PAYLOAD_FIELDS JSON block missing"
+    return json.loads(m.group(1))
+
+
+SECTION_MODEL = {
+    "common": "both", "refiner": "both", "script": "both", "hires": "txt",
+    "img2img": "img", "inpaint": "img", "batch": "internal",
+}
+
+KIND_TYPES = {
+    "num": (int, float), "int": (int,), "bool": (bool,), "str": (str,),
+}
+
+
+def _annotation_types(annotation):
+    """Flatten Optional/Union annotations into their concrete types."""
+    origin = typing.get_origin(annotation)
+    if origin is typing.Union:
+        out = []
+        for a in typing.get_args(annotation):
+            if a is type(None):
+                continue
+            out.extend(_annotation_types(a))
+        return out
+    return [annotation]
+
+
+def test_payload_fields_match_schema(payload_fields):
+    from sdwebui_tpu.server import schema
+
+    txt = schema.Txt2ImgRequest.model_fields
+    img = schema.Img2ImgRequest.model_fields
+    for section, fields in payload_fields.items():
+        target = SECTION_MODEL[section]
+        if target == "internal":
+            continue  # /internal/img2img-batch takes free-form dirs
+        for name, (kind, _elem) in fields.items():
+            if target in ("txt", "both"):
+                assert name in txt, f"{section}.{name} not in Txt2ImgRequest"
+            if target in ("img", "both"):
+                assert name in img, f"{section}.{name} not in Img2ImgRequest"
+            if kind == "custom":
+                continue
+            model = txt if target in ("txt", "both") else img
+            types = _annotation_types(model[name].annotation)
+            assert any(issubclass(t, KIND_TYPES[kind]) for t in types
+                       if isinstance(t, type)), \
+                f"{section}.{name}: UI kind {kind} vs schema {types}"
+
+
+def test_payload_fields_elements_exist(payload_fields, html):
+    ids = set(re.findall(r'id="([^"]+)"', html))
+    for section, fields in payload_fields.items():
+        for name, (kind, elem) in fields.items():
+            assert elem in ids, f"{section}.{name}: element #{elem} missing"
+
+
+def test_payload_builder_uses_the_contract(script):
+    """The generate handler constructs its body through collectFields —
+    no stray hand-written schema field names outside the contract."""
+    assert "collectFields(\"common\", body)" in script
+    for section in ("refiner", "hires", "img2img", "inpaint", "batch"):
+        assert f'collectFields("{section}"' in script
