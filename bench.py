@@ -1,11 +1,34 @@
-"""Round benchmark: SD1.5 512x512, Euler a 20 steps, CFG 7.5 (BASELINE.json
-config #1) on the real TPU chip. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""Round benchmark over the full BASELINE.json config surface, on the real
+TPU chip.  Prints ONE JSON line:
 
-Baseline = 1.0 image/sec (the BASELINE target "< 1 s/image" on v5e).
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "extra": {<per-config numbers, whole-pipeline MFU, measured FLOPs>}}
+
+The primary metric stays BASELINE config #1 (SD1.5 512x512 Euler-a 20 steps
+CFG 7.5, batch 4 images/sec/chip; baseline = 1.0 img/s from the "< 1 s/image"
+target) for round-over-round continuity.  `extra` adds the rest of the
+BASELINE surface (BASELINE.md configs 1-5):
+
+  sd15_batch1_p50_s        batch-1 image latency (the north-star "< 1 s")
+  sd15_batch8_ips          batch-8 throughput
+  hires_512to1024_p50_s    hires fix 512->1024 latent upscale + 2nd pass
+  lora_cn_batch4_ips       txt2img with a rank-16 LoRA merged + a canny
+                           ControlNet unit active (functional param
+                           transform + control tower cost)
+  sdxl_1024_p50_s          SDXL base+refiner 1024x1024 DPM++ 2M Karras
+                           p50 image latency (the other half of the
+                           official metric)
+  mfu / flops              whole-pipeline MFU from XLA-measured FLOPs
+                           (compiled cost_analysis of the UNet/VAE/CLIP
+                           programs) over measured end-to-end wall time,
+                           against the v5e bf16 peak (197 TFLOP/s)
+
 Random weights (the reference CI's empty-checkpoint strategy): identical
-compute graph and data movement as real weights, so the perf number is
+compute graph and data movement as real weights, so the perf numbers are
 representative while no checkpoint assets exist in the container.
+
+Progress goes to stderr; stdout carries only the final JSON line.
+BENCH_CONFIGS=sd15_b4,sdxl,... selects a subset (default: all).
 """
 
 import json
@@ -13,53 +36,363 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+PEAK_TFLOPS_BF16 = 197.0  # TPU v5e per-chip bf16 peak
 
 
-def main():
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def median(xs):
     import numpy as np
 
-    from sdwebui_tpu.pipeline.params import GenerationParams
-    from sdwebui_tpu.pipeline.processing import process_txt2img
-    from sdwebui_tpu.pipeline.sd_model import create_random_sd15
+    return float(np.median(xs))
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
 
-    model = create_random_sd15()
+# --------------------------------------------------------------------------
+# measured FLOPs (XLA cost analysis of the compiled hot programs)
+# --------------------------------------------------------------------------
 
-    def run(seed):
-        p = GenerationParams(prompt="a photograph of an astronaut riding a horse",
-                             negative_prompt="blurry", seed=seed, steps=steps,
-                             cfg_scale=7.5, sampler_name="Euler a",
-                             width=512, height=512, batch_size=batch,
-                             do_not_save_grid=True)  # measure generation only
-        return process_txt2img(model, p)
+def _compiled_flops(fn, *args):
+    """XLA's own FLOP count for jit(fn)(*args); None if the backend's
+    cost analysis is unavailable."""
+    import jax
 
-    # the axon compile tunnel occasionally returns a transient 500 —
-    # retry the warmup once before giving up
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        log(f"cost_analysis unavailable: {type(e).__name__}: {e}")
+        return None
+
+
+def pipeline_flops(model, batch, height, width, steps,
+                   refiner_model=None, refiner_steps=0, hires=None):
+    """Whole-pipeline FLOPs for one generation: steps x CFG-batched UNet
+    + VAE decode + text encode (cond+uncond), all XLA-measured."""
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.models import clip as clip_model
+    from sdwebui_tpu.models import unet as unet_model
+    from sdwebui_tpu.models import vae as vae_model
+
+    def unet_fl(m, b, h, w, n_steps):
+        cfg = m.unet_cfg
+        x = jnp.ones((2 * b, h // 8, w // 8, cfg.in_channels), jnp.bfloat16)
+        t = jnp.ones((2 * b,), jnp.float32)
+        ctx = jnp.ones((2 * b, 77, cfg.context_dim), jnp.bfloat16)
+        y = (jnp.ones((2 * b, cfg.adm_in_channels), jnp.bfloat16)
+             if cfg.adm_in_channels else None)
+        fn = (lambda p, x, t, c, y: unet_model.apply(p, cfg, x, t, c, y=y))
+        fl = _compiled_flops(fn, m.unet_params, x, t, ctx, y)
+        return None if fl is None else fl * n_steps
+
+    def vae_fl(m, b, h, w):
+        z = jnp.ones((b, h // 8, w // 8, m.latent_channels), jnp.float32)
+        fn = lambda p, z: vae_model.decode(p, m.vae_cfg, z)
+        return _compiled_flops(fn, m.vae_params, z)
+
+    def clip_fl(m):
+        total = 0.0
+        for cond in (m.conditioner, m.conditioner2):
+            if cond is None:
+                continue
+            ids = jnp.ones((2, 77), jnp.int32)
+            fn = lambda p, i, c=cond: clip_model.encode(p, c.cfg, i)
+            fl = _compiled_flops(fn, cond.params, ids)
+            if fl is None:
+                return None
+            total += fl
+        return total
+
+    parts = [unet_fl(model, batch, height, width, steps),
+             vae_fl(model, batch, height, width), clip_fl(model)]
+    if refiner_model is not None and refiner_steps:
+        parts.append(unet_fl(refiner_model, batch, height, width,
+                             refiner_steps))
+        parts.append(clip_fl(refiner_model))
+    if hires:  # (hr_height, hr_width, hr_steps): 2nd-pass UNet + hi-res VAE
+        hh, hw, hsteps = hires
+        parts.append(unet_fl(model, batch, hh, hw, hsteps))
+        parts[1] = vae_fl(model, batch, hh, hw)  # decode happens at hi-res
+    if any(p is None for p in parts):
+        return None
+    return sum(parts)
+
+
+# --------------------------------------------------------------------------
+# configs
+# --------------------------------------------------------------------------
+
+def time_runs(run, n, warm_seed=1):
+    """Compile with warm_seed (retry once: the axon tunnel occasionally
+    returns a transient 500), then median wall time of n seeded runs."""
     for attempt in range(2):
         try:
-            run(1)  # compile
+            run(warm_seed)
             break
         except Exception:
             if attempt == 1:
                 raise
+            log("warmup failed; retrying in 30s")
             time.sleep(30)
     times = []
-    for i in range(5):   # median of 5: the axon tunnel adds ±10% noise
+    for i in range(n):
         t0 = time.perf_counter()
-        res = run(2 + i)
+        run(2 + i)
         times.append(time.perf_counter() - t0)
-        assert len(res.images) == batch
-    sec_per_batch = float(np.median(times))
-    ips = batch / sec_per_batch
+    return times
 
+
+def make_sd15_runner(model, batch, steps=20, **kw):
+    from sdwebui_tpu.pipeline.params import GenerationParams
+    from sdwebui_tpu.pipeline.processing import process_txt2img
+
+    prompt = kw.pop("prompt", "a photograph of an astronaut riding a horse")
+
+    def run(seed):
+        p = GenerationParams(
+            prompt=prompt,
+            negative_prompt="blurry", seed=seed, steps=steps, cfg_scale=7.5,
+            sampler_name="Euler a", width=512, height=512, batch_size=batch,
+            do_not_save_grid=True, **kw)
+        res = process_txt2img(model, p)
+        assert len(res.images) == batch
+        return res
+
+    return run
+
+
+def bench_sd15(model, batch, repeats, extra, flops_key=None, steps=20):
+    run = make_sd15_runner(model, batch, steps=steps)
+    times = time_runs(run, repeats)
+    sec = median(times)
+    ips = batch / sec
+    if flops_key:
+        fl = pipeline_flops(model, batch, 512, 512, steps)
+        if fl is not None:
+            extra.setdefault("flops", {})[flops_key] = fl
+            extra.setdefault("mfu", {})[flops_key] = round(
+                fl / sec / (PEAK_TFLOPS_BF16 * 1e12), 4)
+    return sec, ips
+
+
+def bench_hires(model, repeats, extra):
+    from sdwebui_tpu.pipeline.params import GenerationParams
+    from sdwebui_tpu.pipeline.processing import process_txt2img
+
+    steps = 20
+
+    def run(seed):
+        p = GenerationParams(
+            prompt="a castle on a hill, detailed", seed=seed, steps=steps,
+            cfg_scale=7.5, sampler_name="Euler a", width=512, height=512,
+            batch_size=1, enable_hr=True, hr_scale=2.0, hr_upscaler="Latent",
+            denoising_strength=0.55, do_not_save_grid=True)
+        res = process_txt2img(model, p)
+        assert res.images[0].width == 1024
+        return res
+
+    times = time_runs(run, repeats)
+    sec = median(times)
+    # 2nd pass runs ceil(steps * denoising) steps in the reference step math
+    hr_steps = max(1, int(steps * 0.55))
+    fl = pipeline_flops(model, 1, 512, 512, steps,
+                        hires=(1024, 1024, hr_steps))
+    if fl is not None:
+        extra.setdefault("flops", {})["hires"] = fl
+        extra.setdefault("mfu", {})["hires"] = round(
+            fl / sec / (PEAK_TFLOPS_BF16 * 1e12), 4)
+    return sec
+
+
+def _install_bench_lora(model, tmpdir):
+    """Rank-16 LoRA over every attention q/k/v/out projection of the UNet,
+    written as a real safetensors file and registered (models/Lora flow)."""
+    import numpy as np
+
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+    from sdwebui_tpu.networks import extra_networks
+    from sdwebui_tpu.utils.pytree import flatten
+
+    rng = np.random.default_rng(7)
+    rank, sd = 16, {}
+    for path, leaf in flatten(model.unet_params).items():
+        if not path.endswith(".weight") or leaf.ndim != 2:
+            continue
+        mod = path[:-len(".weight")]
+        if not any(f".attn{i}.to_" in mod for i in (1, 2)):
+            continue
+        cin, cout = leaf.shape
+        key = "lora_unet_" + mod.replace(".", "_")
+        sd[f"{key}.lora_up.weight"] = (
+            rng.standard_normal((cout, rank)).astype(np.float32) * 0.01)
+        sd[f"{key}.lora_down.weight"] = (
+            rng.standard_normal((rank, cin)).astype(np.float32) * 0.01)
+        sd[f"{key}.alpha"] = np.float32(rank)
+    path = os.path.join(tmpdir, "bench.safetensors")
+    write_safetensors(path, sd)
+    reg = extra_networks.LoraRegistry(dirs=[tmpdir])
+    extra_networks._default_registry = reg
+    extra_networks._merge_cache.clear()
+    log(f"bench LoRA: {len(sd) // 3} modules rank {rank}")
+
+
+def _install_bench_controlnet(name="bench_canny"):
+    """Full SD1.5-size ControlNet tower (random weights) pre-seeded into the
+    control cache (the loader path is oracle-tested elsewhere; the bench
+    measures the generation-time cost of an active tower)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.models import controlnet as cn
+    from sdwebui_tpu.models.configs import SD15_UNET
+    from sdwebui_tpu.pipeline import control
+
+    params = jax.device_put(
+        cn.init_params(SD15_UNET, 11, dtype=jnp.bfloat16, zero_init=False))
+    control._cache.clear()
+    control._cache[name] = (params, SD15_UNET, 3)
+    return name
+
+
+def bench_lora_only(model, repeats):
+    """LoRA merged, no ControlNet: the functional params = base + merge(lora)
+    transform keeps shapes identical, so the compiled program is byte-for-
+    byte the plain-txt2img one — this leg proves the merge costs ~0
+    (expected == sd15_batch4_ips within tunnel noise)."""
+    _install_bench_lora(model, "/tmp/bench_lora")
+    run = make_sd15_runner(
+        model, 4,
+        prompt="a photograph of an astronaut riding a horse "
+               "<lora:bench:0.8>")
+    times = time_runs(run, repeats)
+    sec = median(times)
+    return sec, 4 / sec
+
+
+def bench_lora_cn(model, repeats, extra, tmpdir):
+    import numpy as np
+    from PIL import Image
+
+    _install_bench_lora(model, tmpdir)  # idempotent
+    cn_name = _install_bench_controlnet()
+    edges = np.zeros((512, 512, 3), np.uint8)
+    edges[::16, :] = 255
+    edges[:, ::16] = 255
+    hint = Image.fromarray(edges)
+
+    run = make_sd15_runner(
+        model, 4,
+        prompt="a photograph of an astronaut riding a horse "
+               "<lora:bench:0.8>",
+        controlnet_units=[{"model": cn_name, "image": hint,
+                           "module": "canny", "weight": 1.0}])
+    times = time_runs(run, repeats)
+    sec = median(times)
+    return sec, 4 / sec
+
+
+def bench_sdxl(repeats, extra):
+    import dataclasses
+
+    from sdwebui_tpu.pipeline.params import GenerationParams
+    from sdwebui_tpu.pipeline.processing import process_txt2img
+    from sdwebui_tpu.pipeline.sd_model import create_random_sdxl
+
+    log("building random SDXL base + refiner (full size)")
+    base = create_random_sdxl(0)
+    refiner = create_random_sdxl(100, refiner=True)
+    # base (2.57B) + refiner (2.31B) UNets in bf16 are 9.8 GB; sharing the
+    # bigG conditioner + VAE buffers between the two models (random weights
+    # — identical compute graph, lower residency) keeps the whole
+    # base+refiner pipeline inside one v5e chip's 16 GB HBM
+    refiner = dataclasses.replace(refiner, conditioner=base.conditioner2,
+                                  vae_params=base.vae_params)
+    steps, switch_at = 20, 0.8
+
+    def run(seed):
+        p = GenerationParams(
+            prompt="a photograph of an astronaut riding a horse",
+            negative_prompt="blurry", seed=seed, steps=steps, cfg_scale=7.0,
+            sampler_name="DPM++ 2M", scheduler="Karras",
+            width=1024, height=1024, batch_size=1,
+            refiner_checkpoint=refiner.title,
+            refiner_switch_at=switch_at, do_not_save_grid=True)
+        res = process_txt2img(base, p, refiner_model=refiner)
+        assert res.images[0].width == 1024
+        return res
+
+    times = time_runs(run, repeats)
+    sec = median(times)
+    # refiner handoff in the sigma domain lands near steps*(1-switch_at)
+    r_steps = round(steps * (1 - switch_at))
+    fl = pipeline_flops(base, 1, 1024, 1024, steps - r_steps,
+                        refiner_model=refiner, refiner_steps=r_steps)
+    if fl is not None:
+        extra.setdefault("flops", {})["sdxl_1024_b1"] = fl
+        extra.setdefault("mfu", {})["sdxl_1024_b1"] = round(
+            fl / sec / (PEAK_TFLOPS_BF16 * 1e12), 4)
+    return sec
+
+
+# --------------------------------------------------------------------------
+
+def main():
+    wanted = os.environ.get("BENCH_CONFIGS", "all")
+    wanted = None if wanted == "all" else set(wanted.split(","))
+
+    def on(name):
+        return wanted is None or name in wanted
+
+    from sdwebui_tpu.pipeline.sd_model import create_random_sd15
+
+    extra = {}
+    t_start = time.time()
+    model = create_random_sd15()
+
+    # primary metric: config #1 batch 4 (median of 5; ±10% tunnel noise)
+    ips4 = None
+    if on("sd15_b4"):
+        log("config sd15_b4 (primary)")
+        sec4, ips4 = bench_sd15(model, 4, 5, extra, flops_key="sd15_b4")
+        extra["sd15_batch4_ips"] = round(ips4, 3)
+
+    legs = [
+        ("sd15_b1", lambda: extra.update(sd15_batch1_p50_s=round(
+            bench_sd15(model, 1, 5, extra, flops_key="sd15_b1")[0], 3))),
+        ("sd15_b8", lambda: extra.update(sd15_batch8_ips=round(
+            bench_sd15(model, 8, 3, extra)[1], 3))),
+        ("hires", lambda: extra.update(hires_512to1024_p50_s=round(
+            bench_hires(model, 3, extra), 3))),
+        ("lora", lambda: extra.update(lora_batch4_ips=round(
+            bench_lora_only(model, 3)[1], 3))),
+        ("lora_cn", lambda: extra.update(lora_cn_batch4_ips=round(
+            bench_lora_cn(model, 3, extra, "/tmp/bench_lora")[1], 3))),
+        ("sdxl", lambda: extra.update(sdxl_1024_p50_s=round(
+            bench_sdxl(3, extra), 3))),
+    ]
+    os.makedirs("/tmp/bench_lora", exist_ok=True)
+    for name, fn in legs:
+        if not on(name):
+            continue
+        log(f"config {name}")
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — record, keep the rest
+            log(f"config {name} FAILED: {type(e).__name__}: {e}")
+            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"
+
+    extra["bench_wall_s"] = round(time.time() - t_start, 1)
     print(json.dumps({
-        "metric": f"txt2img SD1.5 512x512 Euler-a {steps} steps CFG7.5 batch{batch}",
-        "value": round(ips, 3),
+        "metric": "txt2img SD1.5 512x512 Euler-a 20 steps CFG7.5 batch4",
+        "value": round(ips4, 3) if ips4 else None,
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / 1.0, 3),
+        "vs_baseline": round(ips4 / 1.0, 3) if ips4 else None,
+        "extra": extra,
     }))
 
 

@@ -57,3 +57,72 @@ class HostInit:
 
     def embedding(self, n, d, dtype, scale=0.02):
         return {"weight": self._normal((n, d), scale, dtype)}
+
+
+# --------------------------------------------------------------------------
+# device-side init: one jitted program generating the whole tree
+# --------------------------------------------------------------------------
+
+class _Spec:
+    __slots__ = ("shape", "dtype", "kind", "scale")
+
+    def __init__(self, shape, dtype, kind, scale=1.0):
+        self.shape = tuple(shape)
+        self.dtype = dtype
+        self.kind = kind
+        self.scale = float(scale)
+
+
+class SpecInit:
+    """HostInit's interface, but records leaf specs instead of
+    materializing arrays.  Feed the resulting tree to `device_init` to
+    generate every leaf in ONE jitted dispatch on the accelerator —
+    through the TPU tunnel this replaces minutes of host numpy + a
+    multi-GB host->device transfer per billion params with one compile
+    and an on-chip fill (used by bench.py's random full-size models)."""
+
+    def conv(self, kh, kw, cin, cout, dtype):
+        return {"weight": _Spec((kh, kw, cin, cout), dtype, "normal",
+                                1.0 / np.sqrt(kh * kw * cin)),
+                "bias": _Spec((cout,), dtype, "zeros")}
+
+    def linear(self, cin, cout, dtype, bias=True):
+        p = {"weight": _Spec((cin, cout), dtype, "normal",
+                             1.0 / np.sqrt(cin))}
+        if bias:
+            p["bias"] = _Spec((cout,), dtype, "zeros")
+        return p
+
+    def norm(self, c, dtype):
+        return {"weight": _Spec((c,), dtype, "ones"),
+                "bias": _Spec((c,), dtype, "zeros")}
+
+    def embedding(self, n, d, dtype, scale=0.02):
+        return {"weight": _Spec((n, d), dtype, "normal", scale)}
+
+
+def device_init(spec_tree, key):
+    """Materialize a SpecInit tree on the default device (single jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.utils.pytree import flatten, unflatten
+
+    specs = flatten(spec_tree)
+    paths = sorted(specs)
+
+    def gen(k):
+        out = {}
+        for i, path in enumerate(paths):
+            s = specs[path]
+            if s.kind == "normal":
+                a = jax.random.normal(jax.random.fold_in(k, i), s.shape,
+                                      jnp.float32) * s.scale
+            elif s.kind == "ones":
+                a = jnp.ones(s.shape, jnp.float32)
+            else:
+                a = jnp.zeros(s.shape, jnp.float32)
+            out[path] = a.astype(s.dtype)
+        return unflatten(out)
+
+    return jax.jit(gen)(jax.random.PRNGKey(seed_of(key)))

@@ -276,22 +276,78 @@ def unclip_adm(model: SDModel, images=None, noise_level: int = 0,
 # factories
 # --------------------------------------------------------------------------
 
+def _rand_on_device(module, cfg, seed, dtype=jnp.float32, **kw):
+    """Random params generated ON the accelerator in one jitted dispatch
+    (init_utils.device_init) — host numpy + a multi-GB transfer through the
+    TPU tunnel takes minutes per billion params; this takes one compile."""
+    from sdwebui_tpu.models.init_utils import SpecInit, device_init
+
+    spec = module.init_params(cfg, seed, dtype=dtype, ini=SpecInit(), **kw)
+    return device_init(spec, seed)
+
+
 def create_random_sd15(seed: int = 0, dtype=jnp.bfloat16,
                        prediction_type: str = "eps") -> SDModel:
     """Random-weight SD1.5 — the reference CI's empty-checkpoint mode
     (SURVEY.md §4) and the bench target."""
     disc = Discretization(make_alphas_cumprod(), prediction_type=prediction_type)
-    clip_params = clip_model.init_params(CLIP_L, seed + 1, dtype=jnp.float32)
+    clip_params = _rand_on_device(clip_model, CLIP_L, seed + 1)
     cond = TextConditioner(clip_params, CLIP_L, get_tokenizer())
     return SDModel(
         kind="sd1",
-        unet_params=jax.device_put(unet_model.init_params(SD15_UNET, seed, dtype=dtype)),
+        unet_params=_rand_on_device(unet_model, SD15_UNET, seed, dtype=dtype),
         unet_cfg=SD15_UNET,
-        vae_params=jax.device_put(vae_model.init_params(SD_VAE, seed + 2, dtype=jnp.float32)),
+        vae_params=_rand_on_device(vae_model, SD_VAE, seed + 2),
         vae_cfg=SD_VAE,
         disc=disc,
         conditioner=cond,
         title="random-sd15.safetensors [0000000000]",
+    )
+
+
+def create_random_sdxl(seed: int = 0, dtype=jnp.bfloat16,
+                       refiner: bool = False) -> SDModel:
+    """Full-size random-weight SDXL base (or refiner) for the BASELINE
+    benchmark configs (BASELINE.md config #5): identical compute graph and
+    data movement as real weights.  Base = CLIP-L ⊕ OpenCLIP-bigG dual
+    encoder, 2816-dim adm; refiner = bigG only, 2560-dim adm
+    (reference modules/sd_models_config.py + sgm configs)."""
+    from sdwebui_tpu.models.configs import (OPEN_CLIP_BIGG, SDXL_REFINER_UNET,
+                                            SDXL_UNET, SDXL_VAE)
+
+    disc = Discretization(make_alphas_cumprod())
+    tok = get_tokenizer()
+    # bigG encodes once per generation; bf16 params halve its HBM share so
+    # base+refiner+encoders fit one v5e chip together
+    cond_g = TextConditioner(
+        _rand_on_device(clip_model, OPEN_CLIP_BIGG, seed + 3, dtype=dtype),
+        OPEN_CLIP_BIGG, tok, clip_skip=2, apply_final_norm=False)
+    if refiner:
+        return SDModel(
+            kind="sdxl-refiner",
+            unet_params=_rand_on_device(unet_model, SDXL_REFINER_UNET, seed,
+                                        dtype=dtype),
+            unet_cfg=SDXL_REFINER_UNET,
+            vae_params=_rand_on_device(vae_model, SDXL_VAE, seed + 2),
+            vae_cfg=SDXL_VAE,
+            disc=disc,
+            conditioner=cond_g,
+            title="random-sdxl-refiner.safetensors [0000000001]",
+        )
+    cond_l = TextConditioner(
+        _rand_on_device(clip_model, CLIP_L, seed + 1, dtype=dtype), CLIP_L,
+        tok, clip_skip=2, apply_final_norm=False)
+    return SDModel(
+        kind="sdxl",
+        unet_params=_rand_on_device(unet_model, SDXL_UNET, seed,
+                                    dtype=dtype),
+        unet_cfg=SDXL_UNET,
+        vae_params=_rand_on_device(vae_model, SDXL_VAE, seed + 2),
+        vae_cfg=SDXL_VAE,
+        disc=disc,
+        conditioner=cond_l,
+        conditioner2=cond_g,
+        title="random-sdxl.safetensors [0000000000]",
     )
 
 
