@@ -16,7 +16,7 @@ from PIL import Image
 from sdwebui_tpu.pipeline.params import GenerationParams, Processed
 from sdwebui_tpu.pipeline.processing import (
     _build_conds, _resolve_seeds, _solver_extra, create_infotext,
-    decode_first_stage, encode_first_stage, sample_latents,
+    encode_first_stage, sample_latents,
     should_save_samples,
 )
 from sdwebui_tpu.pipeline.sd_model import SDModel
@@ -329,8 +329,11 @@ def _process_img2img(model: SDModel, p: GenerationParams,
             latents = latents * nmask + init_latent * mask
 
         runner.post_sample(p, PostSampleArgs(latents))
-        images = decode_first_stage(model, latents)
-        pils = images_util.tensor_to_pil(np.asarray(images))
+        from sdwebui_tpu.pipeline.processing import decode_fetch_pils
+
+        # u8 on-device decode quarters the tunnel fetch vs f32, and the
+        # overlapped path hides the per-image transfers behind the decodes
+        pils = decode_fetch_pils(model, latents)
         from sdwebui_tpu.pipeline.processing import _maybe_restore_faces
 
         runner.postprocess_batch(p, images=pils, batch_number=n)

@@ -484,6 +484,45 @@ def decode_first_stage_u8(model: SDModel, latents):
     return _decode_fused_u8(model.vae_params, model.vae_cfg, latents)
 
 
+def decode_fetch_pils(model: SDModel, latents):
+    """Decode→uint8 and fetch to PIL, overlapping device compute with the
+    tunnel transfer: every per-image decode program is enqueued up front
+    (async dispatch), so the host's device_get + PIL conversion of image i
+    runs while the device decodes image i+1.  Worth ~the smaller of
+    (decode, fetch) per batch on the tunnel.  Single images, preview/TAESD
+    decoders, and multi-device meshes keep the one-program batch decode."""
+    import numpy as _np
+
+    from sdwebui_tpu.parallel.mesh import get_runtime
+    from sdwebui_tpu.utils import images as _images_util
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    n = int(latents.shape[0])
+    fast = _fast_interrupt_method()
+    if (n <= 1 or (fast is not None and fast != "Full")
+            or _taesd_for(model, "decoder") is not None
+            or get_runtime().data_size > 1
+            or not _opts.get("sdtpu_overlap_decode_fetch", True)):
+        images = decode_first_stage_u8(model, latents)
+        return _images_util.tensor_to_pil(_np.asarray(images))
+    bf16 = _opts.get("sdtpu_vae_bf16", True)
+    if bf16:
+        parts = [_decode_fused_u8_bf16(model.vae_params, model.vae_cfg,
+                                       latents[i:i + 1]) for i in range(n)]
+    else:
+        parts = [(_decode_fused_u8(model.vae_params, model.vae_cfg,
+                                   latents[i:i + 1]), None)
+                 for i in range(n)]
+    pils = []
+    for i, (u8, bad) in enumerate(parts):
+        if bad is not None and bool(bad) \
+                and _opts.get("auto_vae_precision", True):
+            u8 = _decode_fused_u8(model.vae_params, model.vae_cfg,
+                                  latents[i:i + 1])
+        pils.extend(_images_util.tensor_to_pil(_np.asarray(u8)))
+    return pils
+
+
 def encode_first_stage(model: SDModel, images):
     taesd = _taesd_for(model, "encoder")
     if taesd is not None:
@@ -1381,10 +1420,8 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
             latents = _hires_pass(model, p, latents, seeds, subseeds,
                                   refiner_model=hr_refiner)
         runner.post_sample(p, PostSampleArgs(latents))
-        images = decode_first_stage_u8(model, latents)
-        jt.record("decode_dispatch")
-        pils = images_util.tensor_to_pil(np.asarray(images))
-        jt.record("fetch_and_pil")
+        pils = decode_fetch_pils(model, latents)
+        jt.record("decode_fetch_pil")
         runner.postprocess_batch(p, images=pils, batch_number=n)
         blist = PostprocessBatchListArgs(pils)
         runner.postprocess_batch_list(p, blist)

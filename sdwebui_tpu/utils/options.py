@@ -228,6 +228,7 @@ def make_default_templates() -> dict:
         "interrogate_clip_skip_categories": OptionInfo([], "CLIP: skip inquire categories"),
         "auto_backcompat": OptionInfo(True, "Automatic backward compatibility for old infotexts"),
         "sdtpu_vae_bf16": OptionInfo(True, "Decode VAE in bfloat16 (fp32 retry on NaN, like the reference's fp16 VAE + no-half-vae fallback)"),
+        "sdtpu_overlap_decode_fetch": OptionInfo(True, "Overlap per-image VAE decode with host image fetch (multi-image batches; hides most of the transfer time)"),
         "persistent_cond_cache": OptionInfo(True, "Persistent cond cache (re-encoding identical prompts across jobs is skipped)"),
         "auto_vae_precision": OptionInfo(True, "Automatically revert VAE to 32-bit floats (retry bf16-NaN decodes in fp32)"),
         "upcast_attn": OptionInfo(False, "Upcast cross attention layer to float32 (scores/softmax are always fp32 on TPU; this additionally upcasts QKV/PV)"),

@@ -374,3 +374,24 @@ def test_persistent_cond_cache(model, monkeypatch):
     process_txt2img(model, q)
     assert calls["n"] > n_first           # different prompt: miss
     proc._COND_CACHE.clear()
+
+
+def test_decode_fetch_pils_matches_batched_decode(model):
+    """The overlapped per-image decode+fetch path must be pixel-identical
+    to the one-program batch decode (it runs the same VAE per image)."""
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.pipeline.processing import (decode_fetch_pils,
+                                                 decode_first_stage_u8)
+    from sdwebui_tpu.utils.images import tensor_to_pil
+    from sdwebui_tpu.utils.options import opts
+
+    rng = np.random.default_rng(3)
+    latents = jnp.asarray(rng.standard_normal((3, 8, 8, 4)), jnp.float32)
+    overlapped = decode_fetch_pils(model, latents)
+    with opts.override({"sdtpu_overlap_decode_fetch": False}):
+        batched = tensor_to_pil(np.asarray(decode_first_stage_u8(model,
+                                                                 latents)))
+    assert len(overlapped) == len(batched) == 3
+    for a, b in zip(overlapped, batched):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
