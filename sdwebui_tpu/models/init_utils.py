@@ -101,8 +101,20 @@ class SpecInit:
         return {"weight": _Spec((n, d), dtype, "normal", scale)}
 
 
+def jnp_dtype_name(dt):
+    import numpy as _n
+
+    return _n.dtype(dt).name
+
+
 def device_init(spec_tree, key):
-    """Materialize a SpecInit tree on the default device (single jit)."""
+    """Materialize a SpecInit tree on the default device (single jit).
+
+    Same-shaped normal leaves are drawn as ONE stacked `random.normal` and
+    sliced apart inside the jit: a billion-param UNet has ~1700 leaves but
+    only ~80 distinct shapes, and one threefry chain per LEAF made the HLO
+    big enough to wedge the remote-compile tunnel for the better part of an
+    hour.  ~80 RNG chains + trivial slices compiles in seconds."""
     import jax
     import jax.numpy as jnp
 
@@ -110,19 +122,29 @@ def device_init(spec_tree, key):
 
     specs = flatten(spec_tree)
     paths = sorted(specs)
+    groups = {}  # (shape, kind, dtype) -> [path]; scale applied per-slice
+    for path in paths:
+        s = specs[path]
+        groups.setdefault((s.shape, s.kind, str(jnp_dtype_name(s.dtype))),
+                          []).append(path)
+    group_keys = sorted(groups)
 
     def gen(k):
         out = {}
-        for i, path in enumerate(paths):
-            s = specs[path]
-            if s.kind == "normal":
-                a = jax.random.normal(jax.random.fold_in(k, i), s.shape,
-                                      jnp.float32) * s.scale
-            elif s.kind == "ones":
-                a = jnp.ones(s.shape, jnp.float32)
+        for gi, gk in enumerate(group_keys):
+            (shape, kind, _), members = gk, groups[gk]
+            if kind == "normal":
+                dt = specs[members[0]].dtype
+                stack = jax.random.normal(jax.random.fold_in(k, gi),
+                                          (len(members),) + shape, dt)
+                for j, path in enumerate(members):
+                    s = specs[path]
+                    out[path] = (stack[j] * jnp.asarray(s.scale, dt)) \
+                        .astype(s.dtype)
             else:
-                a = jnp.zeros(s.shape, jnp.float32)
-            out[path] = a.astype(s.dtype)
+                fill = jnp.ones if kind == "ones" else jnp.zeros
+                for path in members:
+                    out[path] = fill(shape, specs[path].dtype)
         return unflatten(out)
 
     return jax.jit(gen)(jax.random.PRNGKey(seed_of(key)))
