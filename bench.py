@@ -376,9 +376,28 @@ def main():
             bench_sdxl(3, extra), 3))),
     ]
     os.makedirs("/tmp/bench_lora", exist_ok=True)
-    for name, fn in legs:
+    for i, (name, fn) in enumerate(legs):
         if not on(name):
             continue
+        if name == "sdxl":
+            # base+refiner UNets are 9.8 GB bf16; evict the SD1.5 params,
+            # merged-LoRA trees, and compiled executables from HBM first
+            # (a full-surface run OOMs otherwise — measured round 3)
+            import gc
+
+            import jax
+
+            from sdwebui_tpu.networks import extra_networks
+            from sdwebui_tpu.pipeline import control as _control
+            from sdwebui_tpu.pipeline import processing as _proc
+            log("releasing SD1.5 HBM state before the SDXL leg")
+            legs[:i] = [(n, None) for n, _ in legs[:i]]
+            model = None  # noqa: F841 — drop the closure target
+            extra_networks._merge_cache.clear()
+            _control._cache.clear()      # ControlNet tower params
+            _proc._COND_CACHE.clear()
+            gc.collect()
+            jax.clear_caches()
         log(f"config {name}")
         try:
             fn()
