@@ -41,11 +41,12 @@ class ApiError(Exception):
 
 
 class RawResponse:
-    """Non-JSON handler result (HTML page, binary)."""
+    """Non-JSON handler result (HTML page, binary, file download)."""
 
-    def __init__(self, body, content_type: str):
+    def __init__(self, body, content_type: str, headers: dict | None = None):
         self.body = body.encode("utf-8") if isinstance(body, str) else body
         self.content_type = content_type
+        self.headers = headers or {}
 
 
 _INFOTEXT_FIELD_MAP = {
@@ -183,6 +184,7 @@ class Api:
         r("GET", "/internal/progress", self.internal_progress)
         r("POST", "/internal/progress", self.internal_progress)
         r("GET", "/internal/sysinfo", self.sysinfo)
+        r("GET", "/internal/sysinfo-download", self.sysinfo_download)
         r("GET", "/internal/localization", self.localization)
         r("GET", "/internal/ui-config", self.ui_config_get)
         r("POST", "/internal/ui-config", self.ui_config_set)
@@ -986,6 +988,18 @@ class Api:
                            for e in list_extensions()],
         }
 
+    def sysinfo_download(self, body=None):
+        """Same report as /internal/sysinfo, served as a file attachment
+        (reference modules/ui_settings.py sysinfo tab's
+        ./internal/sysinfo-download link)."""
+        import time as _time
+
+        name = f"sysinfo-{_time.strftime('%Y-%m-%d-%H-%M')}.json"
+        return RawResponse(json.dumps(self.sysinfo(), indent=2),
+                           "application/json",
+                           {"Content-Disposition":
+                            f'attachment; filename="{name}"'})
+
     # ---- training (reference modules/api/api.py train routes) ----------
 
     def preprocess(self, body: dict):
@@ -1246,6 +1260,8 @@ def make_handler(api: Api, credentials: dict | None = None):
                     self.send_response(200)
                     self.send_header("Content-Type", result.content_type)
                     self.send_header("Content-Length", str(len(result.body)))
+                    for hk, hv in result.headers.items():
+                        self.send_header(hk, hv)
                     self.end_headers()
                     self.wfile.write(result.body)
                     return

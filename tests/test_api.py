@@ -493,6 +493,16 @@ def test_sysinfo_report(server):
     assert isinstance(d["config"], dict) and "samples_save" in d["config"]
 
 
+def test_sysinfo_download(server):
+    """Attachment variant (reference modules/ui_settings.py sysinfo tab's
+    ./internal/sysinfo-download link)."""
+    r = requests.get(f"{server}/internal/sysinfo-download")
+    assert r.status_code == 200
+    cd = r.headers.get("Content-Disposition", "")
+    assert cd.startswith("attachment") and "sysinfo-" in cd
+    assert r.json()["version"].startswith("sdwebui-tpu")
+
+
 def test_interrupt_semantics(server, monkeypatch):
     """/sdapi/v1/interrupt is immediate (reference API behavior);
     /internal/interrupt honors interrupt_after_current for the UI button."""
