@@ -236,6 +236,8 @@ class Api:
             info=json.dumps(res.js())).model_dump()
 
     def extras_single(self, body: dict):
+        from PIL import Image
+
         from sdwebui_tpu.postprocessing.upscalers import upscale
 
         req = schema.ExtrasSingleImageRequest(**body)
@@ -251,14 +253,40 @@ class Api:
             # stage order + filter (reference scripts_postprocessing.py:141
             # scripts_in_preferred_order: opts.postprocessing_operation_order
             # first, then default order; disable_in_extras filters out)
+            def _run_upscaler(name, im, sc):
+                # scale-by mode honors max_side_length: if either output
+                # side would exceed it, shrink the target so the larger
+                # side equals the limit (reference
+                # scripts/postprocessing_upscale.py:15,94-99)
+                if (req.resize_mode != 1 and req.max_side_length
+                        and max(im.size) * sc > req.max_side_length):
+                    w, h = im.width * sc, im.height * sc
+                    lim = req.max_side_length
+                    if h > w and h > lim:
+                        w, h = lim * w // h, lim
+                    elif w > lim:
+                        w, h = lim, lim * h // w
+                    im = upscale(name, im, max(w / im.width, h / im.height))
+                    return im.resize((int(w), int(h)))
+                return upscale(name, im, sc)
+
             def _stage_upscale(im):
-                im = upscale(req.upscaler_1, im, scale)
+                out = _run_upscaler(req.upscaler_1, im, scale)
+                # secondary upscaler blended over the first by visibility
+                # (reference scripts/postprocessing_upscale.py:155-160)
+                if (req.upscaler_2 not in (None, "", "None")
+                        and req.extras_upscaler_2_visibility > 0):
+                    second = _run_upscaler(req.upscaler_2, im, scale)
+                    if second.size != out.size:
+                        second = second.resize(out.size)
+                    out = Image.blend(out, second.convert(out.mode),
+                                      req.extras_upscaler_2_visibility)
                 if req.resize_mode == 1 and req.upscaling_crop:
-                    left = (im.width - req.upscaling_resize_w) // 2
-                    top = (im.height - req.upscaling_resize_h) // 2
-                    im = im.crop((left, top, left + req.upscaling_resize_w,
-                                  top + req.upscaling_resize_h))
-                return im
+                    left = (out.width - req.upscaling_resize_w) // 2
+                    top = (out.height - req.upscaling_resize_h) // 2
+                    out = out.crop((left, top, left + req.upscaling_resize_w,
+                                    top + req.upscaling_resize_h))
+                return out
 
             def _stage_gfpgan(im):
                 if req.gfpgan_visibility > 0:

@@ -107,6 +107,7 @@ class ExtrasSingleImageRequest(BaseModel):
     upscaler_1: str = "None"
     upscaler_2: str = "None"
     extras_upscaler_2_visibility: float = 0.0
+    max_side_length: int = 0
     upscale_first: bool = False
     image: str = ""
 

@@ -130,6 +130,35 @@ def test_extras_single(server):
     assert _decode(r.json()["image"]).size == (64, 64)
 
 
+def test_extras_upscaler2_blend(server):
+    """Secondary upscaler blended over the first by visibility (reference
+    scripts/postprocessing_upscale.py:155-160): with visibility=1 the
+    result equals running upscaler_2 alone."""
+    img = _b64_image(size=(16, 16))
+    blend = requests.post(f"{server}/sdapi/v1/extra-single-image", json={
+        "image": img, "upscaling_resize": 2.0, "upscaler_1": "Nearest",
+        "upscaler_2": "Lanczos", "extras_upscaler_2_visibility": 1.0,
+    }).json()["image"]
+    solo = requests.post(f"{server}/sdapi/v1/extra-single-image", json={
+        "image": img, "upscaling_resize": 2.0, "upscaler_1": "Lanczos",
+    }).json()["image"]
+    import numpy as np
+
+    a = np.asarray(_decode(blend), dtype=np.int16)
+    b = np.asarray(_decode(solo), dtype=np.int16)
+    assert a.shape == b.shape and int(np.abs(a - b).max()) <= 1
+
+
+def test_extras_max_side_length(server):
+    """Scale-by output is shrunk so the larger side fits the limit
+    (reference scripts/postprocessing_upscale.py:15-23,94-99)."""
+    body = {"image": _b64_image(size=(64, 32)), "upscaling_resize": 4.0,
+            "upscaler_1": "Lanczos", "max_side_length": 128}
+    r = requests.post(f"{server}/sdapi/v1/extra-single-image", json=body)
+    assert r.status_code == 200
+    assert _decode(r.json()["image"]).size == (128, 64)
+
+
 def test_png_info_roundtrip(server, url_txt2img):
     img_b64 = requests.post(url_txt2img, json=SIMPLE_TXT2IMG).json()["images"][0]
     r = requests.post(f"{server}/sdapi/v1/png-info", json={"image": img_b64})
