@@ -890,6 +890,12 @@ def create_infotext(p: GenerationParams, model: SDModel, index: int = 0,
             pairs["Hires sampler"] = p.hr_sampler_name
         if p.hr_cfg_scale and p.hr_cfg_scale != p.cfg_scale:
             pairs["Hires CFG Scale"] = p.hr_cfg_scale
+        # recorded only when they differ from the main prompts (reference
+        # modules/processing.py:1267-1276 get_hr_prompt)
+        if p.hr_prompt and p.hr_prompt != p.prompt:
+            pairs["Hires prompt"] = p.hr_prompt
+        if p.hr_negative_prompt and p.hr_negative_prompt != p.negative_prompt:
+            pairs["Hires negative prompt"] = p.hr_negative_prompt
     if p.refiner_checkpoint and 0 < (p.refiner_switch_at or 0) < 1:
         pairs["Refiner"] = p.refiner_checkpoint
         pairs["Refiner switch at"] = p.refiner_switch_at

@@ -300,6 +300,8 @@ def make_default_templates() -> dict:
         "use_old_scheduling": OptionInfo(False, "Use old prompt editing timelines (hires schedule numbers do not continue past the first pass)"),
         "use_old_hires_fix_width_height": OptionInfo(False, "For hires fix, use width/height sliders to set final resolution rather than first pass"),
         "hires_fix_use_firstpass_conds": OptionInfo(False, "For hires fix, calculate conds of second pass using extra networks of first pass"),
+        "hires_fix_show_sampler": OptionInfo(False, "Hires fix: show hires checkpoint and sampler selection"),
+        "hires_fix_show_prompts": OptionInfo(False, "Hires fix: show hires prompt and negative prompt"),
         "refiner_switch_by_sample_steps": OptionInfo(False, "Switch to refiner by sampling steps instead of model timesteps (old behavior)"),
         "use_old_karras_scheduler_sigmas": OptionInfo(
             False, "Use old karras scheduler sigmas (0.1 to 10)."),

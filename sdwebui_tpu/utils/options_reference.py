@@ -120,8 +120,6 @@ REFERENCE_OPTIONS = [
         ('samplers_in_dropdown', True, 'Use dropdown for sampler selection instead of radio group'),
         ('dimensions_and_batch_together', True, 'Show Width/Height and Batch sliders in same row'),
         ('sd_checkpoint_dropdown_use_short', False, 'Checkpoint dropdown: use filenames without paths'),
-        ('hires_fix_show_sampler', False, 'Hires fix: show hires checkpoint and sampler selection'),
-        ('hires_fix_show_prompts', False, 'Hires fix: show hires prompt and negative prompt'),
         ('txt2img_settings_accordion', False, 'Settings in txt2img hidden under Accordion'),
         ('img2img_settings_accordion', False, 'Settings in img2img hidden under Accordion'),
     ]),

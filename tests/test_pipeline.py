@@ -236,6 +236,24 @@ def test_infotext_hires_refiner_fields(model):
     assert parsed["Hires upscaler"] == "Latent"
 
 
+def test_infotext_hires_prompt_fields(model):
+    """Hires prompt/negative recorded only when they differ from the main
+    prompts (reference modules/processing.py:1267-1276 get_hr_prompt)."""
+    p = GenerationParams(prompt="x", seed=1, steps=1, width=64, height=64,
+                         enable_hr=True, hr_scale=2.0, hr_upscaler="Latent",
+                         hr_prompt="a detailed x", denoising_strength=0.6)
+    info = process_txt2img(model, p).infotexts[0]
+    parsed = infotext_util.parse(info)
+    assert parsed["Hires prompt"] == "a detailed x"
+    assert "Hires negative prompt" not in parsed
+    # same prompt -> not recorded
+    p2 = GenerationParams(prompt="x", seed=1, steps=1, width=64, height=64,
+                          enable_hr=True, hr_scale=2.0, hr_upscaler="Latent",
+                          hr_prompt="x", denoising_strength=0.6)
+    assert "Hires prompt" not in infotext_util.parse(
+        process_txt2img(model, p2).infotexts[0])
+
+
 def test_sd_vae_method_taesd_dispatch(model, monkeypatch):
     """opts.sd_vae_{decode,encode}_method='TAESD' must route first-stage
     decode/encode through the TAESD nets (reference
