@@ -24,6 +24,31 @@ if os.environ.get("SDTPU_TEST_TPU") != "1":
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Slow-test marking (measured, data-driven).  tests/slow_tests.txt lists the
+# node ids that took >=10 s on the 8-device CPU mesh (pytest --durations
+# output); they get the `slow` marker automatically so the documented dev
+# loop `pytest -m "not slow"` stays under 5 minutes while `pytest tests/`
+# still runs everything.  Regenerate with:
+#   pytest tests/ -q --durations=0 | awk '$1+0>=10 && $2~/call|setup/
+#     {print $3}' | sort -u > tests/slow_tests.txt
+_SLOW_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "slow_tests.txt")
+try:
+    with open(_SLOW_FILE, encoding="utf-8") as _f:
+        _SLOW_IDS = {ln.strip() for ln in _f if ln.strip()}
+except OSError:
+    _SLOW_IDS = set()
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if not nodeid.startswith("tests/"):
+            nodeid = "tests/" + nodeid.split("tests/")[-1]
+        if nodeid in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def runtime8():
