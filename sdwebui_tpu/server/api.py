@@ -191,6 +191,7 @@ class Api:
         r("POST", "/internal/token-count", self.token_count)
         r("POST", "/internal/parse-infotext", self.parse_infotext)
         r("POST", "/internal/save-style", self.save_style)
+        r("POST", "/internal/delete-style", self.delete_style)
         r("POST", "/internal/save-images", self.save_images_action)
         r("POST", "/internal/img2img-batch", self.img2img_batch)
         r("GET", "/internal/options-metadata", self.options_metadata)
@@ -617,6 +618,18 @@ class Api:
             raise ApiError(400, "style name required")
         self.engine.styles.styles[name] = PromptStyle(
             name, body.get("prompt", ""), body.get("negative_prompt", ""))
+        self.engine.styles.save()
+        return {"name": name, "count": len(self.engine.styles.styles)}
+
+    def delete_style(self, body: dict):
+        """Remove a prompt style (reference modules/ui_prompt_styles.py
+        delete_style: clears the entry and persists the CSV)."""
+        name = (body or {}).get("name", "").strip()
+        if not name:
+            raise ApiError(400, "style name required")
+        if name not in self.engine.styles.styles:
+            raise ApiError(404, f"style {name!r} not found")
+        del self.engine.styles.styles[name]
         self.engine.styles.save()
         return {"name": name, "count": len(self.engine.styles.styles)}
 

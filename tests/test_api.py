@@ -464,6 +464,34 @@ def test_parse_infotext_paste_options(server, monkeypatch):
     assert "Seed" not in p2 and "Model" not in p2 and "Model hash" not in p2
 
 
+def test_style_save_delete_roundtrip(server, tmp_path, monkeypatch):
+    """Style editor contract (reference modules/ui_prompt_styles.py
+    save_style/delete_style): save persists, delete removes + 404s on
+    a second delete."""
+    from sdwebui_tpu.text.styles import get_style_database
+
+    db = get_style_database()
+    monkeypatch.setattr(db, "path", str(tmp_path / "styles.csv"))
+    r = requests.post(f"{server}/internal/save-style",
+                      json={"name": "T3st", "prompt": "a {prompt} b",
+                            "negative_prompt": "bad"})
+    assert r.status_code == 200
+    styles = requests.get(f"{server}/sdapi/v1/prompt-styles").json()
+    mine = [s for s in styles if s["name"] == "T3st"]
+    assert mine and mine[0]["prompt"] == "a {prompt} b"
+
+    r = requests.post(f"{server}/internal/delete-style", json={"name": "T3st"})
+    assert r.status_code == 200
+    names = [s["name"] for s in
+             requests.get(f"{server}/sdapi/v1/prompt-styles").json()]
+    assert "T3st" not in names
+    # second delete: 404 naming the style, not a raw 500
+    r2 = requests.post(f"{server}/internal/delete-style", json={"name": "T3st"})
+    assert r2.status_code == 404
+    assert requests.post(f"{server}/internal/delete-style",
+                         json={}).status_code == 400
+
+
 def test_extras_operation_order_and_disable(server, monkeypatch):
     """postprocessing_disable_in_extras removes stages (reference
     scripts_in_preferred_order filter)."""
