@@ -163,6 +163,10 @@ class Api:
         r("POST", "/internal/extensions/install", self.extensions_install)
         r("POST", "/internal/extra-networks/user-metadata",
           self.extra_network_user_metadata)
+        r("GET", "/internal/extra-networks/preview",
+          self.extra_network_preview)
+        r("POST", "/internal/extra-networks/preview",
+          self.extra_network_set_preview)
         r("POST", "/internal/interrupt", self.interrupt_ui)
         r("POST", "/sdapi/v1/preprocess", self.preprocess)
         r("POST", "/internal/extensions/check-updates",
@@ -736,6 +740,11 @@ class Api:
                 mtime = 0
             entry = {"name": name, "alias": alias, "path": path,
                      "metadata": meta, "mtime": mtime}
+            if self._find_network_preview(path):
+                from urllib.parse import quote
+
+                entry["preview"] = ("/internal/extra-networks/preview?name="
+                                    + quote(name))
             # user metadata sidecar <file>.json (reference
             # ui_extra_networks_user_metadata.py): description, activation
             # text, preferred weight feed the cards + click-to-insert
@@ -765,6 +774,65 @@ class Api:
         with open(side, "w", encoding="utf-8") as f:
             _json.dump(data, f, indent=2)
         return {"path": side}
+
+    _PREVIEW_EXTS = ("png", "jpg", "jpeg", "webp", "gif")
+
+    @classmethod
+    def _find_network_preview(cls, path: str):
+        """Preview image next to a network file (reference
+        modules/ui_extra_networks.py:647 find_preview: <base>.<ext> then
+        <base>.preview.<ext> per allowed extension)."""
+        base = os.path.splitext(path)[0]
+        for ext in cls._PREVIEW_EXTS:
+            for cand in (f"{base}.{ext}", f"{base}.preview.{ext}"):
+                if os.path.isfile(cand):
+                    return cand
+        return None
+
+    def extra_network_preview(self, body: dict):
+        """Serve a network card's preview image (reference
+        ui_extra_networks.py:220 link_preview via ./sd_extra_networks/thumb)."""
+        from sdwebui_tpu.networks.extra_networks import default_registry
+
+        name = (body or {}).get("name", "")
+        path = default_registry().files.get(name)
+        if path is None:
+            raise ApiError(404, f"network {name!r} not found")
+        found = self._find_network_preview(path)
+        if found is None:
+            raise ApiError(404, f"no preview image for {name!r}")
+        ext = found.rsplit(".", 1)[-1].lower()
+        ctype = {"png": "image/png", "jpg": "image/jpeg",
+                 "jpeg": "image/jpeg", "webp": "image/webp",
+                 "gif": "image/gif"}[ext]
+        with open(found, "rb") as f:
+            return RawResponse(f.read(), ctype)
+
+    def extra_network_set_preview(self, body: dict):
+        """Replace-preview action (reference
+        ui_extra_networks_user_metadata.py:175 save_preview): writes the
+        posted image to <base>.preview.png, carrying its geninfo."""
+        import io as _io
+
+        from PIL import Image as _Image
+
+        from sdwebui_tpu.networks.extra_networks import default_registry
+        from sdwebui_tpu.utils.images import save_image_with_geninfo
+
+        name = (body or {}).get("name", "")
+        path = default_registry().files.get(name)
+        if path is None:
+            raise ApiError(404, f"network {name!r} not found")
+        b64 = (body or {}).get("image", "")
+        if not b64:
+            raise ApiError(400, "image required")
+        if "," in b64[:80] and b64.lstrip().startswith("data:"):
+            b64 = b64.split(",", 1)[1]
+        img = _Image.open(_io.BytesIO(base64.b64decode(b64)))
+        geninfo = body.get("geninfo") or img.info.get("parameters")
+        target = os.path.splitext(path)[0] + ".preview.png"
+        save_image_with_geninfo(img, geninfo, target)
+        return {"path": target}
 
     def refresh_loras(self, body=None):
         from sdwebui_tpu.networks.extra_networks import default_registry
@@ -1278,7 +1346,7 @@ def make_handler(api: Api, credentials: dict | None = None):
             self.wfile.write(body)
 
         def _dispatch(self, method: str):
-            path = self.path.split("?")[0]
+            path, _, query = self.path.partition("?")
             if not self._auth_ok():
                 self._send(401, {"error": "Unauthorized"})
                 return
@@ -1287,6 +1355,11 @@ def make_handler(api: Api, credentials: dict | None = None):
                 self._send(404, {"error": "NotFound", "detail": path})
                 return
             body = {}
+            if query:
+                from urllib.parse import parse_qs
+
+                body = {k: v[0] if len(v) == 1 else v
+                        for k, v in parse_qs(query).items()}
             length = int(self.headers.get("Content-Length") or 0)
             if length:
                 try:

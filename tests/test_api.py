@@ -539,6 +539,47 @@ def test_extra_network_user_metadata(server, tmp_path, monkeypatch):
     assert hit["user_metadata"]["preferred weight"] == 0.8
 
 
+def test_extra_network_preview_roundtrip(server, tmp_path, monkeypatch):
+    """Replace-preview + preview serving (reference
+    ui_extra_networks_user_metadata.py:175 save_preview and
+    ui_extra_networks.py:647 find_preview)."""
+    import numpy as np
+
+    from sdwebui_tpu.loader.safetensors_io import write_safetensors
+    from sdwebui_tpu.networks.extra_networks import default_registry
+
+    path = tmp_path / "previewlora.safetensors"
+    write_safetensors(str(path), {"w": np.zeros((2, 2), np.float32)})
+    monkeypatch.setitem(default_registry().files, "previewlora", str(path))
+
+    # no preview yet: GET 404s, listing has no preview link
+    url = f"{server}/internal/extra-networks/preview?name=previewlora"
+    assert requests.get(url).status_code == 404
+    hit = next(l for l in requests.get(f"{server}/sdapi/v1/loras").json()
+               if l["name"] == "previewlora")
+    assert "preview" not in hit
+
+    r = requests.post(f"{server}/internal/extra-networks/preview",
+                      json={"name": "previewlora", "image": _b64_image(),
+                            "geninfo": "a prompt\nSteps: 2"})
+    assert r.status_code == 200
+    assert r.json()["path"].endswith("previewlora.preview.png")
+
+    g = requests.get(url)
+    assert g.status_code == 200
+    assert g.headers["Content-Type"] == "image/png"
+    img = Image.open(io.BytesIO(g.content))
+    assert img.size == (64, 64)
+    assert img.info.get("parameters") == "a prompt\nSteps: 2"
+
+    hit = next(l for l in requests.get(f"{server}/sdapi/v1/loras").json()
+               if l["name"] == "previewlora")
+    assert hit["preview"].endswith("name=previewlora")
+    # unknown network: 404 naming it
+    assert requests.get(f"{server}/internal/extra-networks/preview"
+                        "?name=nosuch").status_code == 404
+
+
 def test_sysinfo_report(server):
     """Rich environment report (reference modules/sysinfo.py get_dict)."""
     r = requests.get(f"{server}/internal/sysinfo")
