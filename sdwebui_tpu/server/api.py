@@ -199,6 +199,11 @@ class Api:
         r("POST", "/internal/save-images", self.save_images_action)
         r("POST", "/internal/img2img-batch", self.img2img_batch)
         r("GET", "/internal/options-metadata", self.options_metadata)
+        r("GET", "/internal/last-result", self.last_result)
+        # most recent finished generation, served so a reloaded SPA can
+        # repopulate its gallery (reference keeps this in the progress
+        # task cache, modules/progress.py:14 recorded_results)
+        self._last_result: dict | None = None
 
     def add_route(self, method: str, path: str, handler: Callable):
         self.routes[(method, path)] = handler
@@ -215,6 +220,8 @@ class Api:
             res = self.engine.txt2img(p, save=req.save_images)
         images = [encode_pil_to_base64(img, info=res.infotexts[i] if i < len(res.infotexts) else None)
                   for i, img in enumerate(res.images)] if req.send_images else None
+        if images:
+            self._last_result = {"images": images, "info": json.dumps(res.js())}
         return schema.ImageResponse(
             images=images, parameters=body,
             info=json.dumps(res.js())).model_dump()
@@ -236,9 +243,19 @@ class Api:
             res = self.engine.img2img(p, save=req.save_images)
         images = [encode_pil_to_base64(img, info=res.infotexts[i] if i < len(res.infotexts) else None)
                   for i, img in enumerate(res.images)] if req.send_images else None
+        if images:
+            self._last_result = {"images": images, "info": json.dumps(res.js())}
         return schema.ImageResponse(
             images=images, parameters=body,
             info=json.dumps(res.js())).model_dump()
+
+    def last_result(self, body: dict):
+        """Most recent finished generation — lets the SPA restore its
+        gallery after a page reload (reference modules/progress.py
+        recorded_results + javascript/progressbar.js restoreProgress)."""
+        if not self._last_result:
+            raise ApiError(404, "No generation has completed yet")
+        return self._last_result
 
     def extras_single(self, body: dict):
         from PIL import Image

@@ -74,6 +74,18 @@ def test_txt2img_simple(url_txt2img):
     assert "Steps: 2" in (img.info.get("parameters") or "")
 
 
+def test_last_result_restore(server, url_txt2img):
+    """GET /internal/last-result serves the most recent generation so a
+    reloaded SPA can repopulate its gallery (reference
+    modules/progress.py recorded_results)."""
+    resp = requests.post(url_txt2img, json=SIMPLE_TXT2IMG).json()
+    r = requests.get(f"{server}/internal/last-result")
+    assert r.status_code == 200
+    data = r.json()
+    assert data["images"] == resp["images"]
+    assert "example prompt" in data["info"]
+
+
 def test_txt2img_deterministic(url_txt2img):
     a = requests.post(url_txt2img, json=SIMPLE_TXT2IMG).json()["images"][0]
     b = requests.post(url_txt2img, json=SIMPLE_TXT2IMG).json()["images"][0]
