@@ -12,6 +12,8 @@ BASELINE surface (BASELINE.md configs 1-5):
   sd15_batch1_p50_s        batch-1 image latency (the north-star "< 1 s")
   sd15_batch8_ips          batch-8 throughput
   hires_512to1024_p50_s    hires fix 512->1024 latent upscale + 2nd pass
+  img2img_batch4_ips       img2img 512^2 denoise 0.75 batch-4 throughput
+  inpaint_batch4_ips       same with a mask (masked-latent blending)
   lora_cn_batch4_ips       txt2img with a rank-16 LoRA merged + a canny
                            ControlNet unit active (functional param
                            transform + control tower cost)
@@ -209,6 +211,41 @@ def bench_hires(model, repeats, extra):
     return sec
 
 
+def bench_img2img(model, repeats, inpaint=False, size=512, batch=4):
+    """BASELINE config #2: img2img (VAE encode + partial-schedule denoise)
+    and inpainting (masked-latent blending each step + overlay paste)."""
+    import numpy as np
+    from PIL import Image
+
+    from sdwebui_tpu.pipeline.img2img import process_img2img
+    from sdwebui_tpu.pipeline.params import GenerationParams
+
+    rng = np.random.default_rng(0)
+    init = Image.fromarray(
+        rng.integers(0, 255, (size, size, 3)).astype(np.uint8))
+    mask_kw = {}
+    if inpaint:
+        m = np.zeros((size, size), np.uint8)
+        m[size // 4: 3 * size // 4, size // 4: 3 * size // 4] = 255
+        mask_kw = dict(mask=Image.fromarray(m), mask_blur=4,
+                       inpainting_fill=1)
+
+    def run(seed):
+        p = GenerationParams(
+            prompt="a photograph of an astronaut riding a horse",
+            negative_prompt="blurry", seed=seed, steps=20, cfg_scale=7.5,
+            sampler_name="Euler a", width=size, height=size,
+            batch_size=batch, denoising_strength=0.75, init_images=[init],
+            do_not_save_grid=True, **mask_kw)
+        res = process_img2img(model, p)
+        assert len(res.images) == batch
+        return res
+
+    times = time_runs(run, repeats)
+    sec = median(times)
+    return sec, batch / sec
+
+
 def _install_bench_lora(model, tmpdir):
     """Rank-16 LoRA over every attention q/k/v/out projection of the UNet,
     written as a real safetensors file and registered (models/Lora flow)."""
@@ -368,6 +405,10 @@ def main():
             bench_sd15(model, 8, 3, extra)[1], 3))),
         ("hires", lambda: extra.update(hires_512to1024_p50_s=round(
             bench_hires(model, 3, extra), 3))),
+        ("img2img", lambda: extra.update(img2img_batch4_ips=round(
+            bench_img2img(model, 3)[1], 3))),
+        ("inpaint", lambda: extra.update(inpaint_batch4_ips=round(
+            bench_img2img(model, 3, inpaint=True)[1], 3))),
         ("lora", lambda: extra.update(lora_batch4_ips=round(
             bench_lora_only(model, 3)[1], 3))),
         ("lora_cn", lambda: extra.update(lora_cn_batch4_ips=round(
