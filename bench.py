@@ -29,12 +29,23 @@ Random weights (the reference CI's empty-checkpoint strategy): identical
 compute graph and data movement as real weights, so the perf numbers are
 representative while no checkpoint assets exist in the container.
 
-Progress goes to stderr; stdout carries only the final JSON line.
-BENCH_CONFIGS=sd15_b4,sdxl,... selects a subset (default: all).
+Progress goes to stderr.  Stdout carries the JSON record, RE-EMITTED after
+every completed leg so the last stdout line is always the most complete
+valid record: a driver timeout mid-run still captures the primary metric
+(round 3's full-surface run hit the driver budget mid-SDXL and left stdout
+empty — rc 124, parsed null — never again).  A SIGTERM/SIGINT (what
+`timeout` sends first) also dumps the current record before exiting.
+
+Env knobs:
+  BENCH_CONFIGS=sd15_b4,sdxl,...   subset selection (default: all)
+  BENCH_BUDGET_S=2700              global wall budget; legs that don't fit
+                                   the remaining budget are skipped-with-note
+  BENCH_LEG_TIMEOUT=900            per-leg SIGALRM timebox (skip, not die)
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -378,47 +389,87 @@ def bench_sdxl(repeats, extra):
 
 # --------------------------------------------------------------------------
 
+class LegTimeout(Exception):
+    pass
+
+
 def main():
     wanted = os.environ.get("BENCH_CONFIGS", "all")
     wanted = None if wanted == "all" else set(wanted.split(","))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    leg_timeout = int(os.environ.get("BENCH_LEG_TIMEOUT", "900"))
 
     def on(name):
         return wanted is None or name in wanted
 
+    t_start = time.time()
+    record = {
+        "metric": "txt2img SD1.5 512x512 Euler-a 20 steps CFG7.5 batch4",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "extra": {},
+    }
+    extra = record["extra"]
+
+    def emit():
+        extra["bench_wall_s"] = round(time.time() - t_start, 1)
+        print(json.dumps(record), flush=True)
+
+    def on_term(signum, frame):  # noqa: ARG001
+        log(f"signal {signum}: dumping current record and exiting")
+        emit()
+        # restore default disposition so a second signal is fatal
+        signal.signal(signum, signal.SIG_DFL)
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
     from sdwebui_tpu.pipeline.sd_model import create_random_sd15
 
-    extra = {}
-    t_start = time.time()
     model = create_random_sd15()
 
-    # primary metric: config #1 batch 4 (median of 5; ±10% tunnel noise)
-    ips4 = None
+    # primary metric: config #1 batch 4 (median of 5; ±10% tunnel noise).
+    # Printed and flushed IMMEDIATELY so a later timeout cannot destroy the
+    # round's official record; every completed leg re-emits the full line.
     if on("sd15_b4"):
         log("config sd15_b4 (primary)")
         sec4, ips4 = bench_sd15(model, 4, 5, extra, flops_key="sd15_b4")
         extra["sd15_batch4_ips"] = round(ips4, 3)
+        record["value"] = round(ips4, 3)
+        record["vs_baseline"] = round(ips4 / 1.0, 3)
+        emit()
 
+    # (name, rough leg cost in s — compile + measured runs, used only to
+    # decide whether the leg still fits the remaining global budget)
     legs = [
-        ("sd15_b1", lambda: extra.update(sd15_batch1_p50_s=round(
+        ("sd15_b1", 120, lambda: extra.update(sd15_batch1_p50_s=round(
             bench_sd15(model, 1, 5, extra, flops_key="sd15_b1")[0], 3))),
-        ("sd15_b8", lambda: extra.update(sd15_batch8_ips=round(
+        ("sd15_b8", 150, lambda: extra.update(sd15_batch8_ips=round(
             bench_sd15(model, 8, 3, extra)[1], 3))),
-        ("hires", lambda: extra.update(hires_512to1024_p50_s=round(
+        ("hires", 180, lambda: extra.update(hires_512to1024_p50_s=round(
             bench_hires(model, 3, extra), 3))),
-        ("img2img", lambda: extra.update(img2img_batch4_ips=round(
+        ("img2img", 150, lambda: extra.update(img2img_batch4_ips=round(
             bench_img2img(model, 3)[1], 3))),
-        ("inpaint", lambda: extra.update(inpaint_batch4_ips=round(
+        ("inpaint", 150, lambda: extra.update(inpaint_batch4_ips=round(
             bench_img2img(model, 3, inpaint=True)[1], 3))),
-        ("lora", lambda: extra.update(lora_batch4_ips=round(
+        ("lora", 150, lambda: extra.update(lora_batch4_ips=round(
             bench_lora_only(model, 3)[1], 3))),
-        ("lora_cn", lambda: extra.update(lora_cn_batch4_ips=round(
+        ("lora_cn", 240, lambda: extra.update(lora_cn_batch4_ips=round(
             bench_lora_cn(model, 3, extra, "/tmp/bench_lora")[1], 3))),
-        ("sdxl", lambda: extra.update(sdxl_1024_p50_s=round(
+        ("sdxl", 600, lambda: extra.update(sdxl_1024_p50_s=round(
             bench_sdxl(3, extra), 3))),
     ]
     os.makedirs("/tmp/bench_lora", exist_ok=True)
-    for i, (name, fn) in enumerate(legs):
+    for i, (name, est_s, fn) in enumerate(legs):
         if not on(name):
+            continue
+        elapsed = time.time() - t_start
+        if elapsed + est_s > budget_s:
+            log(f"config {name} skipped: {elapsed:.0f}s elapsed + ~{est_s}s "
+                f"leg > {budget_s:.0f}s budget")
+            extra.setdefault("skipped", []).append(name)
             continue
         if name == "sdxl":
             # base+refiner UNets are 9.8 GB bf16; evict the SD1.5 params,
@@ -432,7 +483,7 @@ def main():
             from sdwebui_tpu.pipeline import control as _control
             from sdwebui_tpu.pipeline import processing as _proc
             log("releasing SD1.5 HBM state before the SDXL leg")
-            legs[:i] = [(n, None) for n, _ in legs[:i]]
+            legs[:i] = [(n, e, None) for n, e, _ in legs[:i]]
             model = None  # noqa: F841 — drop the closure target
             extra_networks._merge_cache.clear()
             _control._cache.clear()      # ControlNet tower params
@@ -440,20 +491,25 @@ def main():
             gc.collect()
             jax.clear_caches()
         log(f"config {name}")
+
+        def on_alarm(signum, frame):  # noqa: ARG001
+            raise LegTimeout
+
+        signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(leg_timeout)
         try:
             fn()
+        except LegTimeout:
+            log(f"config {name} TIMED OUT after {leg_timeout}s; skipping")
+            extra[f"{name}_error"] = f"leg timeout after {leg_timeout}s"
         except Exception as e:  # noqa: BLE001 — record, keep the rest
             log(f"config {name} FAILED: {type(e).__name__}: {e}")
             extra[f"{name}_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            signal.alarm(0)
+        emit()
 
-    extra["bench_wall_s"] = round(time.time() - t_start, 1)
-    print(json.dumps({
-        "metric": "txt2img SD1.5 512x512 Euler-a 20 steps CFG7.5 batch4",
-        "value": round(ips4, 3) if ips4 else None,
-        "unit": "images/sec/chip",
-        "vs_baseline": round(ips4 / 1.0, 3) if ips4 else None,
-        "extra": extra,
-    }))
+    emit()
 
 
 if __name__ == "__main__":
