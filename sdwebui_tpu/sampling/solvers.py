@@ -115,8 +115,10 @@ def dpm_2_step(model, x, i, sigmas, noise, state, extra):
     x, s = _apply_churn(x, s, sigmas, noise, extra)
     denoised = model(x, s, i)
     d = _to_d(x, s, denoised)
-    # midpoint in Karras rho=3 space
-    s_mid = ((s ** (1 / 3) + jnp.maximum(s_next, _EPS) ** (1 / 3)) / 2) ** 3
+    # geometric (log-space) midpoint — the reference's pinned k-diffusion
+    # (ab527a9 sample_dpm_2) lerps in log-sigma space, NOT rho=1/3 space
+    # (the rho midpoint was an older k-diffusion; caught by the twin oracle)
+    s_mid = jnp.exp((_log(s) + _log(jnp.maximum(s_next, _EPS))) / 2)
     x_2 = x + d * (s_mid - s)
     denoised_2 = model(x_2, s_mid, i)
     d_2 = _to_d(x_2, s_mid, denoised_2)
@@ -131,12 +133,14 @@ def dpm_2_ancestral_step(model, x, i, sigmas, noise, state, extra):
     denoised = model(x, s, i)
     sd, su = _ancestral(s, s_next, eta)
     d = _to_d(x, s, denoised)
-    s_mid = ((s ** (1 / 3) + jnp.maximum(sd, _EPS) ** (1 / 3)) / 2) ** 3
+    # log-space midpoint between σ and σ_down (k-diffusion ab527a9
+    # sample_dpm_2_ancestral); Euler fallback steps to σ_down, not σ_next
+    s_mid = jnp.exp((_log(s) + _log(jnp.maximum(sd, _EPS))) / 2)
     x_2 = x + d * (s_mid - s)
     denoised_2 = model(x_2, s_mid, i)
     d_2 = _to_d(x_2, s_mid, denoised_2)
     x_dpm = x + d_2 * (sd - s) + noise[0] * su * extra.get("s_noise", 1.0)
-    x = jnp.where(sd > 0, x_dpm, x + d * (s_next - s))
+    x = jnp.where(sd > 0, x_dpm, x + d * (sd - s))
     return x, state
 
 
