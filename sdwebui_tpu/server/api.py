@@ -210,9 +210,37 @@ class Api:
 
     # ---- generation ----------------------------------------------------
 
+    def _validate_generation(self, req):
+        """Caller errors become clean 4xx before any device work (the
+        reference 400s on a bad sampler up front, modules/api/api.py:46;
+        bad dims/steps would otherwise surface as 500 tracebacks)."""
+        from sdwebui_tpu.sampling.registry import SAMPLER_MAP
+        from sdwebui_tpu.sampling.schedulers import ALIASES, SCHEDULERS
+
+        for name in (req.sampler_name, getattr(req, "hr_sampler_name", None)):
+            if name and name != "Automatic" and name not in SAMPLER_MAP:
+                raise ApiError(400, "Sampler not found")
+        for name in (req.scheduler, getattr(req, "hr_scheduler", None)):
+            if name and ALIASES.get(name, name.lower()) not in SCHEDULERS:
+                raise ApiError(400, f"Scheduler not found: {name!r}")
+        if req.steps < 1:
+            raise ApiError(400, f"steps must be >= 1, got {req.steps}")
+        if req.width < 8 or req.height < 8:
+            raise ApiError(
+                400, f"invalid image size {req.width}x{req.height}")
+        if req.batch_size < 1 or req.n_iter < 1:
+            raise ApiError(400, "batch_size and n_iter must be >= 1")
+        if req.script_name:
+            import sdwebui_tpu.scripts.builtin  # noqa: F401  (registers)
+            from sdwebui_tpu.scripts.framework import get_script
+
+            if get_script(req.script_name) is None:
+                raise ApiError(400, f"Script not found: {req.script_name!r}")
+
     def txt2img(self, body: dict):
         body = _apply_infotext(dict(body))
         req = schema.Txt2ImgRequest(**body)
+        self._validate_generation(req)
         p = GenerationParams(**_fields_from_request(req))
         if req.script_name:
             res = self.engine.run_script(req.script_name, p, req.script_args)
@@ -228,6 +256,7 @@ class Api:
 
     def img2img(self, body: dict):
         req = schema.Img2ImgRequest(**body)
+        self._validate_generation(req)
         if not req.init_images:
             raise ApiError(404, "Init image not found")
         fields = _fields_from_request(req)

@@ -1,0 +1,248 @@
+"""Server load/robustness: concurrent clients against one live server.
+
+The reference serializes all GPU work behind a FIFO queue lock
+(modules/call_queue.py:8-32) and exposes interrupt/skip flags that the
+denoiser polls mid-run (modules/sd_samplers_cfg_denoiser.py:157).  Nothing
+in its test suite hammers that surface; this file does: parallel txt2img
+threads (determinism == no cross-request state bleed), mid-run interrupt
+and skip, options writes racing a generation, progress polling from many
+threads, and malformed bodies returning clean 4xx under load.
+"""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # boots a live server
+
+import base64
+import hashlib
+import io
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import requests
+from PIL import Image
+
+from sdwebui_tpu.server.api import ApiServer
+from sdwebui_tpu.server.app import Engine
+
+
+@pytest.fixture(scope="module")
+def server():
+    engine = Engine(test_model=True, outdir="/tmp/sdtpu-conc-outputs")
+    srv = ApiServer(engine, host="127.0.0.1", port=0)
+    srv.start()
+    yield f"http://127.0.0.1:{srv.port}"
+    srv.shutdown()
+
+
+def _req(seed, steps=2, **kw):
+    return {"prompt": f"probe seed {seed}", "seed": seed, "steps": steps,
+            "width": 64, "height": 64, "sampler_name": "Euler a", **kw}
+
+
+def _img_hash(b64):
+    return hashlib.sha1(
+        Image.open(io.BytesIO(base64.b64decode(b64))).tobytes()).hexdigest()
+
+
+def _post(server, route, body, timeout=300):
+    return requests.post(f"{server}/sdapi/v1/{route}", json=body,
+                         timeout=timeout)
+
+
+# --------------------------------------------------------------------------
+
+def test_parallel_txt2img_no_state_bleed(server):
+    """8 concurrent clients with distinct seeds: every response must be
+    byte-identical to the sequential run of the same request — the queue
+    lock serializes device work and nothing (conds, previews, last-result,
+    RNG) may leak between requests."""
+    seeds = [101, 202, 303, 404]
+    # sequential baseline
+    baseline = {}
+    for s in seeds:
+        r = _post(server, "txt2img", _req(s))
+        assert r.status_code == 200
+        baseline[s] = _img_hash(r.json()["images"][0])
+    assert len(set(baseline.values())) == len(seeds), "seeds must differ"
+
+    def worker(seed):
+        r = _post(server, "txt2img", _req(seed))
+        return seed, r.status_code, r.json()
+
+    with ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(worker, seeds * 2))
+
+    for seed, code, data in results:
+        assert code == 200
+        assert _img_hash(data["images"][0]) == baseline[seed], (
+            f"seed {seed}: concurrent result differs from sequential")
+        assert f"probe seed {seed}" in data["info"], "prompt bled"
+
+
+def test_mixed_txt2img_img2img_options_race(server):
+    """txt2img + img2img + options writes + progress polls, all in flight:
+    everything returns 2xx, options writes land, generations complete."""
+    buf = io.BytesIO()
+    Image.new("RGB", (64, 64), (10, 200, 30)).save(buf, format="PNG")
+    init_b64 = base64.b64encode(buf.getvalue()).decode()
+
+    errors = []
+    stop = threading.Event()
+
+    def poll_progress():
+        while not stop.is_set():
+            r = requests.get(f"{server}/sdapi/v1/progress", timeout=30)
+            if r.status_code != 200 or "progress" not in r.json():
+                errors.append(("progress", r.status_code))
+            time.sleep(0.02)
+
+    poller = threading.Thread(target=poll_progress)
+    poller.start()
+    try:
+        def gen_txt(i):
+            return ("txt", _post(server, "txt2img", _req(1000 + i)))
+
+        def gen_img(i):
+            return ("img", _post(server, "img2img", {
+                **_req(2000 + i), "init_images": [init_b64],
+                "denoising_strength": 0.6}))
+
+        def set_opt(i):
+            return ("opt", _post(server, "options",
+                                 {"CLIP_stop_at_last_layers": 1 + (i % 2)}))
+
+        jobs = [lambda i=i: gen_txt(i) for i in range(3)] \
+            + [lambda i=i: gen_img(i) for i in range(2)] \
+            + [lambda i=i: set_opt(i) for i in range(4)]
+        with ThreadPoolExecutor(9) as ex:
+            results = [f.result() for f in [ex.submit(j) for j in jobs]]
+    finally:
+        stop.set()
+        poller.join()
+
+    for kind, r in results:
+        assert r.status_code == 200, (kind, r.status_code, r.text[:200])
+    assert not errors, errors[:5]
+    # restore the option and confirm the write is visible
+    assert _post(server, "options", {"CLIP_stop_at_last_layers": 1}).ok
+    got = requests.get(f"{server}/sdapi/v1/options", timeout=30).json()
+    assert got["CLIP_stop_at_last_layers"] == 1
+
+
+def test_interrupt_mid_run_and_recovery(server):
+    """Interrupt a long multi-batch job mid-flight: the request returns
+    promptly (fewer/partial results are fine), the interrupted flag resets,
+    and the very next generation is untouched by the stale flag."""
+    body = _req(7, steps=40, n_iter=8, batch_size=1)
+    result = {}
+
+    def long_job():
+        result["resp"] = _post(server, "txt2img", body)
+
+    t = threading.Thread(target=long_job)
+    t.start()
+    # wait until the job is actually sampling
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        st = requests.get(f"{server}/sdapi/v1/progress", timeout=30).json()
+        if st["state"]["job_count"] > 0 and st["progress"] > 0:
+            break
+        time.sleep(0.05)
+    else:
+        pytest.fail("job never started")
+    assert requests.post(f"{server}/sdapi/v1/interrupt", json={},
+                         timeout=30).status_code == 200
+    t.join(timeout=180)
+    assert not t.is_alive(), "interrupt did not stop the job"
+    assert result["resp"].status_code == 200
+
+    # flag must not leak into the next request
+    r = _post(server, "txt2img", _req(55))
+    assert r.status_code == 200
+    assert len(r.json()["images"]) == 1
+    st = requests.get(f"{server}/sdapi/v1/progress", timeout=30).json()
+    assert st["state"]["interrupted"] in (False, True)  # schema intact
+
+
+def test_skip_drops_current_batch_only(server):
+    """Skip mid-run: the current batch is abandoned but the job continues
+    with the remaining n_iter batches (reference shared_state.skip)."""
+    body = _req(11, steps=30, n_iter=4, batch_size=1)
+    result = {}
+
+    def job():
+        result["resp"] = _post(server, "txt2img", body)
+
+    t = threading.Thread(target=job)
+    t.start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        st = requests.get(f"{server}/sdapi/v1/progress", timeout=30).json()
+        if st["state"]["job_count"] > 0 and st["progress"] > 0:
+            break
+        time.sleep(0.05)
+    else:
+        pytest.fail("job never started")
+    assert _post(server, "skip", {}).status_code == 200
+    t.join(timeout=180)
+    assert not t.is_alive()
+    assert result["resp"].status_code == 200
+    # completed (possibly with fewer images); server healthy afterwards
+    assert _post(server, "txt2img", _req(56)).status_code == 200
+
+
+def test_malformed_bodies_clean_4xx_under_load(server):
+    """Bad requests racing good ones: every bad body gets a clean 4xx (not
+    a 500, not a hang), and the good ones still succeed."""
+    bad_bodies = [
+        {"prompt": "x", "sampler_name": "No Such Sampler", "steps": 2,
+         "width": 64, "height": 64},
+        {"prompt": "x", "steps": 2, "width": -64, "height": 64},
+        {"prompt": "x", "steps": 0, "width": 64, "height": 64},
+        {"prompt": "x", "steps": 2, "width": 64, "height": 64,
+         "script_name": "no-such-script"},
+    ]
+
+    def bad(i):
+        return _post(server, "txt2img", bad_bodies[i % len(bad_bodies)])
+
+    def good(i):
+        return _post(server, "txt2img", _req(3000 + i))
+
+    with ThreadPoolExecutor(6) as ex:
+        bad_rs = list(ex.map(bad, range(4)))
+        good_rs = list(ex.map(good, range(2)))
+    for r in bad_rs:
+        assert 400 <= r.status_code < 500, (r.status_code, r.text[:200])
+    for r in good_rs:
+        assert r.status_code == 200
+
+
+def test_serialized_device_work_fifo_progress(server):
+    """While one long job runs, a second request queues behind it — the
+    progress endpoint never reports more concurrent jobs than one, and both
+    responses come back complete (queue-lock serialization, no interleaved
+    half-results)."""
+    long_body = _req(21, steps=30, n_iter=2)
+    short_body = _req(22)
+    out = {}
+
+    def run(name, body):
+        out[name] = _post(server, "txt2img", body)
+
+    t1 = threading.Thread(target=run, args=("long", long_body))
+    t1.start()
+    time.sleep(0.3)  # let it take the lock first
+    t2 = threading.Thread(target=run, args=("short", short_body))
+    t2.start()
+    t1.join(timeout=300)
+    t2.join(timeout=300)
+    assert out["long"].status_code == 200
+    assert out["short"].status_code == 200
+    assert len(out["long"].json()["images"]) >= 2  # n_iter=2 (+grid maybe)
+    # determinism of the queued request (no bleed from the long one)
+    again = _post(server, "txt2img", short_body)
+    assert _img_hash(again.json()["images"][0]) == \
+        _img_hash(out["short"].json()["images"][0])
