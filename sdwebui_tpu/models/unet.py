@@ -291,7 +291,15 @@ def apply(params, cfg: UNetConfig, x, timesteps, context, y=None, control=None,
     y: (B, adm_in_channels) SDXL vector conds; control: optional dict with
     "input" (list, per input block) and "middle" residuals to add
     (ControlNet injection points, designed-in per SURVEY.md §7.8).
+
+    fp8 weight storage (opts.fp8_storage): float8 leaves are upcast to the
+    compute dtype here, inside jit — XLA fuses the convert into each
+    consumer, so HBM keeps the half-size copies while the MXU sees bf16.
     """
+    f8 = (jnp.float8_e4m3fn, jnp.float8_e5m2)
+    params = jax.tree.map(
+        lambda w: w.astype(jnp.bfloat16)
+        if getattr(w, "dtype", None) in f8 else w, params)
     input_plan, middle_depth, output_plan, _ = build_plan(cfg)
 
     t_emb = timestep_embedding(timesteps, cfg.model_channels)

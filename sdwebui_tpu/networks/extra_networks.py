@@ -224,7 +224,9 @@ def apply_to_model(model, nets: list, registry: LoraRegistry):
     if not loras_unet:
         return model
 
-    unet_params, n1, um1 = apply_loras(model.unet_params, loras_unet, "lora_unet_")
+    unet_params, n1, um1 = apply_loras(
+        model.unet_params, loras_unet, "lora_unet_",
+        hp_flat=getattr(model, "unet_params_hp", None))
     model = model.with_unet_params(unet_params)
 
     clip_params, n2, _ = apply_loras(model.conditioner.params, loras_te, "lora_te_")

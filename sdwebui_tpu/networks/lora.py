@@ -248,8 +248,13 @@ def group_lora_keys(lora_sd: dict, prefix: str) -> dict:
     return groups
 
 
-def apply_loras(params: dict, loras: list, prefix: str = "lora_unet_"):
+def apply_loras(params: dict, loras: list, prefix: str = "lora_unet_",
+                hp_flat: dict | None = None):
     """params + Σ lora deltas → new tree.  loras: [(lora_sd, multiplier)].
+
+    hp_flat: optional flat-path → high-precision host array map for leaves
+    stored quantized (fp8 storage + opts.cache_fp16_weight): merges use the
+    original values as the base instead of re-quantizing quantized weights.
 
     Returns (new_params, n_applied, unmatched_keys)."""
     lookup = build_path_lookup(params)
@@ -268,6 +273,8 @@ def apply_loras(params: dict, loras: list, prefix: str = "lora_unet_"):
                 continue
             wkey = path + ".weight"
             w = flat[wkey]
+            if hp_flat and wkey in hp_flat:
+                w = hp_flat[wkey]
 
             def orig_torch(w=w):
                 arr = np.asarray(w, np.float32)
@@ -303,7 +310,10 @@ def apply_loras(params: dict, loras: list, prefix: str = "lora_unet_"):
     for wkey, ops in patches.items():
         w = jnp.asarray(new_flat[wkey])
         dtype = w.dtype
-        wf = w.astype(jnp.float32)
+        if hp_flat and wkey in hp_flat:
+            wf = jnp.asarray(hp_flat[wkey], jnp.float32)
+        else:
+            wf = w.astype(jnp.float32)
         for kind, payload, path in ops:
             if kind == "add":
                 delta = _delta_to_jax_layout(np.asarray(payload), w)

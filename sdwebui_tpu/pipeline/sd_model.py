@@ -48,6 +48,10 @@ class SDModel:
     noise_aug_stats: Any = None        # unclip: {"mean": (D,), "std": (D,)}
     depth_params: Any = None           # depth2img: MiDaS DPT-hybrid tower
     depth_cfg: Any = None
+    # host-side high-precision copies of fp8-quantized UNet weights, keyed
+    # by flat path (opts.cache_fp16_weight: LoRA merges use these as the
+    # base instead of double-quantizing; reference networks.py weights_backup)
+    unet_params_hp: Any = None
 
     @property
     def is_unclip(self) -> bool:
@@ -432,3 +436,56 @@ def create_tiny_sd(seed: int = 0) -> SDModel:
         conditioner=cond,
         title="tiny-test-model [0000000000]",
     )
+
+
+def quantize_unet_fp8(model: SDModel, keep_hp: bool = False) -> SDModel:
+    """Store the UNet's conv/linear weights as float8_e4m3fn in HBM
+    (reference opts.fp8_storage, modules/sd_models.py fp8 path: Linear/Conv
+    weights only; norms, biases and embeddings stay high-precision).  The
+    UNet forward upcasts to bf16 at use — XLA fuses the convert into the
+    consumer, so HBM holds half the bytes and the MXU still sees bf16.
+
+    keep_hp (opts.cache_fp16_weight): retain host copies of the quantized
+    leaves so LoRA merges use the original values as the base instead of
+    re-quantizing quantized weights.
+    """
+    import numpy as np
+
+    from sdwebui_tpu.utils.pytree import flatten, unflatten
+
+    flat = flatten(model.unet_params)
+    hp: dict = {}
+    new: dict = {}
+    f8 = jnp.float8_e4m3fn
+    for path, w in flat.items():
+        quantizable = (path.endswith(".weight") and getattr(w, "ndim", 0) >= 2
+                       and w.dtype in (jnp.bfloat16, jnp.float32, jnp.float16)
+                       and "norm" not in path.rsplit(".", 2)[-2])
+        if quantizable:
+            if keep_hp:
+                hp[path] = np.asarray(jax.device_get(w))  # original dtype
+            new[path] = jnp.asarray(w).astype(f8)
+        else:
+            new[path] = w
+    return dataclasses.replace(model, unet_params=unflatten(new),
+                               unet_params_hp=hp if keep_hp else None)
+
+
+def dequantize_unet_fp8(model: SDModel, dtype=jnp.bfloat16) -> SDModel:
+    """Undo fp8 storage from the retained host copies (exact) or, without
+    them, by upcasting the quantized values (lossy — same as the reference,
+    which requires a checkpoint reload to fully undo fp8)."""
+    from sdwebui_tpu.utils.pytree import flatten, unflatten
+
+    flat = flatten(model.unet_params)
+    hp = model.unet_params_hp or {}
+    new = {}
+    for path, w in flat.items():
+        if getattr(w, "dtype", None) == jnp.float8_e4m3fn:
+            src = hp.get(path)
+            new[path] = (jnp.asarray(src) if src is not None
+                         else jnp.asarray(w).astype(dtype))
+        else:
+            new[path] = w
+    return dataclasses.replace(model, unet_params=unflatten(new),
+                               unet_params_hp=None)

@@ -100,7 +100,22 @@ register_upscaler("Nearest", _pil_upscaler(Image.NEAREST))
 
 
 def upscaler_names():
-    return list(_REGISTRY.keys())
+    """Registered names, minus Real-ESRGAN/DAT variants the user deselected
+    (reference opts.realesrgan_enabled_models / dat_enabled_models — those
+    filter which models the UI/API list; explicit use by name still works)."""
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    re_on = _opts.get("realesrgan_enabled_models", None)
+    dat_on = _opts.get("dat_enabled_models", None)
+
+    def visible(name):
+        if re_on is not None and name.startswith("R-ESRGAN"):
+            return name in re_on
+        if dat_on is not None and name.startswith("DAT"):
+            return name in dat_on
+        return True
+
+    return [n for n in _REGISTRY if visible(n)]
 
 
 _UPSCALE_CACHE: "dict[tuple, Image.Image]" = {}

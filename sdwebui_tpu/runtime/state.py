@@ -77,11 +77,26 @@ class State:
             self.textinfo = None
             self.job = job
             self.time_start = time.time()
+        # device-memory peak tracking for the job (opts.memmon_poll_rate;
+        # reference memmon.monitor starts/stops around shared.state jobs)
+        try:
+            from sdwebui_tpu.utils.memmon import monitor
+            from sdwebui_tpu.utils.options import opts
+
+            monitor.start(float(opts.get("memmon_poll_rate", 8) or 0))
+        except Exception:
+            pass
 
     def end(self):
         with self._lock:
             self.job = ""
             self.job_count = 0
+        try:
+            from sdwebui_tpu.utils.memmon import monitor
+
+            monitor.stop()
+        except Exception:
+            pass
 
     def nextjob(self):
         self.job_no += 1

@@ -767,8 +767,17 @@ class Api:
 
         import json as _json
 
+        hidden_mode = opts.get("extra_networks_hidden_models", "When searched")
         out = []
         for name, path in default_registry().files.items():
+            # a dot-directory anywhere under the registry root hides the card
+            # (reference ui_extra_networks.py is_hidden +
+            # opts.extra_networks_hidden_models; "Never" drops it from the
+            # listing, otherwise the SPA decides by search state)
+            hidden = any(part.startswith(".")
+                         for part in os.path.normpath(path).split(os.sep)[:-1])
+            if hidden and hidden_mode == "Never":
+                continue
             meta = {}
             alias = name
             if path.endswith(".safetensors"):
@@ -785,7 +794,7 @@ class Api:
             except OSError:
                 mtime = 0
             entry = {"name": name, "alias": alias, "path": path,
-                     "metadata": meta, "mtime": mtime}
+                     "metadata": meta, "mtime": mtime, "hidden": hidden}
             if self._find_network_preview(path):
                 from urllib.parse import quote
 
@@ -921,8 +930,12 @@ class Api:
                    "total": stats.get("bytes_limit", 0)}
         except Exception:
             dev = {"error": "unavailable"}
+        # last job's peak HBM (memmon thread at opts.memmon_poll_rate Hz)
+        from sdwebui_tpu.utils.memmon import monitor
+
+        events = {"peak_used": monitor.peak_used, "polls": monitor.polls}
         return schema.MemoryResponse(
-            ram=mem, cuda={"system": dev, "events": {}}).model_dump()
+            ram=mem, cuda={"system": dev, "events": events}).model_dump()
 
     def controlnet_models(self, body=None):
         from sdwebui_tpu.pipeline.control import list_models

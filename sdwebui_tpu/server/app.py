@@ -80,6 +80,43 @@ class Engine:
             cond.comma_padding_backtrack = opts.get("comma_padding_backtrack", 20)
         impl = opts.get("cross_attention_optimization", "Automatic")
         set_attention_impl(None if impl == "Automatic" else impl)
+        # opts.show_warnings: surface Python warnings in the console
+        # (reference initialize_util.configure_opts_onchange equivalent)
+        import warnings
+
+        warnings.simplefilter(
+            "default" if opts.get("show_warnings", False) else "ignore")
+        self._apply_fp8_storage(model)
+
+    def _apply_fp8_storage(self, model):
+        """opts.fp8_storage: keep UNet conv/linear weights as float8 in HBM
+        (reference modules/sd_models.py fp8 path; TPU-native: the forward
+        upcasts inside jit, halving weight residency).  Enabling converts in
+        place; disabling restores from the cache_fp16_weight host copies
+        when present, else upcasts the quantized values (lossy, as the
+        reference without a checkpoint reload)."""
+        import jax.numpy as jnp
+
+        mode = opts.get("fp8_storage", "Disable")
+        want = mode == "Enable" or (mode == "Enable for SDXL"
+                                    and model.is_sdxl)
+        from sdwebui_tpu.utils.pytree import flatten
+
+        has_fp8 = any(getattr(w, "dtype", None) == jnp.float8_e4m3fn
+                      for w in flatten(model.unet_params).values())
+        if want == has_fp8:
+            return
+        from sdwebui_tpu.networks import extra_networks
+        from sdwebui_tpu.pipeline.sd_model import (dequantize_unet_fp8,
+                                                   quantize_unet_fp8)
+
+        with self._model_lock:
+            if want:
+                self._model = quantize_unet_fp8(
+                    model, keep_hp=bool(opts.get("cache_fp16_weight", False)))
+            else:
+                self._model = dequantize_unet_fp8(model)
+        extra_networks._merge_cache.clear()
 
     # ---- model lifecycle ----------------------------------------------
 

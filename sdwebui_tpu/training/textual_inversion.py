@@ -128,7 +128,14 @@ def train_embedding(model, name: str, latents: np.ndarray,
         if callback is not None and callback(i, losses[-1]) is False:
             break
         if log_every and (i + 1) % log_every == 0:
-            print(f"[TI {name}] step {i + 1}/{steps} loss {losses[-1]:.4f}")
+            # epoch display uses opts.training_image_repeats_per_epoch
+            # (reference: "used only for displaying epoch number")
+            from sdwebui_tpu.utils.options import opts as _opts
+
+            rep = int(_opts.get("training_image_repeats_per_epoch", 1) or 1)
+            epoch = (i + 1) * batch_size // max(n * rep, 1)
+            print(f"[TI {name}] step {i + 1}/{steps} epoch {epoch} "
+                  f"loss {losses[-1]:.4f}")
 
     result = Embedding(name, np.asarray(jax.device_get(emb)), step=len(losses))
     if save_path:

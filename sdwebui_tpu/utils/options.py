@@ -391,6 +391,17 @@ def make_default_templates() -> dict:
         "token_merging_ratio": OptionInfo(0.0, "Token merging ratio"),
         "token_merging_ratio_img2img": OptionInfo(0.0, "Token merging ratio for img2img"),
         "token_merging_ratio_hr": OptionInfo(0.0, "Token merging ratio for high-res pass"),
+        # fp8 weight residency (reference shared_options fp8_storage /
+        # cache_fp16_weight): UNet conv/linear weights stored float8_e4m3fn
+        # in HBM, upcast to bf16 inside jit (server/app.py
+        # _apply_fp8_storage, pipeline/sd_model.py quantize_unet_fp8)
+        "fp8_storage": OptionInfo(
+            "Disable", "FP8 weight",
+            component_args={"choices": ["Disable", "Enable for SDXL",
+                                        "Enable"]}),
+        "cache_fp16_weight": OptionInfo(
+            False, "Cache FP16 weight for LoRA (keep high-precision host "
+                   "copies of fp8-quantized weights as the merge base)"),
     }))
     t.update(options_section(("face-restoration", "Face restoration"), {
         "face_restoration": OptionInfo(False, "Restore faces"),
