@@ -15,6 +15,7 @@ scripts an extension ships register through the scripts framework only when
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import subprocess
 
@@ -274,3 +275,101 @@ def check_updates(dirs=("extensions",)) -> dict:
         except Exception:
             out[ext.name] = "unknown"
     return out
+
+
+# --------------------------------------------------------------------------
+# available-extensions index browser (reference modules/ui_extensions.py:407
+# refresh_available_extensions + refresh_available_extensions_from_data)
+# --------------------------------------------------------------------------
+
+DEFAULT_INDEX_URL = ("https://raw.githubusercontent.com/AUTOMATIC1111/"
+                     "stable-diffusion-webui-extensions/master/index.json")
+
+_available_index: dict | None = None
+
+# reference sort_ordering (ui_extensions.py:434-443), by dropdown position
+_SORT_KEYS = [
+    ("added", True), ("added", False), ("name", False), ("name", True),
+    (None, False), ("commit_time", True), ("created_at", True),
+    ("stars", True),
+]
+
+
+def load_available_index(url_or_path: str | None = None) -> dict:
+    """Fetch/read and cache the extensions catalog.  Format (the reference's
+    index repo): {"tags": {tag: description}, "extensions": [{"name", "url",
+    "description", "added", "tags", ...}]}.  Local paths are first-class:
+    the zero-egress image can't reach the default URL, but a user-supplied
+    index file drives the identical browse/filter/install flow."""
+    global _available_index
+
+    src = url_or_path or DEFAULT_INDEX_URL
+    if src.startswith(("http://", "https://")):
+        import urllib.request
+
+        with urllib.request.urlopen(src, timeout=20) as resp:
+            data = json.loads(resp.read())
+    else:
+        with open(src, encoding="utf-8") as f:
+            data = json.load(f)
+    if not isinstance(data.get("extensions"), list):
+        raise ValueError("index has no 'extensions' list")
+    _available_index = {"tags": dict(data.get("tags") or {}),
+                        "extensions": data["extensions"]}
+    return _available_index
+
+
+def _normalize_git_url(url):
+    if not url:
+        return None
+    return url.removesuffix(".git")
+
+
+def browse_available(selected_tags=(), filter_text: str = "",
+                     sort_column: int = 0, hide_installed: bool = True,
+                     hide_tags=("ads", "localization", "installed"),
+                     dirs=("extensions", "extensions-builtin")) -> dict:
+    """Filter/sort the cached index the way the reference's Available tab
+    does: tag whitelist (selected), tag blacklist (hide), substring search
+    over name+description, installed detection by dir name or git remote.
+
+    Returns {"tags": {...}, "extensions": [row...], "hidden": n} with each
+    row carrying an `installed` flag for the UI's Install button state."""
+    if _available_index is None:
+        raise ValueError("no index loaded — call load_available_index first")
+    installed = list_extensions(dirs)
+    installed_names = {e.name for e in installed}
+    installed_urls = {_normalize_git_url(getattr(e, "remote", None))
+                      for e in installed} - {None}
+
+    selected = set(selected_tags or ())
+    hidden_tags = set(hide_tags or ()) - selected
+    needle = (filter_text or "").strip().lower()
+    rows, hidden = [], 0
+    for info in _available_index["extensions"]:
+        ext_tags = set(info.get("tags") or [])
+        name = info.get("name") or ""
+        is_installed = (name in installed_names
+                        or _normalize_git_url(info.get("url"))
+                        in installed_urls)
+        keep = True
+        if selected and not (ext_tags & selected):
+            keep = False
+        if ext_tags & hidden_tags:
+            keep = False
+        if is_installed and hide_installed and "installed" not in selected:
+            keep = False
+        if needle and needle not in (name + " "
+                                     + (info.get("description") or "")).lower():
+            keep = False
+        if not keep:
+            hidden += 1
+            continue
+        rows.append({**info, "installed": is_installed})
+
+    key, reverse = _SORT_KEYS[sort_column % len(_SORT_KEYS)]
+    if key is not None:
+        default = 0 if key == "stars" else "z"
+        rows.sort(key=lambda r: r.get(key) or default, reverse=reverse)
+    return {"tags": _available_index["tags"], "extensions": rows,
+            "hidden": hidden}

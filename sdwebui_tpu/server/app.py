@@ -154,6 +154,9 @@ class Engine:
                                              resolve_vae)
 
         model = load_model(path, title=title, sha256=sha256)
+        # hidden option mirroring the loaded hash (reference
+        # shared_options sd_checkpoint_hash, fed to infotext consumers)
+        opts.data["sd_checkpoint_hash"] = model.sha256 or sha256 or ""
         # keep the embedded VAE so a live sd_vae switch can restore it
         self._embedded_vae = (model.vae_params, model.vae_cfg)
         self._ckpt_path = path

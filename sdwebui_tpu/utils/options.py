@@ -466,6 +466,22 @@ def make_default_templates() -> dict:
         "api_enable_requests": OptionInfo(True, "Allow http:// and https:// URLs for input images", restrict_api=True),
         "api_forbid_local_requests": OptionInfo(True, "Forbid URLs to local resources", restrict_api=True),
     }))
+    # settings-in-UI (reference extensions-builtin/extra-options-section):
+    # the chosen option names render as inline generation-page controls whose
+    # values ride each request as override_settings (webui.html
+    # renderExtraOptions / extraOptionOverrides)
+    t.update(options_section(("settings_in_ui", "Settings in UI"), {
+        "extra_options_txt2img": OptionInfo(
+            [], "Settings for txt2img: options appearing in the txt2img "
+                "interface"),
+        "extra_options_img2img": OptionInfo(
+            [], "Settings for img2img: options appearing in the img2img "
+                "interface"),
+        "extra_options_cols": OptionInfo(
+            0, "Number of columns for added settings"),
+        "extra_options_accordion": OptionInfo(
+            False, "Place added settings into an accordion"),
+    }))
 
     # the rest of the reference's 282-option surface (names/defaults/labels
     # mirror modules/shared_options.py; see utils/options_reference.py)
@@ -473,7 +489,7 @@ def make_default_templates() -> dict:
 
     for section, entries in REFERENCE_OPTIONS:
         extra = {name: OptionInfo(default, label)
-                 for name, default, label in entries if name not in t}
+                 for name, default, label, _why in entries if name not in t}
         t.update(options_section(section, extra))
     return t
 

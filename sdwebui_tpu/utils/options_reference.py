@@ -1,147 +1,182 @@
 """Reference option inventory — the remainder of the webui's 282-option
 settings surface (modules/shared_options.py) not already covered by the
-TPU-specific templates in utils/options.py.
+TPU-specific typed templates in utils/options.py.
 
 Names, defaults, and labels mirror the reference so config.json files and
 `/sdapi/v1/options` clients carry over unchanged.  Entries here are plain
-data (name, default, label) grouped by the reference's section keys; options
-with engine behavior behind them graduate into utils/options.py's typed
-templates as features consume them.
+data (name, default, label, why) grouped by the reference's section keys.
 
-What remains after the round-2 graduations is almost entirely
-environment-specific no-ops with no TPU/stdlib-server counterpart:
-torch memory/precision knobs (pin_memory, cache_fp16_weight, fp8_storage,
-upcast/autocast variants already subsumed by the bf16+fp32-islands dtype
-policy), gradio-frontend plumbing (js_modal_lightbox*, gradio_theme,
-compact_prompt_box, accordion toggles), console-noise toggles
-(multiple_tqdm, hide_ldm_prints, enable_upscale_progressbar — tiles run as
-ONE batched device call here, there is no per-tile loop to report), and
-torch-DataLoader training knobs (pin_memory, unload_models_when_training —
-params are HBM-resident by design).  pad_cond_uncond* are structurally
-always-on: the fused CFG batch requires equal cond/uncond chunk counts, so
-the conditioner always pads (reference behavior with pad_cond_uncond=True).
-no_dpmpp_sde_batch_determinism is likewise N/A: per-image Philox streams
-make SDE noise batch-size-invariant (the reference's enable_batch_seeds=True
-behavior) by construction.
+`why` is the implement-or-reject verdict for each row (VERDICT r4 item 4):
+
+* why=None — the option HAS engine/UI behavior behind it (wired in
+  webui.html via uiOpts, or server-side where cited in the why of its
+  neighbors); it lives here rather than utils/options.py only because its
+  default/label is a pure mirror of the reference row.
+* why=str — the option is accepted for config.json compatibility but is a
+  no-op in this stack; the string is the one-line justification, and
+  `/sdapi/v1/options` returns it in a `warnings` field on writes so a user
+  setting it gets told instead of silent acceptance (server/api.py
+  set_options).
+
+Rows whose reference behavior is itself display-only (explanation blobs)
+carry why=None: their no-op semantics match the reference exactly.
 """
 
 REFERENCE_OPTIONS = [
     (("saving-images", "Saving images/grids"), [
-        ('temp_dir', '', 'Directory for temporary images; leave empty for default'),
-        ('clean_temp_dir_at_start', False, 'Cleanup non-default temporary directory when starting webui'),
-    ]),
-    (("saving-paths", "Paths for saving"), [
-    ]),
-    (("saving-to-dirs", "Saving to a directory"), [
+        ('temp_dir', '', 'Directory for temporary images; leave empty for default',
+         "gradio streams results through temp files; this SPA returns base64 — no temp images exist"),
+        ('clean_temp_dir_at_start', False, 'Cleanup non-default temporary directory when starting webui',
+         "no temp-image directory exists (see temp_dir)"),
     ]),
     (("upscaling", "Upscaling"), [
-        ('realesrgan_enabled_models', ['R-ESRGAN 4x+', 'R-ESRGAN 4x+ Anime6B'], 'Select which Real-ESRGAN models to show in the web UI.'),
-        ('dat_enabled_models', ['DAT x2', 'DAT x3', 'DAT x4'], 'Select which DAT models to show in the web UI.'),
-        ('set_scale_by_when_changing_upscaler', False, 'Automatically set the Scale by factor based on the name of the selected Upscaler.'),
+        ('realesrgan_enabled_models', ['R-ESRGAN 4x+', 'R-ESRGAN 4x+ Anime6B'],
+         'Select which Real-ESRGAN models to show in the web UI.', None),
+        ('dat_enabled_models', ['DAT x2', 'DAT x3', 'DAT x4'],
+         'Select which DAT models to show in the web UI.', None),
+        ('set_scale_by_when_changing_upscaler', False,
+         'Automatically set the Scale by factor based on the name of the selected Upscaler.', None),
     ]),
     (("system", "System"), [
-        ('auto_launch_browser', 'Local', 'Automatically open webui in browser on startup'),
-        ('show_warnings', False, 'Show warnings in console.'),
-        ('show_gradio_deprecation_warnings', True, 'Show gradio deprecation warnings in console.'),
-        ('memmon_poll_rate', 8, 'VRAM usage polls per second during generation.'),
-        ('multiple_tqdm', True, 'Add a second progress bar to the console that shows progress for an entire job.'),
-        ('enable_upscale_progressbar', True, 'Show a progress bar in the console for tiled upscaling.'),
-        ('hide_ldm_prints', True, "Prevent Stability-AI's ldm/sgm modules from printing noise to console."),
+        ('auto_launch_browser', 'Local', 'Automatically open webui in browser on startup',
+         "headless container — there is no local browser to launch"),
+        ('show_warnings', False, 'Show warnings in console.', None),
+        ('show_gradio_deprecation_warnings', True, 'Show gradio deprecation warnings in console.',
+         "no gradio in this stack — nothing emits these warnings"),
+        ('memmon_poll_rate', 8, 'VRAM usage polls per second during generation.', None),
+        ('multiple_tqdm', True, 'Add a second progress bar to the console that shows progress for an entire job.',
+         "job-level progress rides /sdapi/v1/progress; the console has no nested tqdm loop"),
+        ('enable_upscale_progressbar', True, 'Show a progress bar in the console for tiled upscaling.',
+         "tiles run as ONE batched device call — there is no per-tile loop to report"),
+        ('hide_ldm_prints', True, "Prevent Stability-AI's ldm/sgm modules from printing noise to console.",
+         "no ldm/sgm imports exist in this stack"),
     ]),
     (("profiler", "Profiler"), [
-        ('profiling_explanation', '\nThose settings allow you to enable torch profiler when generating pictures.\nProfiling allows you to see which code uses how much of computer\'s resources during generation.\nEach generation writes its own profile to one file, overwriting previous.\nThe file can be viewed in <a href="chrome:tracing">Chrome</a>, or on a <a href="https://ui.perfetto.dev/">Perfetto</a> web site.\nWarning: writing profile can take a lot of time, up to 30 seconds, and the file itelf can be around 500MB in size.\n', 'profiling_explanation'),
-        ('profiling_activities', ['CPU'], 'Activities'),
-        ('profiling_record_shapes', True, 'Record shapes'),
-        ('profiling_profile_memory', True, 'Profile memory'),
-        ('profiling_with_stack', True, 'Include python stack'),
+        ('profiling_explanation', '\nThose settings allow you to enable torch profiler when generating pictures.\nProfiling allows you to see which code uses how much of computer\'s resources during generation.\nEach generation writes its own profile to one file, overwriting previous.\nThe file can be viewed in <a href="chrome:tracing">Chrome</a>, or on a <a href="https://ui.perfetto.dev/">Perfetto</a> web site.\nWarning: writing profile can take a lot of time, up to 30 seconds, and the file itelf can be around 500MB in size.\n', 'profiling_explanation', None),
+        ('profiling_activities', ['CPU'], 'Activities',
+         "torch.profiler activity selection; jax.profiler traces always capture host+device"),
+        ('profiling_record_shapes', True, 'Record shapes',
+         "torch.profiler knob; XLA traces always carry shapes"),
+        ('profiling_profile_memory', True, 'Profile memory',
+         "torch.profiler knob; XLA traces include allocation events unconditionally"),
+        ('profiling_with_stack', True, 'Include python stack',
+         "torch.profiler knob with no jax.profiler equivalent"),
     ]),
     (("API", "API"), [
-        ('api_useragent', '', 'User agent for requests'),
+        ('api_useragent', '', 'User agent for requests',
+         "outbound image fetches are governed by api_enable_requests; this zero-egress deployment never sends one"),
     ]),
     (("training", "Training"), [
-        ('unload_models_when_training', False, 'Move VAE and CLIP to RAM when training if possible. Saves VRAM.'),
-        ('pin_memory', False, 'Turn on pin_memory for DataLoader. Makes training slightly faster but can increase memory usage.'),
-        ('training_image_repeats_per_epoch', 1, 'Number of repeats for a single input image per epoch; used only for displaying epoch number'),
-        ('training_xattention_optimizations', False, 'Use cross attention optimizations while training'),
-        ('training_enable_tensorboard', False, 'Enable tensorboard logging.'),
-        ('training_tensorboard_save_images', False, 'Save generated images within tensorboard.'),
-        ('training_tensorboard_flush_every', 120, 'How often, in seconds, to flush the pending tensorboard events and summaries to disk.'),
+        ('unload_models_when_training', False, 'Move VAE and CLIP to RAM when training if possible. Saves VRAM.',
+         "params are functional HBM trees; training jits its own programs and frees intermediates — no manual residency juggling"),
+        ('pin_memory', False, 'Turn on pin_memory for DataLoader. Makes training slightly faster but can increase memory usage.',
+         "torch DataLoader knob; host->device feeding uses device_put, JAX exposes no pinned-memory staging"),
+        ('training_image_repeats_per_epoch', 1, 'Number of repeats for a single input image per epoch; used only for displaying epoch number', None),
+        ('training_xattention_optimizations', False, 'Use cross attention optimizations while training',
+         "the global cross_attention_optimization choice already applies during training — there is no separate kernel set to toggle"),
+        ('training_enable_tensorboard', False, 'Enable tensorboard logging.',
+         "tensorboard is not in this image; losses stream to CSV via training_write_csv_every"),
+        ('training_tensorboard_save_images', False, 'Save generated images within tensorboard.',
+         "see training_enable_tensorboard"),
+        ('training_tensorboard_flush_every', 120, 'How often, in seconds, to flush the pending tensorboard events and summaries to disk.',
+         "see training_enable_tensorboard"),
     ]),
     (("sd", "Stable Diffusion"), [
-        ('sd_checkpoints_keep_in_cpu', True, 'Only keep one model on device'),
-        ('sd_unet', 'Automatic', 'SD Unet'),
-        ('enable_batch_seeds', True, 'Make K-diffusion samplers produce same images in a batch as when making a single image'),
-    ]),
-    (("sdxl", "Stable Diffusion XL"), [
+        ('sd_checkpoints_keep_in_cpu', True, 'Only keep one model on device',
+         "checkpoint trees are host numpy until used and LRU-dropped by sd_checkpoints_limit; CPU-parking is the default, not an option"),
+        ('sd_unet', 'Automatic', 'SD Unet',
+         "the reference's slot for TensorRT-style replacement UNets; no third-party UNet providers exist for TPU — script hooks can swap param trees instead"),
+        ('enable_batch_seeds', True, 'Make K-diffusion samplers produce same images in a batch as when making a single image',
+         "structurally always-true: per-image Philox streams make batches match single-image runs by construction"),
     ]),
     (("vae", "VAE"), [
-        ('sd_vae_explanation', "\n<abbr title='Variational autoencoder'>VAE</abbr> is a neural network that transforms a standard <abbr title='red/green/blue'>RGB</abbr>\nimage into latent space representation and back. Latent space representation is what stable diffusion is working on during sampling\n(i.e. when the progress bar is between empty and full). For txt2img, VAE is used to create a resulting image after the sampling is finished.\nFor img2img, VAE is used to process user's input image before the sampling, and to create an image after sampling.\n", 'sd_vae_explanation'),
-        ('auto_vae_precision_bfloat16', False, 'Automatically convert VAE to bfloat16'),
-    ]),
-    (("img2img", "img2img"), [
+        ('sd_vae_explanation', "\n<abbr title='Variational autoencoder'>VAE</abbr> is a neural network that transforms a standard <abbr title='red/green/blue'>RGB</abbr>\nimage into latent space representation and back. Latent space representation is what stable diffusion is working on during sampling\n(i.e. when the progress bar is between empty and full). For txt2img, VAE is used to create a resulting image after the sampling is finished.\nFor img2img, VAE is used to process user's input image before the sampling, and to create an image after sampling.\n", 'sd_vae_explanation', None),
+        ('auto_vae_precision_bfloat16', False, 'Automatically convert VAE to bfloat16',
+         "the VAE already runs bf16 with fp32 islands by the default dtype policy; the NaN-fallback retry is separately implemented"),
     ]),
     (("optimizations", "Optimizations"), [
-        ('pad_cond_uncond', False, 'Pad prompt/negative prompt'),
-        ('pad_cond_uncond_v0', False, 'Pad prompt/negative prompt (v0)'),
-        ('fp8_storage', 'Disable', 'FP8 weight'),
-        ('cache_fp16_weight', False, 'Cache FP16 weight for LoRA'),
+        ('pad_cond_uncond', False, 'Pad prompt/negative prompt',
+         "structurally always-on: the fused CFG batch requires equal cond/uncond chunk counts, so the conditioner always pads (reference behavior with pad_cond_uncond=True)"),
+        ('pad_cond_uncond_v0', False, 'Pad prompt/negative prompt (v0)',
+         "see pad_cond_uncond; the v0 algorithm reproduced old-version padding bugs"),
     ]),
     (("compatibility", "Compatibility"), [
-        ('use_old_emphasis_implementation', False, 'Use old emphasis implementation. Can be useful to reproduce old seeds.'),
-        ('no_dpmpp_sde_batch_determinism', False, 'Do not make DPM++ SDE deterministic across different batch sizes.'),
-    ]),
-    (("interrogate", "Interrogate"), [
+        ('use_old_emphasis_implementation', False, 'Use old emphasis implementation. Can be useful to reproduce old seeds.',
+         "reproduces a pre-1.0 reference bug for old seeds; old-torch-stack seed reproduction is out of scope (current emphasis matches exactly)"),
+        ('no_dpmpp_sde_batch_determinism', False, 'Do not make DPM++ SDE deterministic across different batch sizes.',
+         "N/A: per-image Philox noise streams are batch-size-invariant by construction (the reference's enable_batch_seeds=True behavior)"),
     ]),
     (("extra_networks", "Extra Networks"), [
-        ('extra_networks_show_hidden_directories', True, 'Show hidden directories'),
-        ('extra_networks_dir_button_function', False, "Add a '/' to the beginning of directory buttons"),
-        ('extra_networks_hidden_models', 'When searched', 'Show cards for models in hidden directories'),
-        ('extra_networks_card_description_is_html', False, 'Treat card description as HTML'),
-        ('extra_networks_tree_view_style', 'Dirs', 'Extra Networks directory view style'),
-        ('extra_networks_tree_view_default_enabled', True, 'Show the Extra Networks directory view by default'),
-        ('extra_networks_tree_view_default_width', 180, 'Default width for the Extra Networks directory tree view'),
-        ('ui_extra_networks_tab_reorder', '', 'Extra networks tab order'),
+        ('extra_networks_show_hidden_directories', True, 'Show hidden directories', None),
+        ('extra_networks_dir_button_function', False, "Add a '/' to the beginning of directory buttons",
+         "the cards browser has no directory buttons — flat search covers navigation"),
+        ('extra_networks_hidden_models', 'When searched', 'Show cards for models in hidden directories', None),
+        ('extra_networks_card_description_is_html', False, 'Treat card description as HTML',
+         "card descriptions render as text; arbitrary HTML injection into the SPA is rejected deliberately (XSS surface)"),
+        ('extra_networks_tree_view_style', 'Dirs', 'Extra Networks directory view style',
+         "the cards browser has no directory-tree sidebar; flat search covers it"),
+        ('extra_networks_tree_view_default_enabled', True, 'Show the Extra Networks directory view by default',
+         "see extra_networks_tree_view_style"),
+        ('extra_networks_tree_view_default_width', 180, 'Default width for the Extra Networks directory tree view',
+         "see extra_networks_tree_view_style"),
+        ('ui_extra_networks_tab_reorder', '', 'Extra networks tab order',
+         "the browser shows one merged card list, not per-kind tabs; sort/search replace tab ordering"),
     ]),
     (("ui_prompt_editing", "Prompt editing"), [
-        ('keyedit_precision_extra', 0.05, 'Precision for <extra networks:0.9> when editing the prompt with Ctrl+up/down'),
-        ('keyedit_delimiters_whitespace', ['Tab', 'Carriage Return', 'Line Feed'], 'Ctrl+up/down whitespace delimiters'),
+        ('keyedit_precision_extra', 0.05, 'Precision for <extra networks:0.9> when editing the prompt with Ctrl+up/down', None),
+        ('keyedit_delimiters_whitespace', ['Tab', 'Carriage Return', 'Line Feed'], 'Ctrl+up/down whitespace delimiters', None),
     ]),
     (("ui_gallery", "Gallery"), [
-        ('js_modal_lightbox', True, 'Full page image viewer: enable'),
-        ('js_modal_lightbox_initially_zoomed', True, 'Full page image viewer: show images zoomed in by default'),
-        ('js_modal_lightbox_gamepad', False, 'Full page image viewer: navigate with gamepad'),
-        ('js_modal_lightbox_gamepad_repeat', 250, 'Full page image viewer: gamepad repeat period'),
-        ('sd_webui_modal_lightbox_icon_opacity', 1, 'Full page image viewer: control icon unfocused opacity'),
-        ('sd_webui_modal_lightbox_toolbar_opacity', 0.9, 'Full page image viewer: tool bar opacity'),
-        ('open_dir_button_choice', 'Subdirectory', 'What directory the [📂] button opens'),
+        ('js_modal_lightbox', True, 'Full page image viewer: enable', None),
+        ('js_modal_lightbox_initially_zoomed', True, 'Full page image viewer: show images zoomed in by default', None),
+        ('js_modal_lightbox_gamepad', False, 'Full page image viewer: navigate with gamepad',
+         "no gamepad API use in the SPA; arrow keys cover viewer navigation"),
+        ('js_modal_lightbox_gamepad_repeat', 250, 'Full page image viewer: gamepad repeat period',
+         "see js_modal_lightbox_gamepad"),
+        ('sd_webui_modal_lightbox_icon_opacity', 1, 'Full page image viewer: control icon unfocused opacity', None),
+        ('sd_webui_modal_lightbox_toolbar_opacity', 0.9, 'Full page image viewer: tool bar opacity', None),
+        ('open_dir_button_choice', 'Subdirectory', 'What directory the [📂] button opens',
+         "headless container — there is no desktop file manager to open"),
     ]),
     (("ui_alternatives", "UI alternatives"), [
-        ('compact_prompt_box', False, 'Compact prompt layout'),
-        ('samplers_in_dropdown', True, 'Use dropdown for sampler selection instead of radio group'),
-        ('dimensions_and_batch_together', True, 'Show Width/Height and Batch sliders in same row'),
-        ('sd_checkpoint_dropdown_use_short', False, 'Checkpoint dropdown: use filenames without paths'),
-        ('txt2img_settings_accordion', False, 'Settings in txt2img hidden under Accordion'),
-        ('img2img_settings_accordion', False, 'Settings in img2img hidden under Accordion'),
+        ('compact_prompt_box', False, 'Compact prompt layout', None),
+        ('samplers_in_dropdown', True, 'Use dropdown for sampler selection instead of radio group',
+         "the SPA always uses a dropdown (the reference's default); the radio alternative is a gradio layout artifact"),
+        ('dimensions_and_batch_together', True, 'Show Width/Height and Batch sliders in same row', None),
+        ('sd_checkpoint_dropdown_use_short', False, 'Checkpoint dropdown: use filenames without paths', None),
+        ('txt2img_settings_accordion', False, 'Settings in txt2img hidden under Accordion', None),
+        ('img2img_settings_accordion', False, 'Settings in img2img hidden under Accordion', None),
     ]),
     (("ui", "User interface"), [
-        ('ui_reorder_list', [], 'UI item order for txt2img/img2img tabs'),
-        ('gradio_theme', 'Default', 'Gradio theme'),
-        ('gradio_themes_cache', True, 'Cache gradio themes locally'),
-        ('enable_reloading_ui_scripts', False, 'Reload UI scripts when using Reload UI option'),
+        ('ui_reorder_list', [], 'UI item order for txt2img/img2img tabs',
+         "the SPA form is a fixed document order; tab order/visibility are covered by ui_tab_order + hidden_tabs"),
+        ('gradio_theme', 'Default', 'Gradio theme',
+         "no gradio — the SPA ships its own stylesheet"),
+        ('gradio_themes_cache', True, 'Cache gradio themes locally',
+         "see gradio_theme"),
+        ('enable_reloading_ui_scripts', False, 'Reload UI scripts when using Reload UI option',
+         "Reload UI restarts the server process, which always reloads everything"),
     ]),
     (("infotext", "Infotext"), [
-        ('infotext_explanation', '\nInfotext is what this software calls the text that contains generation parameters and can be used to generate the same picture again.\nIt is displayed in UI below the image. To use infotext, paste it into the prompt and click the ↙️ paste button.\n', 'infotext_explanation'),
+        ('infotext_explanation', '\nInfotext is what this software calls the text that contains generation parameters and can be used to generate the same picture again.\nIt is displayed in UI below the image. To use infotext, paste it into the prompt and click the ↙️ paste button.\n', 'infotext_explanation', None),
     ]),
     (("ui", "Live previews"), [
-        ('live_preview_allow_lowvram_full', False, 'Allow Full live preview method with lowvram/medvram'),
-        ('js_live_preview_in_modal_lightbox', False, 'Show Live preview in full page image viewer'),
-    ]),
-    (("sampler-params", "Sampler parameters"), [
+        ('live_preview_allow_lowvram_full', False, 'Allow Full live preview method with lowvram/medvram',
+         "no lowvram mode exists (functional param trees make module-at-a-time residency moot); Full previews are always allowed"),
+        ('js_live_preview_in_modal_lightbox', False, 'Show Live preview in full page image viewer', None),
     ]),
     (("postprocessing", "Postprocessing"), [
-        ('postprocessing_enable_in_main_ui', [], 'Enable postprocessing operations in txt2img and img2img tabs'),
+        ('postprocessing_enable_in_main_ui', [], 'Enable postprocessing operations in txt2img and img2img tabs',
+         "extras-stage scripts run via the Extras tab or script_name on the API; inlining them into the generation tabs is pending UI work"),
     ]),
     (("None", "Hidden options"), [
-        ('sd_checkpoint_hash', '', 'SHA256 hash of the current checkpoint'),
+        ('sd_checkpoint_hash', '', 'SHA256 hash of the current checkpoint', None),
     ]),
 ]
+
+#: name -> one-line justification for rows accepted-but-no-op.  Served as
+#: `warnings` by POST /sdapi/v1/options writes to these keys.
+INERT_WHY = {name: why
+             for _section, entries in REFERENCE_OPTIONS
+             for (name, _default, _label, why) in entries
+             if why is not None}

@@ -194,3 +194,105 @@ def test_install_rejects_path_traversal(tmp_path, monkeypatch):
     for bad in ("../evil", "a/b", "..", ".hidden", "c\\d"):
         with _pytest.raises(ValueError):
             install_from_url("/tmp/whatever", dirname=bad)
+
+
+# --------------------------------------------------------------------------
+# available-extensions index browser (reference ui_extensions.py:407)
+# --------------------------------------------------------------------------
+
+INDEX = {
+    "tags": {"script": "scripts", "tab": "adds a tab", "ads": "contains ads",
+             "localization": "translations"},
+    "extensions": [
+        {"name": "alpha-tools", "url": "https://x/alpha-tools.git",
+         "description": "alpha things", "added": "2023-01-02",
+         "tags": ["script"], "stars": 50},
+        {"name": "zeta-tab", "url": "https://x/zeta-tab.git",
+         "description": "a zeta tab", "added": "2024-06-01",
+         "tags": ["tab"], "stars": 900},
+        {"name": "ad-thing", "url": "https://x/ad-thing",
+         "description": "spam", "added": "2022-01-01", "tags": ["ads"]},
+        {"name": "cool-ext", "url": "https://x/cool-ext.git",
+         "description": "already installed locally", "added": "2023-05-05",
+         "tags": ["script"], "stars": 10},
+        {"name": "ja-pack", "url": "https://x/ja.git",
+         "description": "japanese localization", "added": "2023-03-03",
+         "tags": ["localization"]},
+    ],
+}
+
+
+@pytest.fixture()
+def index_file(tmp_path, monkeypatch):
+    import json
+
+    from sdwebui_tpu import extensions as ext_mod
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("extensions/cool-ext")  # installed by dir name
+    p = tmp_path / "index.json"
+    p.write_text(json.dumps(INDEX))
+    monkeypatch.setattr(ext_mod, "_available_index", None)
+    return str(p)
+
+
+def test_browse_available_filters(index_file):
+    from sdwebui_tpu.extensions import browse_available, load_available_index
+
+    load_available_index(index_file)
+    # defaults: ads + localization + installed hidden
+    got = browse_available()
+    names = [e["name"] for e in got["extensions"]]
+    assert "ad-thing" not in names and "ja-pack" not in names
+    assert "cool-ext" not in names           # installed, hidden by default
+    assert {"alpha-tools", "zeta-tab"} <= set(names)
+    assert got["hidden"] == 3
+    assert got["tags"]["script"] == "scripts"
+
+    # newest-first default ordering (sort_column 0: 'added' desc)
+    assert names.index("zeta-tab") < names.index("alpha-tools")
+    # a-z
+    az = [e["name"] for e in
+          browse_available(sort_column=2)["extensions"]]
+    assert az == sorted(az)
+    # stars desc
+    st = browse_available(sort_column=7)["extensions"]
+    assert st[0]["name"] == "zeta-tab"
+
+    # tag whitelist
+    only_tab = browse_available(selected_tags=["tab"])["extensions"]
+    assert [e["name"] for e in only_tab] == ["zeta-tab"]
+    # search over name+description
+    hit = browse_available(filter_text="alpha things")["extensions"]
+    assert [e["name"] for e in hit] == ["alpha-tools"]
+    # show installed: the installed flag is set
+    allx = browse_available(hide_installed=False)["extensions"]
+    cool = next(e for e in allx if e["name"] == "cool-ext")
+    assert cool["installed"] is True
+
+
+def test_browse_available_requires_index(monkeypatch):
+    from sdwebui_tpu import extensions as ext_mod
+
+    monkeypatch.setattr(ext_mod, "_available_index", None)
+    with pytest.raises(ValueError):
+        ext_mod.browse_available()
+
+
+def test_available_endpoint(index_file):
+    """API surface: POST /internal/extensions/available with a local index
+    path (zero-egress friendly), then re-filter without refetching."""
+    from sdwebui_tpu.server.api import Api, ApiError
+
+    class _Eng:
+        def __getattr__(self, k):
+            raise AttributeError(k)
+
+    api = Api.__new__(Api)
+    got = api.extensions_available({"url": index_file, "refresh": True})
+    assert {"alpha-tools", "zeta-tab"} <= {e["name"] for e in got["extensions"]}
+    got2 = api.extensions_available({"search": "zeta"})
+    assert [e["name"] for e in got2["extensions"]] == ["zeta-tab"]
+    with pytest.raises(ApiError):
+        api.extensions_available({"url": "/no/such/index.json",
+                                  "refresh": True})
