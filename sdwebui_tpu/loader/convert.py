@@ -210,6 +210,10 @@ def _structure_names(kind: str, cfg) -> set:
 # modules/sd_hijack.py:191 convert_sdxl_to_ssd: transformer blocks and the
 # middle attention/second res); tolerate a missing name only when its
 # entire prunable group is absent.
+# VALIDATION STATUS: this pruned-depth read is UNVALIDATED against a real
+# SSD-1B checkpoint (none available in the zero-egress image) — the group
+# regex is derived from the reference's conversion code only.  Treat
+# SSD-1B loads as best-effort until exercised against an official file.
 _PRUNABLE_GROUP = re.compile(
     r"((?:input|output)_blocks\.\d+\.1\.transformer_blocks\.\d+\.|"
     r"middle_block\.[12]\.)")
