@@ -132,3 +132,93 @@ def test_ddim_cfg_e2e_golden(setup):
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
     # guard against degenerate agreement (both zero / unchanged input)
     assert np.abs(want - x0).max() > 0.1
+
+
+# ---------------------------------------------------------------------------
+# DPM++ 2M Karras e2e — the sampler the reference's users live on
+# (modules/sd_samplers_kdiffusion.py:13 "DPM++ 2M"), composed through the
+# REAL tiny UNet: torch side = independent twin UNet + hand-written
+# k-diffusion update rule + CompVisDenoiser scalings (x/√(σ²+1), quantized
+# σ→t, denoised = x − σ·ε) + CFG; jax side = the production CondSchedule +
+# make_denoise_fn + scan solver.  Catches σ→t quantization, scaling and CFG
+# composition errors the synthetic-denoiser twin tests (test_reference_oracle
+# §18) cannot see.
+# ---------------------------------------------------------------------------
+
+def _karras_sigmas(n, sigma_min, sigma_max, rho=7.0):
+    """Karras et al. 2022 eq. 5 (k-diffusion get_sigmas_karras),
+    hand-written here for independence from sampling/schedulers.py."""
+    ramp = np.linspace(0, 1, n)
+    min_inv_rho = sigma_min ** (1 / rho)
+    max_inv_rho = sigma_max ** (1 / rho)
+    sig = (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
+    return np.concatenate([sig, [0.0]])
+
+
+def test_dpmpp_2m_karras_cfg_e2e_golden(setup):
+    import math
+
+    import torch
+
+    from torch_twin_unet import make_torch_unet
+
+    model, ctx_cond, ctx_uncond, x0, _timesteps = setup
+    disc = model.disc
+    # karras builds the schedule descending already
+    sigmas = _karras_sigmas(STEPS, float(disc.sigmas.min()),
+                            float(disc.sigmas.max()))
+
+    twin = make_torch_unet(model.unet_cfg, model.unet_params)
+    log_sig = np.log(np.asarray(disc.sigmas, np.float64))
+
+    def denoiser(x, sigma):
+        # CompVisDenoiser: t = nearest log-sigma row (quantize=True),
+        # c_in = 1/√(σ²+1), ε-pred → denoised = x − σ·ε; CFG in ε space
+        t = int(np.argmin(np.abs(math.log(sigma) - log_sig)))
+        xn = (x.numpy() / math.sqrt(sigma ** 2 + 1.0)).astype(np.float32)
+        with torch.no_grad():
+            e_c = twin(xn, t, ctx_cond)
+            e_u = twin(xn, t, ctx_uncond)
+        eps = e_u + CFG_SCALE * (e_c - e_u)
+        return x - sigma * torch.from_numpy(np.asarray(eps))
+
+    # hand-written k-diffusion sample_dpmpp_2m update (see oracle §18)
+    x_t = torch.from_numpy((x0 * float(sigmas[0])).astype(np.float32))
+    old_denoised = None
+    ref_states = []
+    for i in range(len(sigmas) - 1):
+        sig, sig_next = float(sigmas[i]), float(sigmas[i + 1])
+        denoised = denoiser(x_t, sig)
+        t, t_next = -math.log(sig), -math.log(max(sig_next, 1e-12))
+        h = t_next - t
+        if old_denoised is None or sig_next == 0:
+            denoised_d = denoised
+        else:
+            h_last = t - (-math.log(float(sigmas[i - 1])))
+            r = h_last / h
+            denoised_d = (1 + 1 / (2 * r)) * denoised \
+                - (1 / (2 * r)) * old_denoised
+        x_t = (sig_next / sig) * x_t - math.expm1(-h) * denoised_d
+        old_denoised = denoised
+        ref_states.append(x_t.numpy().copy())
+
+    # production path: CondSchedule + make_denoise_fn + the scan solver
+    sched = CondSchedule(
+        cond_bank=jnp.asarray(ctx_cond)[None],
+        cond_idx=jnp.zeros((1, STEPS), jnp.int32),
+        cond_weights=jnp.asarray([1.0], jnp.float32),
+        uncond_bank=jnp.asarray(ctx_uncond),
+        uncond_idx=jnp.zeros((STEPS,), jnp.int32),
+        cond_scale=CFG_SCALE,
+    )
+    model_fn = make_cfg_denoiser(make_denoise_fn(model), sched)
+    our_states = []
+    out = sample(model_fn, jnp.asarray(x0 * float(sigmas[0])),
+                 sigmas.astype(np.float32), solver="dpmpp_2m", mode="loop",
+                 callback=lambda i, xs: our_states.append(np.asarray(xs)))
+    for i, (a, b) in enumerate(zip(ref_states, our_states)):
+        np.testing.assert_allclose(b, a, atol=3e-3, rtol=3e-3,
+                                   err_msg=f"state {i}")
+    np.testing.assert_allclose(np.asarray(out), ref_states[-1],
+                               atol=3e-3, rtol=3e-3)
+    assert np.abs(ref_states[-1] - x0).max() > 0.1
