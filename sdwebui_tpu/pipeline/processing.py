@@ -156,7 +156,21 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
                                     xb.astype(compute_dtype), sigma * 1000.0,
                                     ctx, y).astype(jnp.float32)
             return xb - out * sig
-        t = _sigma_to_t_traced(sigma, log_sigmas, quantize_t)
+        if solver == "lcm":
+            # LCM consistency-model wrapper (reference modules/
+            # sd_samplers_lcm.py LCMCompVisDenoiser): sigma quantizes to the
+            # 50-entry distillation subtable (t = 19, 39, …, 999) and the
+            # raw eps prediction passes through the CM output transform in
+            # the lcm-return branch below
+            orig = 50
+            skip = log_sigmas.shape[0] // orig
+            sub = log_sigmas[skip - 1::skip]                       # (50,)
+            j = jnp.argmin(jnp.abs(
+                jnp.log(jnp.maximum(sigma, 1e-12))[:, None] - sub[None, :]),
+                axis=-1)
+            t = (j * skip + (skip - 1)).astype(jnp.float32)
+        else:
+            t = _sigma_to_t_traced(sigma, log_sigmas, quantize_t)
         c_in = (1.0 / jnp.sqrt(sigma ** 2 + 1.0))[:, None, None, None]
         x_in = (xb * c_in).astype(compute_dtype)
         ctrl = None
@@ -176,6 +190,13 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
                                control=ctrl).astype(jnp.float32)
         if prediction_type == "v":
             return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
+        if solver == "lcm":
+            # get_scaled_out (sd_samplers_lcm.py:52): boundary-condition
+            # scalings with sigma_data=0.5 over scaled_timestep = t·10
+            st = (t * 10.0)[:, None, None, None]
+            c_skip = 0.25 / (st ** 2 + 0.25)
+            c_out = st / jnp.sqrt(st ** 2 + 0.25)
+            return c_out * (xb - out * sig) + c_skip * xb
         return xb - out * sig
 
     soft = extra.pop("soft_inpainting", None)
@@ -225,7 +246,21 @@ def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
                                     xb.astype(compute_dtype), sigma * 1000.0,
                                     ctx, y).astype(jnp.float32)
             return xb - out * sig
-        t = _sigma_to_t_traced(sigma, log_sigmas, quantize_t)
+        if solver == "lcm":
+            # LCM consistency-model wrapper (reference modules/
+            # sd_samplers_lcm.py LCMCompVisDenoiser): sigma quantizes to the
+            # 50-entry distillation subtable (t = 19, 39, …, 999) and the
+            # raw eps prediction passes through the CM output transform in
+            # the lcm-return branch below
+            orig = 50
+            skip = log_sigmas.shape[0] // orig
+            sub = log_sigmas[skip - 1::skip]                       # (50,)
+            j = jnp.argmin(jnp.abs(
+                jnp.log(jnp.maximum(sigma, 1e-12))[:, None] - sub[None, :]),
+                axis=-1)
+            t = (j * skip + (skip - 1)).astype(jnp.float32)
+        else:
+            t = _sigma_to_t_traced(sigma, log_sigmas, quantize_t)
         c_in = (1.0 / jnp.sqrt(sigma ** 2 + 1.0))[:, None, None, None]
         x_in = (xb * c_in).astype(compute_dtype)
         ctrl = None
@@ -245,6 +280,13 @@ def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
                                control=ctrl).astype(jnp.float32)
         if prediction_type == "v":
             return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
+        if solver == "lcm":
+            # get_scaled_out (sd_samplers_lcm.py:52): boundary-condition
+            # scalings with sigma_data=0.5 over scaled_timestep = t·10
+            st = (t * 10.0)[:, None, None, None]
+            c_skip = 0.25 / (st ** 2 + 0.25)
+            c_out = st / jnp.sqrt(st ** 2 + 0.25)
+            return c_out * (xb - out * sig) + c_skip * xb
         return xb - out * sig
 
     soft = extra.pop("soft_inpainting", None)
@@ -1110,6 +1152,13 @@ def _invert_noise_fused(unet_params, log_sigmas, init_latent, sigmas,
                                y=y).astype(jnp.float32)
         if prediction_type == "v":
             return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
+        if solver == "lcm":
+            # get_scaled_out (sd_samplers_lcm.py:52): boundary-condition
+            # scalings with sigma_data=0.5 over scaled_timestep = t·10
+            st = (t * 10.0)[:, None, None, None]
+            c_skip = 0.25 / (st ** 2 + 0.25)
+            c_out = st / jnp.sqrt(st ** 2 + 0.25)
+            return c_out * (xb - out * sig) + c_skip * xb
         return xb - out * sig
 
     model_fn = make_cfg_denoiser(denoise, sched)

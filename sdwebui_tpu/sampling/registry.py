@@ -111,6 +111,22 @@ def build_sigmas(sampler: SamplerData, scheduler: str, steps: int, disc,
         if extra_params_out is not None:
             extra_params_out["Discard penultimate sigma"] = "True"
     key = ALIASES.get(scheduler, scheduler.lower() if scheduler else "automatic")
+    if sampler.solver == "lcm":
+        # LCM samples over the 50-entry distillation subtable (reference
+        # sd_samplers_lcm.py LCMCompVisDenoiser.get_sigmas): Automatic =
+        # t-uniform over the subtable; named schedules get the subtable's
+        # sigma range
+        from sdwebui_tpu.sampling.discretization import (lcm_schedule,
+                                                         lcm_subtable)
+
+        if key == "automatic":
+            sigmas = lcm_schedule(disc, steps + 1 if discard else steps)
+            if discard:
+                sigmas = np.concatenate([sigmas[:-2], sigmas[-1:]])
+            return sigmas
+        _t_full, sub_sigmas = lcm_subtable(disc)
+        kw.setdefault("sigma_min", float(sub_sigmas[0]))
+        kw.setdefault("sigma_max", float(sub_sigmas[-1]))
     if key == "karras" and opts.get("use_old_karras_scheduler_sigmas", False):
         kw.setdefault("sigma_min", 0.1)
         kw.setdefault("sigma_max", 10.0)

@@ -1537,3 +1537,117 @@ def test_kdiffusion_twin_trajectory(solver, twin, nps, extra):
                       noise=noise_arr, extra=dict(extra), mode="scan")
     np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out),
                                rtol=2e-5, atol=2e-5)
+
+
+# ===========================================================================
+# 19. LCM — the reference's OWN in-repo sampler module as oracle
+# (modules/sd_samplers_lcm.py: LCMCompVisDenoiser 50-entry distillation
+# subtable + consistency-model output transform + sample_lcm loop), driven
+# through the real tiny UNet twin and compared against the production
+# sample_latents path (solver="lcm" + the LCM branch in
+# pipeline/processing.py).  Round 4: this caught that LCM previously ran
+# with plain CompVis scalings — the CM c_skip/c_out transform and subtable
+# σ→t were missing entirely.
+# ===========================================================================
+
+def test_lcm_subtable_and_schedule_vs_reference():
+    import torch
+
+    lcm_ref = ro.load("modules.sd_samplers_lcm")
+    import modules.shared as _shared
+
+    _shared.sd_model.device = "cpu"
+
+    from sdwebui_tpu.sampling.discretization import (Discretization,
+                                                     lcm_schedule,
+                                                     lcm_subtable,
+                                                     make_alphas_cumprod)
+
+    disc = Discretization(make_alphas_cumprod())
+
+    class _Fake:
+        device = "cpu"
+        alphas_cumprod = torch.as_tensor(
+            np.asarray(disc.alphas_cumprod, np.float32))
+
+    den = lcm_ref.LCMCompVisDenoiser(_Fake())
+    _t_full, sub = lcm_subtable(disc)
+    np.testing.assert_allclose(sub, den.sigmas.numpy(), rtol=1e-5)
+    for n in (4, 8, 20):
+        ref_sig = den.get_sigmas(n).numpy()
+        ours = lcm_schedule(disc, n)
+        np.testing.assert_allclose(ours, ref_sig, rtol=1e-5, atol=1e-7,
+                                   err_msg=f"n={n}")
+
+
+def test_lcm_e2e_trajectory_vs_reference():
+    import torch
+
+    from torch_twin_unet import make_torch_unet
+
+    lcm_ref = ro.load("modules.sd_samplers_lcm")
+    import modules.shared as _shared
+
+    _shared.sd_model.device = "cpu"
+
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.pipeline.processing import sample_latents
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+    from sdwebui_tpu.sampling.cfg import CondSchedule
+    from sdwebui_tpu.sampling.discretization import lcm_schedule
+    from sdwebui_tpu.utils import devices as dv
+
+    old = dv.get_policy()
+    dv.set_policy(dv.DtypePolicy(jnp.float32, jnp.float32, jnp.float32,
+                                 jnp.float32))
+    try:
+        model = create_tiny_sd(seed=0)
+        twin = make_torch_unet(model.unet_cfg, model.unet_params)
+        rng = np.random.default_rng(23)
+        ctx = rng.standard_normal((1, 7, 64)).astype(np.float32)
+        x0 = rng.standard_normal((1, 16, 16, 4)).astype(np.float32)
+        steps = 6
+        noises = [rng.standard_normal((1, 16, 16, 4)).astype(np.float32)
+                  for _ in range(steps)]
+
+        class _Fake:
+            device = "cpu"
+            alphas_cumprod = torch.as_tensor(
+                np.asarray(model.disc.alphas_cumprod, np.float32))
+
+            def apply_model(self, x, t, **kw):
+                xn = x.numpy().transpose(0, 2, 3, 1)
+                eps = twin(xn, float(np.asarray(t).reshape(-1)[0]), ctx)
+                return torch.from_numpy(
+                    np.ascontiguousarray(eps.transpose(0, 3, 1, 2)))
+
+        den = lcm_ref.LCMCompVisDenoiser(_Fake())
+        sigmas = lcm_schedule(model.disc, steps)
+        it = iter(noises)
+        with torch.no_grad():
+            want = lcm_ref.sample_lcm(
+                lambda x, sigma, **kw: den(x, sigma),
+                torch.from_numpy(
+                    (x0.transpose(0, 3, 1, 2) * float(sigmas[0])).copy()),
+                torch.as_tensor(sigmas.astype(np.float32)),
+                noise_sampler=lambda s, sn: torch.from_numpy(
+                    next(it).transpose(0, 3, 1, 2).copy()),
+                disable=True).numpy().transpose(0, 2, 3, 1)
+
+        sched = CondSchedule(
+            cond_bank=jnp.asarray(ctx)[None],
+            cond_idx=jnp.zeros((1, steps), jnp.int32),
+            cond_weights=jnp.asarray([1.0], jnp.float32),
+            uncond_bank=jnp.asarray(ctx),
+            uncond_idx=jnp.zeros((steps,), jnp.int32),
+            cond_scale=1.0,
+        )
+        noise_arr = jnp.asarray(np.stack(noises)[:, None])
+        got = np.asarray(sample_latents(
+            model, sched, jnp.asarray(x0 * float(sigmas[0])),
+            sigmas.astype(np.float32), noise_arr, "lcm"))
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+        assert np.abs(want - x0).max() > 0.05
+    finally:
+        dv.set_policy(old)
