@@ -87,6 +87,12 @@ class GenerationParams:
     # sd-webui-controlnet extension's alwayson_scripts args)
     controlnet_units: List[Any] = dataclasses.field(default_factory=list)
 
+    # main-UI postprocessing accordion (opts.postprocessing_enable_in_main_ui,
+    # reference shared_options.py:413): Extras-style stage args + an
+    # "enable" op list, applied per image by scripts/builtin.py's
+    # always-on MainUIPostprocessing hook
+    postprocessing: dict = dataclasses.field(default_factory=dict)
+
     # populated during processing
     all_prompts: List[str] = dataclasses.field(default_factory=list)
     all_negative_prompts: List[str] = dataclasses.field(default_factory=list)

@@ -837,3 +837,33 @@ class CustomCode(Script):
                          infotexts=[display_data["info"] or ""] * len(imgs),
                          all_seeds=[p.seed], all_subseeds=[p.subseed],
                          all_prompts=[p.prompt], width=p.width, height=p.height)
+
+
+@register_script
+class MainUIPostprocessing(Script):
+    """Main-UI postprocessing accordion (reference
+    opts.postprocessing_enable_in_main_ui, modules/shared_options.py:413):
+    when a txt2img/img2img request carries a `postprocessing` dict, the
+    named Extras operations run over each generated image via the
+    postprocess_image hook — before grid assembly, matching the reference's
+    scripts_postproc ordering (modules/processing.py postprocess_image)."""
+
+    name = "postprocessing (main UI)"
+    alwayson = True
+
+    def postprocess_image(self, p, image, *args):
+        pp = dict(getattr(p, "postprocessing", None) or {})
+        if not pp:
+            return image
+        from sdwebui_tpu.postprocessing.stages import StageArgs, run_stages
+        from sdwebui_tpu.utils.options import opts
+
+        enabled = set(pp.pop("enable", None)
+                      or opts.get("postprocessing_enable_in_main_ui", [])
+                      or [])
+        if not enabled:
+            return image
+        out = run_stages(image, StageArgs.from_obj(pp), enabled=enabled)
+        names = ", ".join(sorted(enabled))
+        p.extra_generation_params.setdefault("Postprocessing", names)
+        return out

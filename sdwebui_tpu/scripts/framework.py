@@ -207,11 +207,21 @@ def validate_script_args(script: Script, args) -> None:
 
 def register_script(cls):
     _SCRIPT_REGISTRY[cls.name.lower()] = cls
+    if cls.alwayson:
+        # always-on scripts join the process-wide runner once at class
+        # registration (reference ScriptRunner.initialize_scripts,
+        # modules/scripts.py:624: alwayson scripts dispatch on every job)
+        if not any(type(s) is cls for s in _default_runner.alwayson_scripts):
+            _default_runner.add(cls())
     return cls
 
 
 def list_selectable_scripts():
-    return sorted(_SCRIPT_REGISTRY.keys())
+    return sorted(n for n, c in _SCRIPT_REGISTRY.items() if not c.alwayson)
+
+
+def list_alwayson_scripts():
+    return sorted(n for n, c in _SCRIPT_REGISTRY.items() if c.alwayson)
 
 
 def get_script(name: str) -> Script | None:

@@ -123,6 +123,11 @@ def _fields_from_request(req: schema.Txt2ImgRequest) -> dict:
 class Api:
     def __init__(self, engine: Engine):
         self.engine = engine
+        # registers built-in scripts, incl. always-on hooks that must be
+        # live for plain (no script_name) generations — e.g. the main-UI
+        # postprocessing accordion's postprocess_image stage
+        import sdwebui_tpu.scripts.builtin  # noqa: F401
+
         self.routes: dict[tuple[str, str], Callable] = {}
         r = self.add_route
         r("POST", "/sdapi/v1/txt2img", self.txt2img)
@@ -235,8 +240,13 @@ class Api:
             import sdwebui_tpu.scripts.builtin  # noqa: F401  (registers)
             from sdwebui_tpu.scripts.framework import get_script
 
-            if get_script(req.script_name) is None:
+            script = get_script(req.script_name)
+            if script is None:
                 raise ApiError(400, f"Script not found: {req.script_name!r}")
+            if script.alwayson:
+                raise ApiError(
+                    400, f"Script {req.script_name!r} is always-on and "
+                         "cannot be selected as script_name")
 
     def txt2img(self, body: dict):
         body = _apply_infotext(dict(body))
@@ -288,87 +298,17 @@ class Api:
         return self._last_result
 
     def extras_single(self, body: dict):
-        from PIL import Image
-
-        from sdwebui_tpu.postprocessing.upscalers import upscale
+        from sdwebui_tpu.postprocessing.stages import StageArgs, run_stages
 
         req = schema.ExtrasSingleImageRequest(**body)
         if not req.image:
             raise ApiError(404, "Image not found")
         img = decode_base64_to_image(req.image).convert("RGB")
         with self.engine.queue_lock:
-            if req.resize_mode == 1:
-                scale = max(req.upscaling_resize_w / img.width,
-                            req.upscaling_resize_h / img.height)
-            else:
-                scale = req.upscaling_resize
-            # stage order + filter (reference scripts_postprocessing.py:141
-            # scripts_in_preferred_order: opts.postprocessing_operation_order
-            # first, then default order; disable_in_extras filters out)
-            def _run_upscaler(name, im, sc):
-                # scale-by mode honors max_side_length: if either output
-                # side would exceed it, shrink the target so the larger
-                # side equals the limit (reference
-                # scripts/postprocessing_upscale.py:15,94-99)
-                if (req.resize_mode != 1 and req.max_side_length
-                        and max(im.size) * sc > req.max_side_length):
-                    w, h = im.width * sc, im.height * sc
-                    lim = req.max_side_length
-                    if h > w and h > lim:
-                        w, h = lim * w // h, lim
-                    elif w > lim:
-                        w, h = lim, lim * h // w
-                    im = upscale(name, im, max(w / im.width, h / im.height))
-                    return im.resize((int(w), int(h)))
-                return upscale(name, im, sc)
-
-            def _stage_upscale(im):
-                out = _run_upscaler(req.upscaler_1, im, scale)
-                # secondary upscaler blended over the first by visibility
-                # (reference scripts/postprocessing_upscale.py:155-160)
-                if (req.upscaler_2 not in (None, "", "None")
-                        and req.extras_upscaler_2_visibility > 0):
-                    second = _run_upscaler(req.upscaler_2, im, scale)
-                    if second.size != out.size:
-                        second = second.resize(out.size)
-                    out = Image.blend(out, second.convert(out.mode),
-                                      req.extras_upscaler_2_visibility)
-                if req.resize_mode == 1 and req.upscaling_crop:
-                    left = (out.width - req.upscaling_resize_w) // 2
-                    top = (out.height - req.upscaling_resize_h) // 2
-                    out = out.crop((left, top, left + req.upscaling_resize_w,
-                                    top + req.upscaling_resize_h))
-                return out
-
-            def _stage_gfpgan(im):
-                if req.gfpgan_visibility > 0:
-                    from sdwebui_tpu.postprocessing import faces as faces_mod
-
-                    im = faces_mod.restore_faces(
-                        im, "GFPGAN", visibility=req.gfpgan_visibility)
-                return im
-
-            def _stage_codeformer(im):
-                if req.codeformer_visibility > 0:
-                    from sdwebui_tpu.postprocessing import faces as faces_mod
-
-                    im = faces_mod.restore_faces(
-                        im, "CodeFormer", weight=req.codeformer_weight,
-                        visibility=req.codeformer_visibility)
-                return im
-
-            stages = {"Upscale": _stage_upscale, "GFPGAN": _stage_gfpgan,
-                      "CodeFormer": _stage_codeformer}
-            preferred = list(opts.get("postprocessing_operation_order",
-                                      []) or [])
-            disabled = set(opts.get("postprocessing_disable_in_extras",
-                                    []) or [])
-            order = [n for n in preferred if n in stages] + \
-                [n for n in stages if n not in preferred]
-            out = img
-            for name in order:
-                if name not in disabled:
-                    out = stages[name](out)
+            # stage chain shared with the main-UI postprocessing accordion
+            # (postprocessing/stages.py); extras-tab semantics: all stages
+            # minus opts.postprocessing_disable_in_extras
+            out = run_stages(img, StageArgs.from_obj(req))
         if body.get("save_output", False):
             # UI save path (reference modules/postprocessing.py:82-98):
             # keep the original basename when use_original_name_batch, add
@@ -998,10 +938,16 @@ class Api:
         from sdwebui_tpu.scripts.framework import (get_script,
                                                    list_selectable_scripts)
 
+        from sdwebui_tpu.scripts.framework import list_alwayson_scripts
+
         out = []
         for n in list_selectable_scripts():
             script = get_script(n)
             out.append({"name": n, "is_alwayson": False, "is_img2img": True,
+                        "args": list(getattr(script, "ui_params", []))})
+        for n in list_alwayson_scripts():
+            script = get_script(n)
+            out.append({"name": n, "is_alwayson": True, "is_img2img": True,
                         "args": list(getattr(script, "ui_params", []))})
         return out
 

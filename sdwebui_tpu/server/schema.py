@@ -66,6 +66,9 @@ class Txt2ImgRequest(BaseModel):
     save_images: bool = False
     alwayson_scripts: Dict[str, Any] = Field(default_factory=dict)
     infotext: Optional[str] = None
+    # main-UI postprocessing accordion (opts.postprocessing_enable_in_main_ui):
+    # Extras stage args + {"enable": [op, ...]}, applied per generated image
+    postprocessing: Dict[str, Any] = Field(default_factory=dict)
 
 
 class Img2ImgRequest(Txt2ImgRequest):

@@ -108,17 +108,13 @@ REFERENCE_OPTIONS = [
     ]),
     (("extra_networks", "Extra Networks"), [
         ('extra_networks_show_hidden_directories', True, 'Show hidden directories', None),
-        ('extra_networks_dir_button_function', False, "Add a '/' to the beginning of directory buttons",
-         "the cards browser has no directory buttons — flat search covers navigation"),
+        ('extra_networks_dir_button_function', False, "Add a '/' to the beginning of directory buttons", None),
         ('extra_networks_hidden_models', 'When searched', 'Show cards for models in hidden directories', None),
         ('extra_networks_card_description_is_html', False, 'Treat card description as HTML',
          "card descriptions render as text; arbitrary HTML injection into the SPA is rejected deliberately (XSS surface)"),
-        ('extra_networks_tree_view_style', 'Dirs', 'Extra Networks directory view style',
-         "the cards browser has no directory-tree sidebar; flat search covers it"),
-        ('extra_networks_tree_view_default_enabled', True, 'Show the Extra Networks directory view by default',
-         "see extra_networks_tree_view_style"),
-        ('extra_networks_tree_view_default_width', 180, 'Default width for the Extra Networks directory tree view',
-         "see extra_networks_tree_view_style"),
+        ('extra_networks_tree_view_style', 'Dirs', 'Extra Networks directory view style', None),
+        ('extra_networks_tree_view_default_enabled', True, 'Show the Extra Networks directory view by default', None),
+        ('extra_networks_tree_view_default_width', 180, 'Default width for the Extra Networks directory tree view', None),
         ('ui_extra_networks_tab_reorder', '', 'Extra networks tab order',
          "the browser shows one merged card list, not per-kind tabs; sort/search replace tab ordering"),
     ]),
@@ -129,10 +125,8 @@ REFERENCE_OPTIONS = [
     (("ui_gallery", "Gallery"), [
         ('js_modal_lightbox', True, 'Full page image viewer: enable', None),
         ('js_modal_lightbox_initially_zoomed', True, 'Full page image viewer: show images zoomed in by default', None),
-        ('js_modal_lightbox_gamepad', False, 'Full page image viewer: navigate with gamepad',
-         "no gamepad API use in the SPA; arrow keys cover viewer navigation"),
-        ('js_modal_lightbox_gamepad_repeat', 250, 'Full page image viewer: gamepad repeat period',
-         "see js_modal_lightbox_gamepad"),
+        ('js_modal_lightbox_gamepad', False, 'Full page image viewer: navigate with gamepad', None),
+        ('js_modal_lightbox_gamepad_repeat', 250, 'Full page image viewer: gamepad repeat period', None),
         ('sd_webui_modal_lightbox_icon_opacity', 1, 'Full page image viewer: control icon unfocused opacity', None),
         ('sd_webui_modal_lightbox_toolbar_opacity', 0.9, 'Full page image viewer: tool bar opacity', None),
         ('open_dir_button_choice', 'Subdirectory', 'What directory the [📂] button opens',
@@ -166,8 +160,7 @@ REFERENCE_OPTIONS = [
         ('js_live_preview_in_modal_lightbox', False, 'Show Live preview in full page image viewer', None),
     ]),
     (("postprocessing", "Postprocessing"), [
-        ('postprocessing_enable_in_main_ui', [], 'Enable postprocessing operations in txt2img and img2img tabs',
-         "extras-stage scripts run via the Extras tab or script_name on the API; inlining them into the generation tabs is pending UI work"),
+        ('postprocessing_enable_in_main_ui', [], 'Enable postprocessing operations in txt2img and img2img tabs', None),
     ]),
     (("None", "Hidden options"), [
         ('sd_checkpoint_hash', '', 'SHA256 hash of the current checkpoint', None),

@@ -678,3 +678,43 @@ def test_select_index_convention_still_accepted(server, url_txt2img):
                 script_args=[0, "", 0, "", 0, "", False])
     r = requests.post(url_txt2img, json=body)
     assert r.status_code == 200
+
+
+def test_txt2img_main_ui_postprocessing(server):
+    """Main-UI postprocessing accordion: a txt2img request carrying a
+    `postprocessing` dict runs the named Extras ops per generated image
+    (reference opts.postprocessing_enable_in_main_ui,
+    modules/shared_options.py:413)."""
+    body = dict(SIMPLE_TXT2IMG)
+    body["postprocessing"] = {"enable": ["Upscale"],
+                              "upscaler_1": "Lanczos",
+                              "upscaling_resize": 2.0}
+    r = requests.post(f"{server}/sdapi/v1/txt2img", json=body)
+    assert r.status_code == 200
+    data = r.json()
+    assert _decode(data["images"][0]).size == (128, 128)
+    import json as _json
+
+    info = _json.loads(data["info"])
+    assert "Postprocessing: Upscale" in info["infotexts"][0]
+
+    # no enable list and empty opts -> no-op
+    body["postprocessing"] = {"upscaler_1": "Lanczos",
+                              "upscaling_resize": 2.0}
+    r2 = requests.post(f"{server}/sdapi/v1/txt2img", json=body)
+    assert _decode(r2.json()["images"][0]).size == (64, 64)
+
+
+def test_alwayson_script_listing_and_rejection(server):
+    """Always-on scripts are absent from the selectable list, flagged in
+    script-info, and rejected as script_name (reference modules/scripts.py
+    alwayson split)."""
+    r = requests.get(f"{server}/sdapi/v1/scripts").json()
+    assert "postprocessing (main ui)" not in r["txt2img"]
+    info = requests.get(f"{server}/sdapi/v1/script-info").json()
+    entry = [e for e in info if e["name"] == "postprocessing (main ui)"]
+    assert entry and entry[0]["is_alwayson"] is True
+    body = dict(SIMPLE_TXT2IMG, script_name="postprocessing (main UI)")
+    r = requests.post(f"{server}/sdapi/v1/txt2img", json=body)
+    assert r.status_code == 400
+    assert "always-on" in r.json()["detail"]

@@ -346,3 +346,39 @@ def test_behavior_backed_ui_options_all_referenced(script):
                 assert name in script, (
                     f"{name} is marked behavior-backed but the SPA never "
                     f"reads it")
+
+
+def test_main_ui_postprocessing_wired(html, script):
+    """Main-UI postprocessing accordion (opts.postprocessing_enable_in_main_ui):
+    controls render per enabled op and checked ops ride the request as a
+    `postprocessing` dict the server's always-on hook applies."""
+    assert 'id="pp-main"' in html and 'id="pp-main-body"' in html
+    assert "postprocessing_enable_in_main_ui" in script
+    assert "mainPostprocessingPayload()" in script
+    assert re.search(r"body\.postprocessing = ppMain", script)
+    for ctl in ("pp-en-upscale", "pp-upscaler", "pp-scale",
+                "pp-en-gfpgan", "pp-gfpgan-vis",
+                "pp-en-codeformer", "pp-codeformer-vis", "pp-codeformer-w"):
+        assert ctl in script, ctl
+
+
+def test_extra_networks_dir_view_wired(html, script):
+    """Directory view (tree sidebar / dir-button row) filters cards by
+    subdirectory; all four reference options are consulted."""
+    assert 'id="extranet-dirs"' in html and 'id="extranet-tree"' in html
+    for opt in ("extra_networks_tree_view_style",
+                "extra_networks_tree_view_default_enabled",
+                "extra_networks_tree_view_default_width",
+                "extra_networks_dir_button_function"):
+        assert opt in script, opt
+    assert "enDirFilter" in script
+    assert "subdir" in script
+
+
+def test_gamepad_viewer_nav_wired(script):
+    """Gamepad paging in the image viewer (reference
+    javascript/imageviewerGamepad.js)."""
+    assert "js_modal_lightbox_gamepad" in script
+    assert "js_modal_lightbox_gamepad_repeat" in script
+    assert "gamepadconnected" in script and "gamepaddisconnected" in script
+    assert "navigator.getGamepads" in script
