@@ -60,6 +60,12 @@ def attention(q, k, v, num_heads: int | None = None, scale=None):
         b, sq, hd = q.shape
         skv = k.shape[1]
         d = hd // num_heads
+        # NOTE: a head-interleaved 4D kernel (flash_attention_4d) was built
+        # to kill these split/merge relayout copies (~9 ms per SDXL step),
+        # but Mosaic rejects per-head blocks — the last two block dims must
+        # be 8/128-divisible or equal to the array dims, and (…, 1, d)
+        # blocks over (B, S, H, D) violate that.  Measured r4; the 4D entry
+        # point remains for interpret-mode/API use only.
         split = lambda t, s: t.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3).reshape(b * num_heads, s, d)
         out = attention(split(q, sq), split(k, skv), split(v, skv), scale=scale)
         return out.reshape(b, num_heads, sq, d).transpose(0, 2, 1, 3).reshape(b, sq, hd)

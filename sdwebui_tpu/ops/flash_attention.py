@@ -39,8 +39,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-            *, scale: float, kv_len: int, block_kv: int, num_kv_blocks: int):
-    j = pl.program_id(2)
+            *, scale: float, kv_len: int, block_kv: int, num_kv_blocks: int,
+            kv_grid_axis: int = 2):
+    j = pl.program_id(kv_grid_axis)
 
     @pl.when(j == 0)
     def _init():
@@ -206,4 +207,120 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         interpret=interpret,
     )(qp, kp, vp)
 
+    return out[:, :sq]
+
+
+def _kernel_single_kv_4d(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len,
+                         block_kv):
+    _kernel_single_kv(q_ref.at[:, :, 0], k_ref.at[:, :, 0], v_ref.at[:, :, 0],
+                      o_ref.at[:, :, 0], scale=scale, kv_len=kv_len,
+                      block_kv=block_kv)
+
+
+def _kernel_4d(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+               scale, kv_len, block_kv, num_kv_blocks):
+    _kernel(q_ref.at[:, :, 0], k_ref.at[:, :, 0], v_ref.at[:, :, 0],
+            o_ref.at[:, :, 0], m_scr, l_scr, acc_scr, scale=scale,
+            kv_len=kv_len, block_kv=block_kv, num_kv_blocks=num_kv_blocks,
+            kv_grid_axis=3)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_q", "block_kv",
+                                    "interpret"))
+def flash_attention_4d(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                       scale: float | None = None,
+                       block_q: int = 1024, block_kv: int = 1024,
+                       interpret: bool = False) -> jax.Array:
+    """Softmax(q kᵀ · scale) v over HEAD-INTERLEAVED (B, S, H, D) tensors.
+
+    The (B, S, H·D) → (B·H, S, D) relayout the 3D entry point needs is a
+    real HBM copy of q/k/v/out per attention (~9 ms/step on the SDXL trace).
+    Here the head dim stays in place — the grid indexes (batch, head) and
+    each block DMA reads the (bq, d) rows strided across H, so no transpose
+    is ever materialized.  Same kernels, same math.
+
+    STATUS (r4): compiled TPU lowering is BLOCKED — Mosaic requires the
+    last two block dims to be 8/128-divisible or equal to the array dims,
+    and the per-head (1, bq, 1, d) blocks violate that.  Works in
+    interpret mode (parity-tested); revisit if Pallas lifts the
+    constraint.  ops/attention.attention keeps the 3D split/merge path.
+    """
+    b, sq, h, d = q.shape
+    _, skv, _, _ = k.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    dp = _round_up(d, 128)
+    bq = min(block_q, _round_up(sq, 16))
+    bk = min(block_kv, _round_up(skv, 16))
+    if _round_up(skv, 16) <= block_kv:
+        bq = min(_round_up(sq, 16), 4096)
+    itemsize = jnp.dtype(q.dtype).itemsize
+
+    def vmem_bytes(bq_, bk_):
+        return (2 * bq_ * dp * itemsize
+                + 2 * 2 * bk_ * dp * itemsize
+                + 2 * bq_ * dp * itemsize
+                + bq_ * dp * 4
+                + 2 * bq_ * 128 * 4
+                + bq_ * bk_ * 4)
+
+    while vmem_bytes(bq, bk) > 13 * 1024 * 1024 and (bq > 256 or bk > 256):
+        if bk >= bq and bk > 256:
+            bk //= 2
+        else:
+            bq //= 2
+    sq_p = _round_up(sq, bq)
+    skv_p = _round_up(skv, bk)
+    qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, skv_p - skv), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, skv_p - skv), (0, 0), (0, 0)))
+    nq = sq_p // bq
+    nk = skv_p // bk
+
+    cost = pl.CostEstimate(
+        flops=4 * b * h * sq_p * skv_p * dp,
+        bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+        transcendentals=b * h * sq_p * skv_p,
+    )
+    if nk == 1:
+        out = pl.pallas_call(
+            functools.partial(_kernel_single_kv_4d, scale=scale, kv_len=skv,
+                              block_kv=bk),
+            grid=(b, h, nq),
+            in_specs=[
+                pl.BlockSpec((1, bq, 1, d), lambda bb, hh, i: (bb, i, hh, 0)),
+                pl.BlockSpec((1, bk, 1, d), lambda bb, hh, i: (bb, 0, hh, 0)),
+                pl.BlockSpec((1, bk, 1, d), lambda bb, hh, i: (bb, 0, hh, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, 1, d),
+                                   lambda bb, hh, i: (bb, i, hh, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, sq_p, h, d), q.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qp, kp, vp)
+        return out[:, :sq]
+
+    kernel = functools.partial(
+        _kernel_4d, scale=scale, kv_len=skv, block_kv=bk, num_kv_blocks=nk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, 1, d), lambda bb, hh, i, j: (bb, i, hh, 0)),
+            pl.BlockSpec((1, bk, 1, d), lambda bb, hh, i, j: (bb, j, hh, 0)),
+            pl.BlockSpec((1, bk, 1, d), lambda bb, hh, i, j: (bb, j, hh, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 1, d),
+                               lambda bb, hh, i, j: (bb, i, hh, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sq_p, h, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(qp, kp, vp)
     return out[:, :sq]

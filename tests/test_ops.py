@@ -150,3 +150,57 @@ def test_async_save_flush(tmp_path):
         im = Image.open(p)
         assert im.size == (32, 32)
         assert images_util.read_info_from_image(im) == "x"
+
+
+@pytest.mark.parametrize("b,sq,skv,h,d", [
+    (2, 64, 64, 4, 40),    # self-attention, multi-kv grid
+    (2, 64, 77, 4, 40),    # cross-attention (single-kv fast path) + kv pad
+    (1, 100, 100, 2, 64),  # ragged rows
+])
+def test_flash_4d_matches_3d(b, sq, skv, h, d):
+    """Head-interleaved (B, S, H, D) kernel == split-transpose + 3D kernel
+    (the 4D path exists to kill the head relayout copies — ~8 ms/step on
+    the SDXL trace)."""
+    from sdwebui_tpu.ops.flash_attention import flash_attention_4d
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((b, sq, h, d), dtype=np.float32)
+    k = rng.standard_normal((b, skv, h, d), dtype=np.float32)
+    v = rng.standard_normal((b, skv, h, d), dtype=np.float32)
+
+    def to3(t):
+        return t.transpose(0, 2, 1, 3).reshape(b * h, t.shape[1], d)
+
+    ref = flash_attention(jnp.asarray(to3(q)), jnp.asarray(to3(k)),
+                          jnp.asarray(to3(v)), block_q=64, block_kv=64,
+                          interpret=True)
+    out = flash_attention_4d(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                             block_q=64, block_kv=64, interpret=True)
+    np.testing.assert_allclose(to3(np.asarray(out)), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 64, 1280), (2, 33, 320), (3, 77, 768),
+                                   (2, 5, 640)])
+def test_layer_norm_pallas_matches_xla(shape):
+    """Fused one-pass Pallas LayerNorm == the jnp fallback path (which is
+    itself oracle-tested against torch in the model twins)."""
+    from sdwebui_tpu.ops.norms import _layer_norm_xla
+    from sdwebui_tpu.ops.pallas_norms import layer_norm_pallas
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal(shape) * 3 + 1, jnp.float32)
+    w = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+    bb = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+    ref = _layer_norm_xla(x, w, bb)
+    out = layer_norm_pallas(x, w, bb, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # no weight/bias + bf16 IO
+    xb = x.astype(jnp.bfloat16)
+    out2 = layer_norm_pallas(xb, None, None, interpret=True)
+    ref2 = _layer_norm_xla(xb, None, None)
+    assert out2.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out2, dtype=np.float32),
+                               np.asarray(ref2, dtype=np.float32),
+                               rtol=0.05, atol=0.05)
