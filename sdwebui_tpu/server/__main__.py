@@ -53,13 +53,21 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    from sdwebui_tpu.utils import timer as timer_mod
+
+    st = timer_mod.startup_timer
+    st.reset()
+    st.record("parse args")
+
     from sdwebui_tpu.server.api import ApiServer
     from sdwebui_tpu.server.app import Engine
     from sdwebui_tpu.server.cmd_flags import set_cmd_opts
     from sdwebui_tpu.utils.options import opts
 
+    st.record("import server")
     set_cmd_opts(args)
     opts.load(args.config_path)
+    st.record("load options")
 
     restore_state = opts.get("restore_config_state_file", "")
     if restore_state:
@@ -94,9 +102,12 @@ def main(argv=None):
 
     engine = Engine(model_dirs=[args.ckpt_dir], ckpt=args.ckpt,
                     outdir=args.outdir, test_model=args.test_server)
+    st.record("create engine")
     server = ApiServer(engine, host=args.host, port=args.port,
                        credentials=credentials)
     server.start()
+    st.record("start server")
+    timer_mod.startup_record = st.dump()
     print(f"sdwebui_tpu API listening on http://{server.host}:{server.port}",
           flush=True)
 

@@ -205,6 +205,7 @@ class Api:
         r("POST", "/internal/save-images", self.save_images_action)
         r("POST", "/internal/img2img-batch", self.img2img_batch)
         r("GET", "/internal/options-metadata", self.options_metadata)
+        r("GET", "/internal/profile-startup", self.profile_startup)
         r("GET", "/internal/last-result", self.last_result)
         # most recent finished generation, served so a reloaded SPA can
         # repopulate its gallery (reference keeps this in the progress
@@ -1096,6 +1097,15 @@ class Api:
                     with open(path, encoding="utf-8") as f:
                         return json.load(f)
         return {}
+
+    def profile_startup(self, body=None):
+        """Boot-stage timings for the footer "Startup profile" popup
+        (reference modules/ui.py:1221 serves timer.startup_record; keys use
+        `/` for subcategories, matching profilerVisualization.js)."""
+        from sdwebui_tpu.utils import timer as timer_mod
+
+        return (timer_mod.startup_record
+                or timer_mod.startup_timer.dump())
 
     def sysinfo(self, body=None):
         """Environment report (reference modules/sysinfo.py get_dict):

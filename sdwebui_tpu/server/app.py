@@ -24,9 +24,12 @@ from sdwebui_tpu.utils.options import opts
 class Engine:
     def __init__(self, model_dirs=None, ckpt: str | None = None,
                  outdir: str = "outputs", test_model: bool = False):
+        from sdwebui_tpu.utils.timer import startup_timer as _st
+
         self.model_dirs = model_dirs or ["models/Stable-diffusion"]
         self.registry = CheckpointRegistry(self.model_dirs,
                                            cache_path="cache.json")
+        _st.record("create engine/list SD models")
         self.queue_lock = threading.Lock()
         self.outdir = outdir
         self.state = state
@@ -51,6 +54,7 @@ class Engine:
         register_ldsr_dir()    # models/LDSR
         register_hat_dir()     # models/HAT
         register_dat_dir()     # models/DAT
+        _st.record("create engine/list upscalers")
 
         # third-party extensions: scripts execute only with --allow-code /
         # enable_extension_scripts consent (sdwebui_tpu/extensions.py);
@@ -59,6 +63,7 @@ class Engine:
         from sdwebui_tpu.extensions import load_extension_scripts
 
         self.extension_scripts = load_extension_scripts()
+        _st.record("create engine/load extensions")
 
     def apply_styles(self, p: GenerationParams):
         if p.styles:

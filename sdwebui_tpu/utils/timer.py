@@ -54,8 +54,18 @@ class Timer:
             res += " (" + ", ".join(f"{c}: {t:.1f}s" for c, t in additions) + ")"
         return res
 
+    def dump(self) -> dict:
+        """{total, records} — the GET /internal/profile-startup payload
+        (reference modules/timer.py:78 Timer.dump)."""
+        return {"total": self.total, "records": dict(self.records)}
+
     def reset(self):
         self.__init__(self.print_log)
 
 
 startup_timer = Timer()
+
+#: set once at the end of server boot; served by /internal/profile-startup
+#: and rendered by the footer "Startup profile" popup (reference
+#: modules/ui.py:1221 + javascript/profilerVisualization.js showProfile).
+startup_record: dict | None = None

@@ -603,6 +603,21 @@ def test_sysinfo_report(server):
     assert isinstance(d["config"], dict) and "samples_save" in d["config"]
 
 
+def test_profile_startup(server):
+    """Boot-stage timings (reference modules/ui.py:1221 profile-startup +
+    modules/timer.py Timer.dump -> {total, records})."""
+    from sdwebui_tpu.utils.timer import startup_timer
+
+    r = requests.get(f"{server}/internal/profile-startup")
+    assert r.status_code == 200
+    d = r.json()
+    assert set(d) == {"total", "records"}
+    assert isinstance(d["records"], dict)
+    # the test fixture builds Engine directly (not via __main__), so the
+    # record falls back to startup_timer.dump(); Engine subrecords exist
+    assert "create engine/list SD models" in startup_timer.records
+
+
 def test_sysinfo_download(server):
     """Attachment variant (reference modules/ui_settings.py sysinfo tab's
     ./internal/sysinfo-download link)."""

@@ -382,3 +382,15 @@ def test_gamepad_viewer_nav_wired(script):
     assert "js_modal_lightbox_gamepad_repeat" in script
     assert "gamepadconnected" in script and "gamepaddisconnected" in script
     assert "navigator.getGamepads" in script
+
+
+def test_startup_profile_popup_wired(html, script):
+    """Footer "Startup profile" popup (reference html/footer.html link +
+    javascript/profilerVisualization.js showProfile): button fetches
+    /internal/profile-startup and renders records sorted by seconds with a
+    0.05s cutoff and /-indented subcategories."""
+    assert 'id="startup-profile"' in html
+    assert 'id="startup-profile-popup"' in html
+    assert "/internal/profile-startup" in script
+    assert "renderStartupProfile" in script
+    assert "cutoff" in script
