@@ -15,17 +15,36 @@ import math
 import jax
 import jax.numpy as jnp
 
-from sdwebui_tpu.ops.flash_attention import flash_attention
+from sdwebui_tpu.ops.flash_attention import (flash_attention,
+                                             flash_attention_packed,
+                                             packed_heads_per_block)
 from sdwebui_tpu.utils import devices
 
-_FORCED: str | None = None  # None = auto, else "flash" | "xla"
+_FORCED: str | None = None  # None = auto, else "flash" | "flash-packed" | "xla"
+
+#: auto policy for the lane-packed kernel (no head split/merge relayout):
+#: flipped by measurement — see tools/bench_attn_layout.py.  Packing ≤2
+#: heads per block (d ≥ 64) keeps full-width MXU operands; wider packs
+#: (d=40 → 16 heads/block) shrink each matmul and need measuring first.
+_PACKED_AUTO_MAX_HEADS_PER_BLOCK = 2
 
 
 def set_attention_impl(name: str | None) -> None:
-    if name not in (None, "auto", "flash", "xla"):
+    if name not in (None, "auto", "flash", "flash-packed", "xla"):
         raise ValueError(f"unknown attention impl {name!r}")
     global _FORCED
     _FORCED = None if name in (None, "auto") else name
+
+
+def _use_packed(d: int, num_heads: int) -> bool:
+    hp = packed_heads_per_block(d, num_heads)
+    if hp is None or not devices.supports_pallas():
+        return False
+    if _FORCED == "flash-packed":
+        return True
+    if _FORCED in ("flash", "xla"):
+        return False
+    return hp <= _PACKED_AUTO_MAX_HEADS_PER_BLOCK
 
 
 def _use_flash(skv: int) -> bool:
@@ -60,12 +79,16 @@ def attention(q, k, v, num_heads: int | None = None, scale=None):
         b, sq, hd = q.shape
         skv = k.shape[1]
         d = hd // num_heads
-        # NOTE: a head-interleaved 4D kernel (flash_attention_4d) was built
-        # to kill these split/merge relayout copies (~9 ms per SDXL step),
-        # but Mosaic rejects per-head blocks — the last two block dims must
-        # be 8/128-divisible or equal to the array dims, and (…, 1, d)
-        # blocks over (B, S, H, D) violate that.  Measured r4; the 4D entry
-        # point remains for interpret-mode/API use only.
+        # Lane-packed path: consume (B, S, H·D) as produced by the QKV
+        # projections — the head split/merge relayouts below are real HBM
+        # copies (~9 ms per SDXL step).  A head-interleaved 4D kernel
+        # (flash_attention_4d) could not lower (Mosaic rejects per-head
+        # (…, 1, d) blocks); packing heads to 128-lane multiples satisfies
+        # the block rule instead.
+        if _use_packed(d, num_heads) and \
+                (_use_flash(skv) or _FORCED == "flash-packed"):
+            return flash_attention_packed(q, k, v, num_heads=num_heads,
+                                          scale=scale)
         split = lambda t, s: t.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3).reshape(b * num_heads, s, d)
         out = attention(split(q, sq), split(k, skv), split(v, skv), scale=scale)
         return out.reshape(b, num_heads, sq, d).transpose(0, 2, 1, 3).reshape(b, sq, hd)

@@ -180,6 +180,49 @@ def test_flash_4d_matches_3d(b, sq, skv, h, d):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("b,sq,skv,h,d", [
+    (2, 64, 64, 4, 64),    # SDXL head dim: 2 heads per 128-lane block
+    (2, 64, 77, 4, 64),    # cross-attention (single-kv fast path) + kv pad
+    (1, 100, 100, 2, 64),  # ragged rows
+    (1, 64, 64, 2, 128),   # hp=1 (block width = head dim)
+    (2, 64, 64, 8, 40),    # SD1.5 head dim: 16 heads... -> hp=16>8? no: 8×40=320, hp must make 40hp%128==0 -> hp=16 > heads -> unpackable, covered below
+])
+def test_flash_packed_matches_3d(b, sq, skv, h, d):
+    """Lane-packed (B, S, H·D) kernel == split-transpose + 3D kernel (the
+    packed path exists to kill the head relayout copies the Mosaic-blocked
+    4D layout couldn't)."""
+    from sdwebui_tpu.ops.flash_attention import (flash_attention_packed,
+                                                 packed_heads_per_block)
+
+    if packed_heads_per_block(d, h) is None:
+        with pytest.raises(ValueError):
+            flash_attention_packed(jnp.zeros((b, sq, h * d)),
+                                   jnp.zeros((b, skv, h * d)),
+                                   jnp.zeros((b, skv, h * d)),
+                                   num_heads=h, interpret=True)
+        return
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((b, sq, h * d), dtype=np.float32)
+    k = rng.standard_normal((b, skv, h * d), dtype=np.float32)
+    v = rng.standard_normal((b, skv, h * d), dtype=np.float32)
+
+    def to3(t):
+        s = t.shape[1]
+        return (t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+                .reshape(b * h, s, d))
+
+    ref = flash_attention(jnp.asarray(to3(q)), jnp.asarray(to3(k)),
+                          jnp.asarray(to3(v)), block_q=64, block_kv=64,
+                          interpret=True)
+    out = flash_attention_packed(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v), num_heads=h,
+                                 block_q=64, block_kv=64, interpret=True)
+    got = np.asarray(out).reshape(b, sq, h, d).transpose(0, 2, 1, 3) \
+        .reshape(b * h, sq, d)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("shape", [(2, 64, 1280), (2, 33, 320), (3, 77, 768),
                                    (2, 5, 640)])
 def test_layer_norm_pallas_matches_xla(shape):

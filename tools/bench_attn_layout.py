@@ -5,6 +5,7 @@ end-to-end from/to the (B, S, H*D) layout the transformer blocks carry.
     python tools/bench_attn_layout.py
 """
 
+import os
 import sys
 import time
 
@@ -13,7 +14,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from sdwebui_tpu.ops.flash_attention import (flash_attention,
-                                             flash_attention_4d)
+                                             flash_attention_4d,
+                                             flash_attention_packed,
+                                             packed_heads_per_block)
 
 
 def bench(label, fn, *args, iters=30):
@@ -80,18 +83,30 @@ def main():
             o = jnp.einsum("bhqk,bkhd->bqhd", p, vs)
             return o.reshape(b, sq, h * d)
 
+        def via_packed(q, k, v):
+            return flash_attention_packed(q, k, v, num_heads=h)
+
         t3 = bench(label + " [3d+transpose]", via3, x_q, x_k, x_v)
-        t4 = bench(label + " [4d]", via4, x_q, x_k, x_v)
-        print(f"  -> 4d is {t3 / t4:.2f}x", flush=True)
+        if packed_heads_per_block(d, h) is not None:
+            tp = bench(label + " [packed]", via_packed, x_q, x_k, x_v)
+            print(f"  -> packed is {t3 / tp:.2f}x", flush=True)
+            a = jax.jit(via3)(x_q, x_k, x_v)
+            c = jax.jit(via_packed)(x_q, x_k, x_v)
+            err = float(jnp.abs(a.astype(jnp.float32)
+                                - c.astype(jnp.float32)).max())
+            print(f"  packed max |diff| {err:.2e}", flush=True)
+        if os.environ.get("BENCH_4D"):
+            t4 = bench(label + " [4d]", via4, x_q, x_k, x_v)
+            print(f"  -> 4d is {t3 / t4:.2f}x", flush=True)
         if skv < sq:  # cross-attention: XLA is the current production path
             bench(label + " [xla 3d+transpose]", via_xla3, x_q, x_k, x_v)
             bench(label + " [xla 4d einsum]", via_xla4, x_q, x_k, x_v)
-        # numerics parity on device
-        a = jax.jit(via3)(x_q, x_k, x_v)
-        c = jax.jit(via4)(x_q, x_k, x_v)
-        err = float(jnp.abs(a.astype(jnp.float32)
-                            - c.astype(jnp.float32)).max())
-        print(f"  max |diff| {err:.2e}", flush=True)
+        if os.environ.get("BENCH_4D"):
+            a = jax.jit(via3)(x_q, x_k, x_v)
+            c = jax.jit(via4)(x_q, x_k, x_v)
+            err = float(jnp.abs(a.astype(jnp.float32)
+                                - c.astype(jnp.float32)).max())
+            print(f"  4d max |diff| {err:.2e}", flush=True)
 
 
 if __name__ == "__main__":
