@@ -345,7 +345,7 @@ def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array, *,
                 + 2 * bq_ * width * itemsize    # out
                 + hp * bq_ * d * 4              # fp32 accumulators
                 + 2 * hp * bq_ * 128 * 4        # m, l scratch
-                + bq_ * bk_ * 4)                # score block
+                + hp * bq_ * bk_ * 4)           # per-head live score blocks
 
     while vmem_bytes(bq, bk) > 13 * 1024 * 1024 and (bq > 256 or bk > 256):
         if bk >= bq and bk > 256:

@@ -64,6 +64,12 @@ def main():
     from sdwebui_tpu.models import unet as unet_model
     from sdwebui_tpu.models.configs import (SD15_UNET, SDXL_REFINER_UNET,
                                             SDXL_UNET)
+    impl = os.environ.get("SDTPU_ATTN_IMPL")
+    if impl:
+        import importlib
+        attn_mod = importlib.import_module("sdwebui_tpu.ops.attention")
+        attn_mod.set_attention_impl(impl)
+        print(f"attention impl forced: {impl}", flush=True)
 
     cfg = {"sdxl": SDXL_UNET, "refiner": SDXL_REFINER_UNET,
            "sd15": SD15_UNET}[which]
