@@ -36,11 +36,24 @@ valid record: a driver timeout mid-run still captures the primary metric
 empty — rc 124, parsed null — never again).  A SIGTERM/SIGINT (what
 `timeout` sends first) also dumps the current record before exiting.
 
+Leg order (round 5): the OFFICIAL metric is two numbers — sd15_b4
+images/sec/chip AND sdxl_1024_p50_s — so those two legs run FIRST and
+SECOND.  Rounds 3 and 4 both lost the SDXL number to the driver's ~1830 s
+wall kill because SDXL ran last behind 7 secondary legs; never again.  The
+secondary legs run after, each gated on the remaining budget.
+
 Env knobs:
   BENCH_CONFIGS=sd15_b4,sdxl,...   subset selection (default: all)
-  BENCH_BUDGET_S=2700              global wall budget; legs that don't fit
-                                   the remaining budget are skipped-with-note
+  BENCH_QUICK=1                    official-record mode: only the two
+                                   official legs (primary + SDXL), <15 min
+  BENCH_BUDGET_S=1650              global wall budget (driver kills at
+                                   ~1830 s wall — measured r3+r4); legs that
+                                   don't fit the remainder are skipped
   BENCH_LEG_TIMEOUT=900            per-leg SIGALRM timebox (skip, not die)
+
+Timed windows are host-quiet: all runners set do_not_save_samples (no
+background PNG encodes contending for host CPU while the device loop is
+being timed; the reference's it/s convention likewise excludes image save).
 """
 
 import json
@@ -140,9 +153,11 @@ def pipeline_flops(model, batch, height, width, steps,
 # configs
 # --------------------------------------------------------------------------
 
-def time_runs(run, n, warm_seed=1):
+def time_runs(run, n, warm_seed=1, warm_runs=1):
     """Compile with warm_seed (retry once: the axon tunnel occasionally
-    returns a transient 500), then median wall time of n seeded runs."""
+    returns a transient 500), take warm_runs additional warm passes (steady-
+    state caches: donated buffers, cond cache, host pools), then median wall
+    time of n seeded runs."""
     for attempt in range(2):
         try:
             run(warm_seed)
@@ -152,6 +167,8 @@ def time_runs(run, n, warm_seed=1):
                 raise
             log("warmup failed; retrying in 30s")
             time.sleep(30)
+    for w in range(warm_runs):
+        run(1000 + w)
     times = []
     for i in range(n):
         t0 = time.perf_counter()
@@ -171,7 +188,7 @@ def make_sd15_runner(model, batch, steps=20, **kw):
             prompt=prompt,
             negative_prompt="blurry", seed=seed, steps=steps, cfg_scale=7.5,
             sampler_name="Euler a", width=512, height=512, batch_size=batch,
-            do_not_save_grid=True, **kw)
+            do_not_save_grid=True, do_not_save_samples=True, **kw)
         res = process_txt2img(model, p)
         assert len(res.images) == batch
         return res
@@ -182,6 +199,9 @@ def make_sd15_runner(model, batch, steps=20, **kw):
 def bench_sd15(model, batch, repeats, extra, flops_key=None, steps=20):
     run = make_sd15_runner(model, batch, steps=steps)
     times = time_runs(run, repeats)
+    if flops_key:
+        extra.setdefault("leg_times", {})[flops_key] = [
+            round(t, 3) for t in times]
     sec = median(times)
     ips = batch / sec
     if flops_key:
@@ -204,7 +224,8 @@ def bench_hires(model, repeats, extra):
             prompt="a castle on a hill, detailed", seed=seed, steps=steps,
             cfg_scale=7.5, sampler_name="Euler a", width=512, height=512,
             batch_size=1, enable_hr=True, hr_scale=2.0, hr_upscaler="Latent",
-            denoising_strength=0.55, do_not_save_grid=True)
+            denoising_strength=0.55, do_not_save_grid=True,
+            do_not_save_samples=True)
         res = process_txt2img(model, p)
         assert res.images[0].width == 1024
         return res
@@ -247,7 +268,7 @@ def bench_img2img(model, repeats, inpaint=False, size=512, batch=4):
             negative_prompt="blurry", seed=seed, steps=20, cfg_scale=7.5,
             sampler_name="Euler a", width=size, height=size,
             batch_size=batch, denoising_strength=0.75, init_images=[init],
-            do_not_save_grid=True, **mask_kw)
+            do_not_save_grid=True, do_not_save_samples=True, **mask_kw)
         res = process_img2img(model, p)
         assert len(res.images) == batch
         return res
@@ -379,15 +400,31 @@ def bench_model_swap(model, extra):
     model_b2 = dataclasses.replace(model_b, unet_params=None)
     del model_b
     t0 = time.perf_counter()
-    model_b2 = dataclasses.replace(model_b2,
-                                   unet_params=jax.device_put(host_tree))
+    tree_dev = jax.device_put(host_tree)
+    # force transfer completion before stopping the clock: fetch one element
+    # of each of the 8 largest leaves (block_until_ready is async-acked on
+    # the axon tunnel and not trustworthy; an element fetch is a real
+    # round-trip gated on that leaf's arrival)
+    leaves = sorted(jax.tree_util.tree_leaves(tree_dev),
+                    key=lambda leaf: -leaf.nbytes)[:8]
+    for leaf in leaves:
+        jax.device_get(leaf.ravel()[:1])
+    t_put = time.perf_counter() - t0
+    nbytes = sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(tree_dev))
+    extra["model_swap_put_s"] = round(t_put, 3)
+    extra["model_swap_bytes"] = nbytes
+    extra["model_swap_bw_gbps"] = round(nbytes / t_put / 1e9, 3)
+    t0 = time.perf_counter()
+    model_b2 = dataclasses.replace(model_b2, unet_params=tree_dev)
     run_b2 = make_sd15_runner(model_b2, 1)
     run_b2(4)
-    swap_host = time.perf_counter() - t0
+    swap_host = t_put + time.perf_counter() - t0
     extra["model_swap_hbm_resident_s"] = round(max(swap_hbm - base, 0.0), 3)
     extra["model_swap_host_resident_s"] = round(max(swap_host - base, 0.0), 3)
     log(f"model swap: hbm-resident +{swap_hbm - base:.3f}s, "
-        f"host-resident +{swap_host - base:.3f}s over b1 {base:.3f}s")
+        f"host-resident +{swap_host - base:.3f}s over b1 {base:.3f}s "
+        f"(device_put {t_put:.3f}s = {nbytes / t_put / 1e9:.2f} GB/s "
+        f"for {nbytes / 1e9:.2f} GB — tunnel RPC bandwidth, not PCIe)")
 
 
 def bench_sdxl(repeats, extra):
@@ -415,7 +452,8 @@ def bench_sdxl(repeats, extra):
             sampler_name="DPM++ 2M", scheduler="Karras",
             width=1024, height=1024, batch_size=1,
             refiner_checkpoint=refiner.title,
-            refiner_switch_at=switch_at, do_not_save_grid=True)
+            refiner_switch_at=switch_at, do_not_save_grid=True,
+            do_not_save_samples=True)
         res = process_txt2img(base, p, refiner_model=refiner)
         assert res.images[0].width == 1024
         return res
@@ -442,7 +480,9 @@ class LegTimeout(Exception):
 def main():
     wanted = os.environ.get("BENCH_CONFIGS", "all")
     wanted = None if wanted == "all" else set(wanted.split(","))
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    if os.environ.get("BENCH_QUICK") == "1":
+        wanted = {"sd15_b4", "sdxl"}
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1650"))
     leg_timeout = int(os.environ.get("BENCH_LEG_TIMEOUT", "900"))
 
     def on(name):
@@ -475,93 +515,114 @@ def main():
     signal.signal(signal.SIGTERM, on_term)
     signal.signal(signal.SIGINT, on_term)
 
-    from sdwebui_tpu.pipeline.sd_model import create_random_sd15
+    state = {"model": None}
 
-    model = create_random_sd15()
+    def get_model():
+        if state["model"] is None:
+            from sdwebui_tpu.pipeline.sd_model import create_random_sd15
 
-    # primary metric: config #1 batch 4 (median of 5; ±10% tunnel noise).
-    # Printed and flushed IMMEDIATELY so a later timeout cannot destroy the
-    # round's official record; every completed leg re-emits the full line.
-    if on("sd15_b4"):
-        log("config sd15_b4 (primary)")
-        sec4, ips4 = bench_sd15(model, 4, 5, extra, flops_key="sd15_b4")
-        extra["sd15_batch4_ips"] = round(ips4, 3)
-        record["value"] = round(ips4, 3)
-        record["vs_baseline"] = round(ips4 / 1.0, 3)
-        emit()
+            state["model"] = create_random_sd15()
+        return state["model"]
 
-    # (name, rough leg cost in s — compile + measured runs, used only to
-    # decide whether the leg still fits the remaining global budget)
-    legs = [
-        ("sd15_b1", 120, lambda: extra.update(sd15_batch1_p50_s=round(
-            bench_sd15(model, 1, 5, extra, flops_key="sd15_b1")[0], 3))),
-        ("sd15_b8", 150, lambda: extra.update(sd15_batch8_ips=round(
-            bench_sd15(model, 8, 3, extra)[1], 3))),
-        ("hires", 180, lambda: extra.update(hires_512to1024_p50_s=round(
-            bench_hires(model, 3, extra), 3))),
-        ("img2img", 150, lambda: extra.update(img2img_batch4_ips=round(
-            bench_img2img(model, 3)[1], 3))),
-        ("inpaint", 150, lambda: extra.update(inpaint_batch4_ips=round(
-            bench_img2img(model, 3, inpaint=True)[1], 3))),
-        ("lora", 150, lambda: extra.update(lora_batch4_ips=round(
-            bench_lora_only(model, 3)[1], 3))),
-        ("lora_cn", 240, lambda: extra.update(lora_cn_batch4_ips=round(
-            bench_lora_cn(model, 3, extra, "/tmp/bench_lora")[1], 3))),
-        ("model_swap", 120, lambda: bench_model_swap(model, extra)),
-        ("sdxl", 600, lambda: extra.update(sdxl_1024_p50_s=round(
-            bench_sdxl(3, extra), 3))),
-    ]
-    os.makedirs("/tmp/bench_lora", exist_ok=True)
-    # sdxl is half the official metric but runs last (HBM eviction order);
-    # reserve its estimate so earlier legs can't starve it out of the budget
-    sdxl_reserve = next((e for n, e, _ in legs if n == "sdxl" and on(n)), 0)
-    for i, (name, est_s, fn) in enumerate(legs):
-        if not on(name):
-            continue
-        elapsed = time.time() - t_start
-        reserve = sdxl_reserve if name != "sdxl" else 0
-        if elapsed + est_s + reserve > budget_s:
-            log(f"config {name} skipped: {elapsed:.0f}s elapsed + ~{est_s}s "
-                f"leg + {reserve}s sdxl reserve > {budget_s:.0f}s budget")
-            extra.setdefault("skipped", []).append(name)
-            continue
-        if name == "sdxl":
-            # base+refiner UNets are 9.8 GB bf16; evict the SD1.5 params,
-            # merged-LoRA trees, and compiled executables from HBM first
-            # (a full-surface run OOMs otherwise — measured round 3)
-            import gc
+    def release_hbm(why):
+        """Drop params, merge caches and compiled executables from HBM.
+        SD1.5 and SDXL base+refiner (9.8 GB bf16) can't be co-resident on
+        one 16 GB v5e chip — measured OOM round 3."""
+        import gc
 
-            import jax
+        import jax
 
-            from sdwebui_tpu.networks import extra_networks
-            from sdwebui_tpu.pipeline import control as _control
-            from sdwebui_tpu.pipeline import processing as _proc
-            log("releasing SD1.5 HBM state before the SDXL leg")
-            legs[:i] = [(n, e, None) for n, e, _ in legs[:i]]
-            model = None  # noqa: F841 — drop the closure target
-            extra_networks._merge_cache.clear()
-            _control._cache.clear()      # ControlNet tower params
-            _proc._COND_CACHE.clear()
-            gc.collect()
-            jax.clear_caches()
+        from sdwebui_tpu.networks import extra_networks
+        from sdwebui_tpu.pipeline import control as _control
+        from sdwebui_tpu.pipeline import processing as _proc
+
+        log(f"releasing HBM state ({why})")
+        state["model"] = None
+        extra_networks._merge_cache.clear()
+        _control._cache.clear()      # ControlNet tower params
+        _proc._COND_CACHE.clear()
+        gc.collect()
+        jax.clear_caches()
+
+    def run_leg(name, fn, timebox):
         log(f"config {name}")
 
         def on_alarm(signum, frame):  # noqa: ARG001
             raise LegTimeout
 
         signal.signal(signal.SIGALRM, on_alarm)
-        signal.alarm(leg_timeout)
+        signal.alarm(timebox)
         try:
             fn()
         except LegTimeout:
-            log(f"config {name} TIMED OUT after {leg_timeout}s; skipping")
-            extra[f"{name}_error"] = f"leg timeout after {leg_timeout}s"
+            log(f"config {name} TIMED OUT after {timebox}s; skipping")
+            extra[f"{name}_error"] = f"leg timeout after {timebox}s"
         except Exception as e:  # noqa: BLE001 — record, keep the rest
             log(f"config {name} FAILED: {type(e).__name__}: {e}")
             extra[f"{name}_error"] = f"{type(e).__name__}: {e}"
         finally:
             signal.alarm(0)
         emit()
+
+    # ---- official leg 1/2: SD1.5 b4 images/sec/chip (median of 7, one
+    # compile pass + one steady-state warm pass before the timed window).
+    # Printed and flushed IMMEDIATELY so a later timeout cannot destroy the
+    # round's official record; every completed leg re-emits the full line.
+    if on("sd15_b4"):
+        log("config sd15_b4 (official primary)")
+
+        def leg_primary():
+            sec4, ips4 = bench_sd15(get_model(), 4, 7, extra,
+                                    flops_key="sd15_b4")
+            extra["sd15_batch4_ips"] = round(ips4, 3)
+            record["value"] = round(ips4, 3)
+            record["vs_baseline"] = round(ips4 / 1.0, 3)
+
+        run_leg("sd15_b4", leg_primary, leg_timeout)
+
+    # ---- official leg 2/2: SDXL 1024 p50 — SECOND, with the rest of the
+    # budget as its timebox (it missed the driver record in r3 AND r4 when
+    # it ran last; its build+compile through the tunnel is the longest and
+    # least predictable stage in the whole bench)
+    if on("sdxl"):
+        release_hbm("before the SDXL leg")
+        remaining = budget_s - (time.time() - t_start)
+        timebox = max(300, int(remaining) - 30)
+        run_leg("sdxl", lambda: extra.update(sdxl_1024_p50_s=round(
+            bench_sdxl(3, extra), 3)), timebox)
+        release_hbm("after the SDXL leg")
+
+    # ---- secondary legs, budget-gated (name, rough cost in s)
+    legs = [
+        ("sd15_b1", 150, lambda: extra.update(sd15_batch1_p50_s=round(
+            bench_sd15(get_model(), 1, 5, extra, flops_key="sd15_b1")[0],
+            3))),
+        ("sd15_b8", 150, lambda: extra.update(sd15_batch8_ips=round(
+            bench_sd15(get_model(), 8, 3, extra)[1], 3))),
+        ("hires", 180, lambda: extra.update(hires_512to1024_p50_s=round(
+            bench_hires(get_model(), 3, extra), 3))),
+        ("img2img", 150, lambda: extra.update(img2img_batch4_ips=round(
+            bench_img2img(get_model(), 3)[1], 3))),
+        ("inpaint", 150, lambda: extra.update(inpaint_batch4_ips=round(
+            bench_img2img(get_model(), 3, inpaint=True)[1], 3))),
+        ("lora", 150, lambda: extra.update(lora_batch4_ips=round(
+            bench_lora_only(get_model(), 3)[1], 3))),
+        ("lora_cn", 240, lambda: extra.update(lora_cn_batch4_ips=round(
+            bench_lora_cn(get_model(), 3, extra, "/tmp/bench_lora")[1],
+            3))),
+        ("model_swap", 150, lambda: bench_model_swap(get_model(), extra)),
+    ]
+    os.makedirs("/tmp/bench_lora", exist_ok=True)
+    for name, est_s, fn in legs:
+        if not on(name):
+            continue
+        elapsed = time.time() - t_start
+        if elapsed + est_s > budget_s:
+            log(f"config {name} skipped: {elapsed:.0f}s elapsed + ~{est_s}s "
+                f"leg > {budget_s:.0f}s budget")
+            extra.setdefault("skipped", []).append(name)
+            continue
+        run_leg(name, fn, leg_timeout)
 
     emit()
 
