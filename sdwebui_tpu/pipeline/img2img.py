@@ -120,10 +120,12 @@ def process_img2img(model: SDModel, p: GenerationParams,
                     outdir: str | None = None, callback=None,
                     step_callback=None) -> Processed:
     """img2img with per-request override_settings applied + auto-restored."""
+    from sdwebui_tpu.pipeline import sd_unet as _sd_unet
     from sdwebui_tpu.utils.options import opts as _opts
 
     with _opts.override(p.override_settings):
-        return _process_img2img(model, p, outdir=outdir, callback=callback,
+        return _process_img2img(_sd_unet.resolve(model), p, outdir=outdir,
+                                callback=callback,
                                 step_callback=step_callback)
 
 

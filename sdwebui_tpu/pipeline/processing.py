@@ -133,8 +133,9 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
                   hn_meta=None, control=None, control_cfgs=()):
     from sdwebui_tpu.utils import devices as _dv
 
-    compute_dtype = _dv.get_policy().compute_dtype
     extra = dict(extra_items)
+    compute_dtype = jnp.dtype(extra.pop(
+        "compute_dtype", jnp.dtype(_dv.get_policy().compute_dtype).name))
     quantize_t = bool(extra.pop("quantize_t", True))
     if lms_coeffs is not None:
         # traced aux channel: LMS / restart / UniPC host-precomputed arrays
@@ -225,8 +226,9 @@ def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
     from sdwebui_tpu.sampling.solvers import SOLVERS
     from sdwebui_tpu.utils import devices as _dv
 
-    compute_dtype = _dv.get_policy().compute_dtype
     extra = dict(extra_items)
+    compute_dtype = jnp.dtype(extra.pop(
+        "compute_dtype", jnp.dtype(_dv.get_policy().compute_dtype).name))
     quantize_t = bool(extra.pop("quantize_t", True))
     if lms_coeffs is not None:
         if solver == "restart":
@@ -352,6 +354,13 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
     # opts.enable_quantization, off by default)
     extra.setdefault("quantize_t",
                      bool(_q_opts.get("enable_quantization", False)))
+    # the dtype policy is read inside the jitted samplers at trace time;
+    # riding it in the static extra_items makes it part of the jit cache
+    # key, so a runtime precision flip can never reuse a stale program
+    from sdwebui_tpu.utils import devices as _dv_pol
+
+    extra.setdefault("compute_dtype",
+                     jnp.dtype(_dv_pol.get_policy().compute_dtype).name)
     extra_items = tuple(sorted(extra.items()))
     lms_coeffs = None
     if solver == "lms":
@@ -1152,13 +1161,6 @@ def _invert_noise_fused(unet_params, log_sigmas, init_latent, sigmas,
                                y=y).astype(jnp.float32)
         if prediction_type == "v":
             return xb / (sig ** 2 + 1.0) - out * sig / jnp.sqrt(sig ** 2 + 1.0)
-        if solver == "lcm":
-            # get_scaled_out (sd_samplers_lcm.py:52): boundary-condition
-            # scalings with sigma_data=0.5 over scaled_timestep = t·10
-            st = (t * 10.0)[:, None, None, None]
-            c_skip = 0.25 / (st ** 2 + 0.25)
-            c_out = st / jnp.sqrt(st ** 2 + 0.25)
-            return c_out * (xb - out * sig) + c_skip * xb
         return xb - out * sig
 
     model_fn = make_cfg_denoiser(denoise, sched)
@@ -1295,10 +1297,12 @@ def process_txt2img(model: SDModel, p: GenerationParams,
                     step_callback: Callable | None = None) -> Processed:
     """txt2img with per-request override_settings applied + auto-restored
     (reference modules/processing.py:823-858)."""
+    from sdwebui_tpu.pipeline import sd_unet as _sd_unet
     from sdwebui_tpu.utils.options import opts as _opts
 
     with _opts.override(p.override_settings):
-        return _process_txt2img(model, p, outdir=outdir, callback=callback,
+        return _process_txt2img(_sd_unet.resolve(model), p, outdir=outdir,
+                                callback=callback,
                                 refiner_model=refiner_model,
                                 step_callback=step_callback)
 

@@ -117,6 +117,25 @@ class SDModel:
     def with_unet_params(self, params) -> "SDModel":
         return dataclasses.replace(self, unet_params=params)
 
+    def park_to_host(self) -> "SDModel":
+        """Move the big param trees to host RAM (reference
+        sd_checkpoints_keep_in_cpu: the previous model moves to CPU on swap,
+        modules/sd_models.py:890).  Freeing HBM costs a re-upload on the
+        next use — numpy trees ride back via the jit arg path
+        automatically."""
+        import copy
+
+        new = dataclasses.replace(
+            self,
+            unet_params=jax.device_get(self.unet_params),
+            vae_params=jax.device_get(self.vae_params))
+        new.conditioner = copy.copy(self.conditioner)
+        new.conditioner.params = jax.device_get(self.conditioner.params)
+        if new.conditioner2 is not None:
+            new.conditioner2 = copy.copy(self.conditioner2)
+            new.conditioner2.params = jax.device_get(self.conditioner2.params)
+        return new
+
     def replicate(self, rt=None) -> "SDModel":
         """Place params on the active mesh for multi-device generation
         (first-class TPU component; no reference counterpart, SURVEY §2.6):
@@ -130,6 +149,8 @@ class SDModel:
         rt = rt or get_runtime()
         if rt.n_devices <= 1:
             return self
+        import copy
+
         rep = rt.replicated
         unet_placed = shard_params(rt, self.unet_params) if rt.model_size > 1 \
             else jax.device_put(self.unet_params, rep)
@@ -137,8 +158,13 @@ class SDModel:
             self,
             unet_params=unet_placed,
             vae_params=jax.device_put(self.vae_params, rep))
+        # shallow-copy the conditioners: dataclasses.replace shares them, and
+        # re-placing params in place would silently move the ORIGINAL model's
+        # conditioner onto this mesh too
+        new.conditioner = copy.copy(self.conditioner)
         new.conditioner.params = jax.device_put(self.conditioner.params, rep)
         if new.conditioner2 is not None:
+            new.conditioner2 = copy.copy(self.conditioner2)
             new.conditioner2.params = jax.device_put(self.conditioner2.params, rep)
         return new
 

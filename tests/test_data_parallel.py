@@ -92,3 +92,53 @@ def test_tensor_parallel_matches_single_device():
         assert len(res_tp.images) == 1
     finally:
         set_runtime(old)
+
+
+def test_tensor_parallel_txt2img_byte_identical_f32():
+    """END-TO-END tp=2 txt2img == single-device, byte-identical (VERDICT r4
+    #5 / SURVEY §2.6 "TP for latency at batch=1").  Compared under f32
+    compute: bf16 leaves ~1% reassociation noise between differently-
+    partitioned XLA programs (measured: max|Δ|=24/255 on the tiny twin),
+    which would mask real partitioning bugs; f32 pins the arithmetic so any
+    nonzero delta is a semantics bug in the sharding."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.utils import devices as dv
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 devices")
+    old = get_runtime()
+    old_pol = dv.get_policy()
+    dv.set_policy(dataclasses.replace(old_pol, compute_dtype=jnp.float32))
+    try:
+        model = create_tiny_sd()
+        p = lambda: GenerationParams(prompt="a cat", seed=21, steps=2,
+                                     width=64, height=64, batch_size=1)
+        rt = MeshRuntime.create(data=1, model=2, devices=jax.devices()[:2])
+        set_runtime(rt)
+        res_tp = process_txt2img(model.replicate(rt), p())
+        set_runtime(MeshRuntime.create(data=1, model=1,
+                                       devices=jax.devices()[:1]))
+        res_single = process_txt2img(model, p())
+        a = np.asarray(res_tp.images[0], int)
+        b = np.asarray(res_single.images[0], int)
+        np.testing.assert_array_equal(a, b)
+    finally:
+        dv.set_policy(old_pol)
+        set_runtime(old)
+
+
+def test_replicate_does_not_mutate_source_model():
+    """SDModel.replicate must not re-place the ORIGINAL model's conditioner
+    params (regression: dataclasses.replace shares the conditioner object,
+    and the old in-place params assignment moved both models' conds)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 devices")
+    model = create_tiny_sd()
+    rt = MeshRuntime.create(data=2, model=1, devices=jax.devices()[:2])
+    before = model.conditioner.params
+    rep = model.replicate(rt)
+    assert model.conditioner.params is before
+    assert rep.conditioner is not model.conditioner
