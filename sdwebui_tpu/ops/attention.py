@@ -10,6 +10,7 @@ the `--opt-...`/settings override surface).
 
 from __future__ import annotations
 
+import contextlib
 import math
 
 import jax
@@ -34,6 +35,39 @@ def set_attention_impl(name: str | None) -> None:
         raise ValueError(f"unknown attention impl {name!r}")
     global _FORCED
     _FORCED = None if name in (None, "auto") else name
+
+
+def training_attention_ctx():
+    """Context for UNet calls inside training loss functions (entered at
+    trace time, so the choice bakes into the compiled step).  Default
+    (training_xattention_optimizations=False): force the plain XLA
+    attention — the Pallas flash kernel has no VJP and grads through it
+    fail on TPU.  True opts back into the optimized kernels (reference
+    modules/shared_options.py training section)."""
+    from sdwebui_tpu.utils.options import opts
+
+    if bool(opts.get("training_xattention_optimizations", False)):
+        return contextlib.nullcontext()
+    return forced_impl("xla")
+
+
+@contextlib.contextmanager
+def forced_impl(name: str | None):
+    """Force an implementation for code traced inside the block.
+
+    Training uses this: the Pallas flash kernel has no VJP, so
+    differentiating through it fails — training jits trace under "xla"
+    unless opts.training_xattention_optimizations asks for the optimized
+    kernels (the reference's option has the same motivation: optimized
+    attention breaking training, modules/shared_options.py training
+    section)."""
+    global _FORCED
+    prev = _FORCED
+    set_attention_impl(name)
+    try:
+        yield
+    finally:
+        _FORCED = prev
 
 
 def _use_packed(d: int, num_heads: int) -> bool:

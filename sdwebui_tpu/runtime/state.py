@@ -92,6 +92,12 @@ class State:
             self.job = ""
             self.job_count = 0
         try:
+            from sdwebui_tpu.runtime import console
+
+            console.finish()
+        except Exception:
+            pass
+        try:
             from sdwebui_tpu.utils.memmon import monitor
 
             monitor.stop()

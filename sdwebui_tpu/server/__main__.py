@@ -69,6 +69,18 @@ def main(argv=None):
     opts.load(args.config_path)
     st.record("load options")
 
+    if getattr(args, "use_cpu", None):
+        # reference --use-cpu <modules> (the CI launches `--use-cpu all`
+        # for its empty-weights test server): the only accelerator here is
+        # the TPU, so any --use-cpu selection pins JAX to the CPU backend.
+        # Must run before first device contact; the env-var form is
+        # overridden by the container's sitecustomize, the config knob
+        # is not.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print("--use-cpu: pinned JAX to the CPU backend", flush=True)
+
     restore_state = opts.get("restore_config_state_file", "")
     if restore_state:
         # reference initialize_util.restore_config_state_file: apply a saved

@@ -208,7 +208,16 @@ class Engine:
             if self._model is not None:
                 prev_key = getattr(self, "_model_key", None) or \
                     getattr(self._model, "title", "")
-                self._model_cache[prev_key] = self._model
+                prev = self._model
+                if bool(opts.get("sd_checkpoints_keep_in_cpu", True)):
+                    # reference default: the displaced model parks in host
+                    # RAM, freeing HBM; False keeps it device-resident for
+                    # instant swap-back (sd_checkpoints_limit permitting)
+                    try:
+                        prev = prev.park_to_host()
+                    except Exception:
+                        pass
+                self._model_cache[prev_key] = prev
             if info.name in self._model_cache:
                 self._model = self._model_cache.pop(info.name)
             else:
@@ -431,6 +440,9 @@ class Engine:
         def cb(i, n, latents):
             state.sampling_step = i + 1
             state.sampling_steps = n
+            from sdwebui_tpu.runtime import console
+
+            console.update(i + 1, n, state.job_no, state.job_count)
             if state.interrupted or state.skipped:
                 state.skipped = False
                 return False
@@ -462,6 +474,23 @@ class Engine:
 # ---- base64 image codecs (reference modules/api/api.py:77-132) -----------
 
 def decode_base64_to_image(encoding: str) -> Image.Image:
+    if encoding.startswith(("http://", "https://")):
+        # reference decode_base64_to_image (modules/api/api.py:85-108):
+        # URLs are fetched when opts.api_enable_requests, with
+        # opts.api_useragent as the request UA
+        from sdwebui_tpu.utils.options import opts
+
+        if not opts.get("api_enable_requests", True):
+            raise ValueError("Requests not allowed (api_enable_requests off)")
+        import urllib.request
+
+        headers = {}
+        ua = opts.get("api_useragent", "")
+        if ua:
+            headers["User-Agent"] = ua
+        req = urllib.request.Request(encoding, headers=headers)
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return Image.open(io.BytesIO(resp.read()))
     if encoding.startswith("data:image/"):
         encoding = encoding.split(";", 1)[1].split(",", 1)[1]
     return Image.open(io.BytesIO(base64.b64decode(encoding)))

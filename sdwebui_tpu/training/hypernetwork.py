@@ -31,8 +31,11 @@ def make_hn_train_step(model, hn_meta=("linear", 1.0, False), lr: float = 1e-4,
         x_t = a * latents + am * noise
         hn = (hn_tree, hn_meta, (drop, key)) if use_dropout \
             else (hn_tree, hn_meta)
-        pred = unet_model.apply(unet_params, unet_cfg, x_t,
-                                t.astype(jnp.float32), ctx, hypernet=hn)
+        from sdwebui_tpu.ops.attention import training_attention_ctx
+
+        with training_attention_ctx():
+            pred = unet_model.apply(unet_params, unet_cfg, x_t,
+                                    t.astype(jnp.float32), ctx, hypernet=hn)
         return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
 
     @jax.jit
@@ -159,8 +162,12 @@ def train_hypernetwork_from_dir(model, name: str, data_root: str,
         x_t = a * latents + am * noise
         hyper = (hn_tree, hn_meta, (drop, key)) if dropping \
             else (hn_tree, hn_meta)
-        pred = unet_model.apply(unet_params, unet_cfg, x_t,
-                                t.astype(jnp.float32), ctx, hypernet=hyper)
+        from sdwebui_tpu.ops.attention import training_attention_ctx
+
+        with training_attention_ctx():
+            pred = unet_model.apply(unet_params, unet_cfg, x_t,
+                                    t.astype(jnp.float32), ctx,
+                                    hypernet=hyper)
         return jnp.mean((pred.astype(jnp.float32) - noise) ** 2 * weights)
 
     @jax.jit
@@ -173,6 +180,15 @@ def train_hypernetwork_from_dir(model, name: str, data_root: str,
     opt_state = optimizer.init(hn)
     base_key = jax.random.PRNGKey(seed + 1)
     rng = np.random.default_rng(seed)
+    from sdwebui_tpu.utils.options import opts as _hn_opts
+
+    if bool(_hn_opts.get("unload_models_when_training", False)):
+        # reference unload_models_when_training: latents are pre-encoded by
+        # the dataset, so the VAE tree parks to host RAM for the run (CLIP
+        # stays — per-caption conds encode every step)
+        import dataclasses as _dc
+
+        model = _dc.replace(model, vae_params=jax.device_get(model.vae_params))
     losses = []
     for i in range(steps):
         opt_state.hyperparams["learning_rate"] = jnp.asarray(

@@ -67,8 +67,11 @@ def make_ti_train_step(model, tokens: np.ndarray | None = None,
         a = sqrt_ac[t][:, None, None, None]
         am = sqrt_1mac[t][:, None, None, None]
         x_t = a * latents + am * noise
-        pred = unet_model.apply(unet_params, unet_cfg, x_t,
-                                t.astype(jnp.float32), ctx)
+        from sdwebui_tpu.ops.attention import training_attention_ctx
+
+        with training_attention_ctx():
+            pred = unet_model.apply(unet_params, unet_cfg, x_t,
+                                    t.astype(jnp.float32), ctx)
         err = (pred.astype(jnp.float32) - noise) ** 2
         return jnp.mean(err * weights)
 
@@ -226,6 +229,15 @@ def train_embedding_from_dir(model, name: str, data_root: str,
             tag_drop_out=tag_drop_out,
             latent_sampling_method=latent_sampling_method, seed=seed,
             num_images=len(ds.entries)))
+    if bool(_t_opts.get("unload_models_when_training", False)):
+        # reference unload_models_when_training ("move VAE and CLIP to RAM
+        # if possible"): the dataset has already VAE-encoded its latents, so
+        # the VAE tree parks to host RAM for the whole run, freeing HBM.
+        # CLIP stays — TI trains THROUGH the text encoder.  Previews still
+        # work: numpy trees ride back through the jit arg path on demand.
+        import dataclasses as _dc
+
+        model = _dc.replace(model, vae_params=jax.device_get(model.vae_params))
     csv_every = int(_t_opts.get("training_write_csv_every", 500) or 0)
     losses = []
     for i in range(steps):

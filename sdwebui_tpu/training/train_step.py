@@ -32,7 +32,11 @@ def diffusion_loss(params, unet_cfg, sqrt_ac, sqrt_1mac, x0, noise, t, ctx):
     a = sqrt_ac[t][:, None, None, None]
     am = sqrt_1mac[t][:, None, None, None]
     x_t = a * x0 + am * noise
-    pred = unet_model.apply(params, unet_cfg, x_t, t.astype(jnp.float32), ctx)
+    from sdwebui_tpu.ops.attention import training_attention_ctx
+
+    with training_attention_ctx():
+        pred = unet_model.apply(params, unet_cfg, x_t,
+                                t.astype(jnp.float32), ctx)
     return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
 
 

@@ -44,8 +44,7 @@ REFERENCE_OPTIONS = [
         ('show_gradio_deprecation_warnings', True, 'Show gradio deprecation warnings in console.',
          "no gradio in this stack — nothing emits these warnings"),
         ('memmon_poll_rate', 8, 'VRAM usage polls per second during generation.', None),
-        ('multiple_tqdm', True, 'Add a second progress bar to the console that shows progress for an entire job.',
-         "job-level progress rides /sdapi/v1/progress; the console has no nested tqdm loop"),
+        ('multiple_tqdm', True, 'Add a second progress bar to the console that shows progress for an entire job.', None),
         ('enable_upscale_progressbar', True, 'Show a progress bar in the console for tiled upscaling.',
          "tiles run as ONE batched device call — there is no per-tile loop to report"),
         ('hide_ldm_prints', True, "Prevent Stability-AI's ldm/sgm modules from printing noise to console.",
@@ -53,27 +52,22 @@ REFERENCE_OPTIONS = [
     ]),
     (("profiler", "Profiler"), [
         ('profiling_explanation', '\nThose settings allow you to enable torch profiler when generating pictures.\nProfiling allows you to see which code uses how much of computer\'s resources during generation.\nEach generation writes its own profile to one file, overwriting previous.\nThe file can be viewed in <a href="chrome:tracing">Chrome</a>, or on a <a href="https://ui.perfetto.dev/">Perfetto</a> web site.\nWarning: writing profile can take a lot of time, up to 30 seconds, and the file itelf can be around 500MB in size.\n', 'profiling_explanation', None),
-        ('profiling_activities', ['CPU'], 'Activities',
-         "torch.profiler activity selection; jax.profiler traces always capture host+device"),
+        ('profiling_activities', ['CPU'], 'Activities', None),
         ('profiling_record_shapes', True, 'Record shapes',
          "torch.profiler knob; XLA traces always carry shapes"),
         ('profiling_profile_memory', True, 'Profile memory',
          "torch.profiler knob; XLA traces include allocation events unconditionally"),
-        ('profiling_with_stack', True, 'Include python stack',
-         "torch.profiler knob with no jax.profiler equivalent"),
+        ('profiling_with_stack', True, 'Include python stack', None),
     ]),
     (("API", "API"), [
-        ('api_useragent', '', 'User agent for requests',
-         "outbound image fetches are governed by api_enable_requests; this zero-egress deployment never sends one"),
+        ('api_useragent', '', 'User agent for requests', None),
     ]),
     (("training", "Training"), [
-        ('unload_models_when_training', False, 'Move VAE and CLIP to RAM when training if possible. Saves VRAM.',
-         "params are functional HBM trees; training jits its own programs and frees intermediates — no manual residency juggling"),
+        ('unload_models_when_training', False, 'Move VAE and CLIP to RAM when training if possible. Saves VRAM.', None),
         ('pin_memory', False, 'Turn on pin_memory for DataLoader. Makes training slightly faster but can increase memory usage.',
          "torch DataLoader knob; host->device feeding uses device_put, JAX exposes no pinned-memory staging"),
         ('training_image_repeats_per_epoch', 1, 'Number of repeats for a single input image per epoch; used only for displaying epoch number', None),
-        ('training_xattention_optimizations', False, 'Use cross attention optimizations while training',
-         "the global cross_attention_optimization choice already applies during training — there is no separate kernel set to toggle"),
+        ('training_xattention_optimizations', False, 'Use cross attention optimizations while training', None),
         ('training_enable_tensorboard', False, 'Enable tensorboard logging.',
          "tensorboard is not in this image; losses stream to CSV via training_write_csv_every"),
         ('training_tensorboard_save_images', False, 'Save generated images within tensorboard.',
@@ -82,10 +76,8 @@ REFERENCE_OPTIONS = [
          "see training_enable_tensorboard"),
     ]),
     (("sd", "Stable Diffusion"), [
-        ('sd_checkpoints_keep_in_cpu', True, 'Only keep one model on device',
-         "checkpoint trees are host numpy until used and LRU-dropped by sd_checkpoints_limit; CPU-parking is the default, not an option"),
-        ('sd_unet', 'Automatic', 'SD Unet',
-         "the reference's slot for TensorRT-style replacement UNets; no third-party UNet providers exist for TPU — script hooks can swap param trees instead"),
+        ('sd_checkpoints_keep_in_cpu', True, 'Only keep one model on device', None),
+        ('sd_unet', 'Automatic', 'SD Unet', None),
         ('enable_batch_seeds', True, 'Make K-diffusion samplers produce same images in a batch as when making a single image',
          "structurally always-true: per-image Philox streams make batches match single-image runs by construction"),
     ]),
@@ -115,8 +107,7 @@ REFERENCE_OPTIONS = [
         ('extra_networks_tree_view_style', 'Dirs', 'Extra Networks directory view style', None),
         ('extra_networks_tree_view_default_enabled', True, 'Show the Extra Networks directory view by default', None),
         ('extra_networks_tree_view_default_width', 180, 'Default width for the Extra Networks directory tree view', None),
-        ('ui_extra_networks_tab_reorder', '', 'Extra networks tab order',
-         "the browser shows one merged card list, not per-kind tabs; sort/search replace tab ordering"),
+        ('ui_extra_networks_tab_reorder', '', 'Extra networks tab order', None),
     ]),
     (("ui_prompt_editing", "Prompt editing"), [
         ('keyedit_precision_extra', 0.05, 'Precision for <extra networks:0.9> when editing the prompt with Ctrl+up/down', None),
@@ -142,10 +133,8 @@ REFERENCE_OPTIONS = [
         ('img2img_settings_accordion', False, 'Settings in img2img hidden under Accordion', None),
     ]),
     (("ui", "User interface"), [
-        ('ui_reorder_list', [], 'UI item order for txt2img/img2img tabs',
-         "the SPA form is a fixed document order; tab order/visibility are covered by ui_tab_order + hidden_tabs"),
-        ('gradio_theme', 'Default', 'Gradio theme',
-         "no gradio — the SPA ships its own stylesheet"),
+        ('ui_reorder_list', [], 'UI item order for txt2img/img2img tabs', None),
+        ('gradio_theme', 'Default', 'Gradio theme', None),
         ('gradio_themes_cache', True, 'Cache gradio themes locally',
          "see gradio_theme"),
         ('enable_reloading_ui_scripts', False, 'Reload UI scripts when using Reload UI option',

@@ -10,15 +10,36 @@ import os
 @contextlib.contextmanager
 def profile(enable: bool = False, outdir: str = "profile-traces"):
     """Wrap a generation in a jax.profiler trace when enabled (the
-    reference's opts.profiling_enable flow, modules/call_queue.py:123)."""
+    reference's opts.profiling_enable flow, modules/call_queue.py:123).
+
+    The reference's torch.profiler knobs map onto jax.profiler trace
+    options (modules/shared_options.py profiler section):
+      profiling_activities   ['CPU', ...] → host-side tracing on/off
+                             (device/XLA events are always captured)
+      profiling_with_stack   → python tracer (call-stack annotation)
+    profiling_record_shapes / profiling_profile_memory have no off-switch
+    in XLA traces (shapes and allocation events are always present) and
+    stay accepted-but-inert."""
     if not enable:
         yield None
         return
     import jax
 
+    from sdwebui_tpu.utils.options import opts
+
     os.makedirs(outdir, exist_ok=True)
+    kwargs = {}
     try:
-        jax.profiler.start_trace(outdir)
+        activities = list(opts.get("profiling_activities", ["CPU"]) or [])
+        host = "CPU" in activities
+        stack = bool(opts.get("profiling_with_stack", True))
+        kwargs["profiler_options"] = jax.profiler.ProfileOptions(
+            host_tracer_level=2 if host else 0,
+            python_tracer_level=1 if stack else 0)
+    except Exception:   # older jax without ProfileOptions: default trace
+        kwargs = {}
+    try:
+        jax.profiler.start_trace(outdir, **kwargs)
         yield outdir
     finally:
         try:

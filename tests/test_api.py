@@ -382,13 +382,30 @@ def test_checkpoint_lru_cache(tmp_path, monkeypatch):
     eng._load_checkpoint_file = lambda path, title=None, sha256="": m2
     opts.set("sd_checkpoints_limit", 2)
     try:
+        # default sd_checkpoints_keep_in_cpu=True: the displaced model is
+        # PARKED to host RAM (numpy trees) on entering the cache
         eng.reload_checkpoint("other-model")
         assert eng._model is m2
         # swap back: must come from the cache, not the (stubbed) loader
         eng._load_checkpoint_file = lambda *a, **k: (_ for _ in ()).throw(
             AssertionError("cache miss"))
         eng.reload_checkpoint(m1.title)
-        assert eng._model is m1
+        assert eng._model.title == m1.title
+        import numpy as _np
+
+        from sdwebui_tpu.utils.pytree import flatten as _flat
+
+        leaf = next(iter(_flat(eng._model.unet_params).values()))
+        assert isinstance(leaf, _np.ndarray)   # host-parked, not HBM
+
+        # keep_in_cpu=False: cache keeps the device-resident object itself
+        with opts.override({"sd_checkpoints_keep_in_cpu": False}):
+            eng.reload_checkpoint("other-model")
+            eng.reload_checkpoint(m1.title)
+            # m1's parked copy went through the cache untouched this time
+            assert eng._model is not None
+            swapped_back = eng._model
+        assert swapped_back.title == m1.title
     finally:
         opts.set("sd_checkpoints_limit", 1)
 

@@ -339,7 +339,16 @@ def test_behavior_backed_ui_options_all_referenced(script):
                    "show_warnings", "memmon_poll_rate",
                    "training_image_repeats_per_epoch", "sd_checkpoint_hash",
                    "profiling_explanation", "sd_vae_explanation",
-                   "infotext_explanation"}
+                   "infotext_explanation",
+                   # round-5 server-side implementations (see their call
+                   # sites): console progress, profiler trace options,
+                   # URL-image fetch UA, custom-UNet slot, checkpoint-cache
+                   # parking, training residency + attention impl
+                   "multiple_tqdm", "profiling_activities",
+                   "profiling_with_stack", "api_useragent", "sd_unet",
+                   "sd_checkpoints_keep_in_cpu",
+                   "unload_models_when_training",
+                   "training_xattention_optimizations"}
     for (key, _label), entries in REFERENCE_OPTIONS:
         for name, _d, _l, why in entries:
             if why is None and name not in server_side:
@@ -394,3 +403,106 @@ def test_startup_profile_popup_wired(html, script):
     assert "/internal/profile-startup" in script
     assert "renderStartupProfile" in script
     assert "cutoff" in script
+
+
+def test_ui_theme_reorder_and_kind_order_wired(html, script):
+    """Round-5 option graduations: gradio_theme maps to CSS-variable
+    palettes, ui_reorder_list reorders data-reorder-tagged form rows, and
+    ui_extra_networks_tab_reorder groups browser cards by kind."""
+    # gradio_theme → applyUiTheme + palettes over the shared CSS variables
+    assert "applyUiTheme(opts.gradio_theme" in script
+    for theme in ("gradio/base", "gradio/soft", "gradio/glass",
+                  "gradio/monochrome"):
+        assert theme in script, theme
+    for var in ("--input-bg", "--muted"):
+        assert var in html  # the stylesheet consumes the theme variables
+    # ui_reorder_list → data-reorder tags cover the reference categories we
+    # can express, and the applier walks them
+    assert "opts.ui_reorder_list" in script
+    for cat in ("sampler", "dimensions", "denoising", "checkboxes",
+                "seed", "accordions", "scripts"):
+        assert f'data-reorder="{cat}"' in html, cat
+    # ui_extra_networks_tab_reorder → kind ranking inside the card sort
+    assert "ui_extra_networks_tab_reorder" in script
+
+
+def test_console_progress_module():
+    """Console progress (reference tqdm + TotalTQDM): non-TTY stays silent;
+    TTY renders step bar + job segment under multiple_tqdm."""
+    import io
+
+    from sdwebui_tpu.runtime import console
+
+    class Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    import sys
+
+    old = sys.stderr
+    try:
+        sys.stderr = io.StringIO()      # non-TTY: nothing written
+        console.update(5, 20, 0, 4)
+        assert sys.stderr.getvalue() == ""
+
+        sys.stderr = Tty()
+        console._last_draw[0] = 0.0
+        console.update(5, 20, 0, 4)
+        out = sys.stderr.getvalue()
+        assert "5/20" in out and "job 1/4" in out
+
+        from sdwebui_tpu.utils.options import opts
+
+        sys.stderr = Tty()
+        console._last_draw[0] = 0.0
+        with opts.override({"multiple_tqdm": False}):
+            console.update(5, 20, 0, 4)
+        assert "job" not in sys.stderr.getvalue()
+    finally:
+        sys.stderr = old
+        console._line_open[0] = False
+
+
+def test_url_image_decode_gated_by_api_enable_requests():
+    """decode_base64_to_image accepts URLs per the reference
+    (modules/api/api.py:85-108): fetch is refused when api_enable_requests
+    is off, and api_useragent rides as the UA header when set."""
+    import pytest as _pytest
+
+    from sdwebui_tpu.server.app import decode_base64_to_image
+    from sdwebui_tpu.utils.options import opts
+
+    with opts.override({"api_enable_requests": False}):
+        with _pytest.raises(ValueError, match="Requests not allowed"):
+            decode_base64_to_image("http://example.invalid/x.png")
+
+    # UA plumbing: intercept urlopen and return a tiny PNG
+    import io as _io
+    import urllib.request as _ur
+
+    from PIL import Image as _Image
+
+    buf = _io.BytesIO()
+    _Image.new("RGB", (2, 2)).save(buf, format="PNG")
+    seen = {}
+
+    class Resp(_io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        seen["ua"] = req.headers.get("User-agent")
+        return Resp(buf.getvalue())
+
+    old = _ur.urlopen
+    _ur.urlopen = fake_urlopen
+    try:
+        with opts.override({"api_useragent": "sdtpu-test/1.0"}):
+            img = decode_base64_to_image("https://example.invalid/x.png")
+        assert img.size == (2, 2)
+        assert seen["ua"] == "sdtpu-test/1.0"
+    finally:
+        _ur.urlopen = old
