@@ -37,6 +37,10 @@ def set_attention_impl(name: str | None) -> None:
     _FORCED = None if name in (None, "auto") else name
 
 
+def get_forced_impl() -> str | None:
+    return _FORCED
+
+
 def training_attention_ctx():
     """Context for UNet calls inside training loss functions (entered at
     trace time, so the choice bakes into the compiled step).  Default

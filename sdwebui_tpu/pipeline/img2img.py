@@ -20,7 +20,7 @@ from sdwebui_tpu.pipeline.processing import (
     should_save_samples,
 )
 from sdwebui_tpu.pipeline.sd_model import SDModel
-from sdwebui_tpu.rng import ImageRNG, PhiloxGenerator
+from sdwebui_tpu.rng import ImageRNG, PhiloxGenerator, create_rng
 from sdwebui_tpu.sampling.registry import get_sampler
 from sdwebui_tpu.sampling.sampler import prepare_noise
 from sdwebui_tpu.sampling.schedulers import get_schedule
@@ -276,8 +276,8 @@ def _process_img2img(model: SDModel, p: GenerationParams,
             sched.image_cfg_scale = jnp.asarray(float(p.image_cfg_scale),
                                                 jnp.float32)
 
-        rng = ImageRNG((c, h, w), seeds, subseeds=subseeds,
-                       subseed_strength=p.subseed_strength)
+        rng = create_rng((c, h, w), seeds, subseeds=subseeds,
+                         subseed_strength=p.subseed_strength)
         if p.init_noise_override is not None:
             x = jnp.asarray(p.init_noise_override, jnp.float32)
         else:

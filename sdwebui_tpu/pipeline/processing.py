@@ -23,7 +23,7 @@ from sdwebui_tpu.models import unet as unet_model
 from sdwebui_tpu.models import vae as vae_model
 from sdwebui_tpu.pipeline.params import GenerationParams, Processed
 from sdwebui_tpu.pipeline.sd_model import SDModel
-from sdwebui_tpu.rng import ImageRNG
+from sdwebui_tpu.rng import ImageRNG, create_rng
 from sdwebui_tpu.sampling.cfg import CondSchedule, make_cfg_denoiser
 from sdwebui_tpu.sampling.registry import get_sampler
 from sdwebui_tpu.sampling.sampler import prepare_noise, sample
@@ -136,6 +136,7 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
     extra = dict(extra_items)
     compute_dtype = jnp.dtype(extra.pop(
         "compute_dtype", jnp.dtype(_dv.get_policy().compute_dtype).name))
+    attn_impl = extra.pop("attn_impl", "")
     quantize_t = bool(extra.pop("quantize_t", True))
     if lms_coeffs is not None:
         # traced aux channel: LMS / restart / UniPC host-precomputed arrays
@@ -205,8 +206,11 @@ def _sample_fused(unet_params, log_sigmas, x, sigmas, noise, sched: CondSchedule
                                  init_latent=init_latent,
                                  soft_inpainting=soft,
                                  return_uncond=(solver == "ddim_cfgpp"))
-    return sample(model_fn, x, sigmas, solver=solver, noise=noise, extra=extra,
-                  mode="scan")
+    from sdwebui_tpu.ops.attention import forced_impl as _forced_impl
+
+    with _forced_impl(attn_impl or None):   # applied at trace time
+        return sample(model_fn, x, sigmas, solver=solver, noise=noise,
+                      extra=extra, mode="scan")
 
 
 @functools.partial(
@@ -229,6 +233,7 @@ def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
     extra = dict(extra_items)
     compute_dtype = jnp.dtype(extra.pop(
         "compute_dtype", jnp.dtype(_dv.get_policy().compute_dtype).name))
+    attn_impl = extra.pop("attn_impl", "")
     quantize_t = bool(extra.pop("quantize_t", True))
     if lms_coeffs is not None:
         if solver == "restart":
@@ -303,8 +308,11 @@ def _sample_one_step(unet_params, log_sigmas, x, solver_state, i, sigmas,
         xc, st = spec.step(model_fn, xc, step_i, sigmas, noise_step, st, extra)
         return (xc, st), None
 
-    (x, solver_state), _ = jax.lax.scan(
-        body, (x, solver_state), (i + jnp.arange(n_steps), noise_i))
+    from sdwebui_tpu.ops.attention import forced_impl as _forced_impl
+
+    with _forced_impl(attn_impl or None):   # applied at trace time
+        (x, solver_state), _ = jax.lax.scan(
+            body, (x, solver_state), (i + jnp.arange(n_steps), noise_i))
     return x, solver_state
 
 
@@ -354,13 +362,16 @@ def sample_latents(model: SDModel, sched: CondSchedule, x, sigmas, noise,
     # opts.enable_quantization, off by default)
     extra.setdefault("quantize_t",
                      bool(_q_opts.get("enable_quantization", False)))
-    # the dtype policy is read inside the jitted samplers at trace time;
-    # riding it in the static extra_items makes it part of the jit cache
-    # key, so a runtime precision flip can never reuse a stale program
+    # the dtype policy and forced attention impl are read inside the jitted
+    # samplers at trace time; riding them in the static extra_items makes
+    # them part of the jit cache key, so a runtime flip (precision option,
+    # cross_attention_optimization) can never reuse a stale program
+    from sdwebui_tpu.ops.attention import get_forced_impl
     from sdwebui_tpu.utils import devices as _dv_pol
 
     extra.setdefault("compute_dtype",
                      jnp.dtype(_dv_pol.get_policy().compute_dtype).name)
+    extra.setdefault("attn_impl", get_forced_impl() or "")
     extra_items = tuple(sorted(extra.items()))
     lms_coeffs = None
     if solver == "lms":
@@ -716,8 +727,8 @@ def _hires_pass(model: SDModel, p: GenerationParams, latents, seeds, subseeds,
                         negative=p.hr_negative_prompt or p.negative_prompt,
                         width=cond_w, height=cond_h, hires_steps=t_enc + 1)
 
-    rng = ImageRNG((c, th, tw), seeds, subseeds=subseeds,
-                   subseed_strength=p.subseed_strength)
+    rng = create_rng((c, th, tw), seeds, subseeds=subseeds,
+                     subseed_strength=p.subseed_strength)
     noise0 = jnp.asarray(rng.first(), jnp.float32)
     if model.disc.prediction_type == "flow":
         s0 = float(sigma_sched[0])
@@ -1414,12 +1425,12 @@ def _process_txt2img(model: SDModel, p: GenerationParams,
         runner.process_batch(p, batch_number=n, seeds=seeds)
         runner.process_before_every_sampling(p, batch_number=n)
 
-        rng = ImageRNG((c, h, w), seeds, subseeds=subseeds,
-                       subseed_strength=p.subseed_strength,
-                       seed_resize_from_h=max(p.seed_resize_from_h, 0),
-                       seed_resize_from_w=max(p.seed_resize_from_w, 0),
-                       eta_noise_seed_delta=p.override_settings.get(
-                           "eta_noise_seed_delta", 0))
+        rng = create_rng((c, h, w), seeds, subseeds=subseeds,
+                         subseed_strength=p.subseed_strength,
+                         seed_resize_from_h=max(p.seed_resize_from_h, 0),
+                         seed_resize_from_w=max(p.seed_resize_from_w, 0),
+                         eta_noise_seed_delta=p.override_settings.get(
+                             "eta_noise_seed_delta", 0))
         from sdwebui_tpu.utils.options import opts as _sgm_opts
 
         if _sgm_opts.get("sgm_noise_multiplier", False):

@@ -38,16 +38,38 @@ def slerp(val: float, low: np.ndarray, high: np.ndarray) -> np.ndarray:
     return res.astype(np.float32)
 
 
+class TorchCPUGenerator:
+    """randn_source="CPU" stream (reference modules/rng.py create_generator
+    with a cpu torch.Generator): same bits as the reference's CPU source,
+    so seeds reproduce across vendors exactly as upstream promises."""
+
+    def __init__(self, seed: int):
+        import torch
+
+        self.g = torch.Generator("cpu").manual_seed(int(seed) & ((1 << 63) - 1))
+        self._torch = torch
+
+    def randn(self, shape) -> np.ndarray:
+        return self._torch.randn(tuple(shape), generator=self.g,
+                                 device="cpu").numpy()
+
+    def randn_batch(self, count: int, shape) -> np.ndarray:
+        return np.stack([self.randn(shape) for _ in range(count)])
+
+
 class ImageRNG:
     """Per-image seeded noise streams for one batch.
 
     shape: (C, H, W) latent shape per image (reference layout).
     channels_last: transpose outputs to (B, H, W, C) for TPU convs.
+    gen_cls: per-seed generator backend — PhiloxGenerator ("NV", default)
+    or TorchCPUGenerator ("CPU").
     """
 
     def __init__(self, shape, seeds, subseeds=None, subseed_strength=0.0,
                  seed_resize_from_h=0, seed_resize_from_w=0,
-                 eta_noise_seed_delta=0, channels_last=True):
+                 eta_noise_seed_delta=0, channels_last=True,
+                 gen_cls=PhiloxGenerator):
         self.shape = tuple(int(x) for x in shape)
         self.seeds = [int(s) for s in seeds]
         self.subseeds = [int(s) for s in subseeds] if subseeds is not None else None
@@ -57,7 +79,8 @@ class ImageRNG:
         self.eta_noise_seed_delta = int(eta_noise_seed_delta or 0)
         self.channels_last = channels_last
 
-        self.generators = [PhiloxGenerator(s) for s in self.seeds]
+        self._gen_cls = gen_cls
+        self.generators = [gen_cls(s) for s in self.seeds]
         self.is_first = True
 
     # ------------------------------------------------------------------
@@ -80,10 +103,10 @@ class ImageRNG:
             subnoise = None
             if self.subseeds is not None and self.subseed_strength != 0:
                 subseed = 0 if i >= len(self.subseeds) else self.subseeds[i]
-                subnoise = PhiloxGenerator(subseed).randn(noise_shape)
+                subnoise = self._gen_cls(subseed).randn(noise_shape)
 
             if noise_shape != self.shape:
-                noise = PhiloxGenerator(seed).randn(noise_shape)
+                noise = self._gen_cls(seed).randn(noise_shape)
             else:
                 noise = gen.randn(self.shape)
 
@@ -108,7 +131,7 @@ class ImageRNG:
             xs.append(noise)
 
         if self.eta_noise_seed_delta:
-            self.generators = [PhiloxGenerator(s + self.eta_noise_seed_delta)
+            self.generators = [self._gen_cls(s + self.eta_noise_seed_delta)
                                for s in self.seeds]
 
         return np.stack(xs).astype(np.float32)
@@ -153,3 +176,34 @@ class ImageRNG:
         if self.channels_last:
             out = np.ascontiguousarray(np.transpose(out, (0, 1, 3, 4, 2)))
         return out.astype(np.float32)
+
+
+def create_rng(shape, seeds, subseeds=None, subseed_strength=0.0,
+               seed_resize_from_h=0, seed_resize_from_w=0,
+               eta_noise_seed_delta=0, channels_last=True):
+    """randn_source dispatch (reference modules/rng.py:6-19 source switch).
+
+    "NV" (default): host Philox, bit-exact with NVIDIA-GPU reference runs.
+    "CPU": host torch CPU generator, bit-exact with reference CPU runs.
+    "TPU" (aliases "GPU"/"JAX"): device-side Philox — the TPU-native analog
+    of the reference's default GPU source; the whole noise schedule
+    generates on device, no host transfer (rng/philox_jax.py).  Seed-resize
+    falls back to the host path (uses numpy slicing).
+    """
+    from sdwebui_tpu.utils.options import opts
+
+    source = str(opts.get("randn_source", "NV"))
+    if source in ("TPU", "GPU", "JAX") and not (
+            seed_resize_from_h > 0 and seed_resize_from_w > 0):
+        from sdwebui_tpu.rng.philox_jax import DevicePhiloxRNG
+
+        return DevicePhiloxRNG(shape, seeds, subseeds=subseeds,
+                               subseed_strength=subseed_strength,
+                               eta_noise_seed_delta=eta_noise_seed_delta)
+    gen_cls = TorchCPUGenerator if source == "CPU" else PhiloxGenerator
+    return ImageRNG(shape, seeds, subseeds=subseeds,
+                    subseed_strength=subseed_strength,
+                    seed_resize_from_h=seed_resize_from_h,
+                    seed_resize_from_w=seed_resize_from_w,
+                    eta_noise_seed_delta=eta_noise_seed_delta,
+                    channels_last=channels_last, gen_cls=gen_cls)

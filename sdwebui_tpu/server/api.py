@@ -654,6 +654,9 @@ class Api:
         input_dir = body.pop("input_dir", "")
         output_dir = body.pop("output_dir", "")
         mask_dir = body.pop("inpaint_mask_dir", "")
+        use_png_info = bool(body.pop("use_png_info", False))
+        png_info_props = body.pop("png_info_props", None) or []
+        png_info_dir = body.pop("png_info_dir", "")
         if not input_dir or not os.path.isdir(input_dir):
             raise ApiError(404, f"input directory not found: {input_dir!r}")
         files = sorted(f for f in glob.glob(os.path.join(input_dir, "*"))
@@ -669,6 +672,41 @@ class Api:
             sub = dict(body)
             with PILImage.open(path) as im:
                 img = im.convert("RGB")
+            if use_png_info:
+                # reference img2img.py:95-112 "Append png info to prompts":
+                # per-image infotext (from the image itself or a same-named
+                # file in png_info_dir) overrides the selected fields
+                try:
+                    from sdwebui_tpu.utils import infotext as infotext_util
+                    from sdwebui_tpu.utils.images import read_info_from_image
+
+                    info_img = img
+                    if png_info_dir:
+                        ipath = os.path.join(png_info_dir,
+                                             os.path.basename(path))
+                        with PILImage.open(ipath) as ii:
+                            info_img = ii.copy()
+                    geninfo = read_info_from_image(info_img)
+                    parsed = infotext_util.parse(geninfo or "")
+                    parsed = {k: v for k, v in parsed.items()
+                              if k in set(png_info_props)}
+                except Exception:
+                    parsed = {}
+                if "Prompt" in parsed:
+                    sub["prompt"] = (sub.get("prompt", "") + " "
+                                     + parsed["Prompt"]).strip()
+                if "Negative prompt" in parsed:
+                    sub["negative_prompt"] = (
+                        sub.get("negative_prompt", "") + " "
+                        + parsed["Negative prompt"]).strip()
+                if "Seed" in parsed:
+                    sub["seed"] = int(parsed["Seed"])
+                if "CFG scale" in parsed:
+                    sub["cfg_scale"] = float(parsed["CFG scale"])
+                if "Sampler" in parsed:
+                    sub["sampler_name"] = parsed["Sampler"]
+                if "Steps" in parsed:
+                    sub["steps"] = int(parsed["Steps"])
             req = schema.Img2ImgRequest(**{k: v for k, v in sub.items()
                                            if k in schema.Img2ImgRequest.model_fields})
             fields = _fields_from_request(req)

@@ -260,8 +260,13 @@ def make_default_templates() -> dict:
             "Original", "Emphasis mode",
             component_args={"choices": ["None", "Ignore", "Original", "No norm"]}),
         "comma_padding_backtrack": OptionInfo(20, "Prompt word wrap length limit"),
-        "randn_source": OptionInfo("NV", "Random number generator source",
-                                   component_args={"choices": ["NV", "CPU", "JAX"]}),
+        # NV reproduces NVIDIA-GPU reference images; CPU reproduces
+        # reference CPU images (torch stream); TPU generates the Philox
+        # stream on device — no host transfer, the analog of the
+        # reference's default GPU source ("GPU" aliases it)
+        "randn_source": OptionInfo(
+            "NV", "Random number generator source",
+            component_args={"choices": ["NV", "CPU", "TPU", "GPU"]}),
         "tiling": OptionInfo(False, "Tiling"),
     }))
     t.update(options_section(("sampler-params", "Sampler parameters"), {

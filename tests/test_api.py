@@ -750,3 +750,39 @@ def test_alwayson_script_listing_and_rejection(server):
     r = requests.post(f"{server}/sdapi/v1/txt2img", json=body)
     assert r.status_code == 400
     assert "always-on" in r.json()["detail"]
+
+
+def test_img2img_batch_png_info(server, tmp_path):
+    """Batch img2img "Append png info to prompts" (reference
+    modules/img2img.py:95-112): per-image infotext overrides the selected
+    fields; only listed props apply."""
+    from PIL import PngImagePlugin
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    info = PngImagePlugin.PngInfo()
+    info.add_text("parameters",
+                  "castle on a hill\nNegative prompt: fog\n"
+                  "Steps: 2, Sampler: Euler a, CFG scale: 3.5, Seed: 777, "
+                  "Size: 64x64")
+    Image.new("RGB", (64, 64), "#406080").save(ind / "a.png", pnginfo=info)
+
+    r = requests.post(f"{server}/internal/img2img-batch", json={
+        "input_dir": str(ind), "output_dir": str(tmp_path / "out"),
+        "prompt": "base", "steps": 1, "width": 64, "height": 64,
+        "denoising_strength": 0.6,
+        "use_png_info": True,
+        "png_info_props": ["Prompt", "Seed", "CFG scale"],
+        "png_info_dir": "",
+    })
+    assert r.status_code == 200, r.text
+    d = r.json()
+    assert d["processed"] == 1 and len(d["outputs"]) == 1
+    out_img = Image.open(d["outputs"][0])
+    from sdwebui_tpu.utils.images import read_info_from_image
+
+    text = read_info_from_image(out_img) or ""
+    # Prompt appended, seed + cfg taken from png info; Steps NOT selected
+    assert "base castle on a hill" in text
+    assert "Seed: 777" in text and "CFG scale: 3.5" in text
+    assert "Steps: 1" in text
