@@ -54,6 +54,13 @@ Env knobs:
 Timed windows are host-quiet: all runners set do_not_save_samples (no
 background PNG encodes contending for host CPU while the device loop is
 being timed; the reference's it/s convention likewise excludes image save).
+
+The bench runs with randn_source=TPU — the production TPU configuration:
+the whole noise schedule generates on device (rng/philox_jax.py, the same
+Philox stream as the default NV source) instead of shipping ~21 MB of host
+noise per SD1.5 batch-4 run over the device link.  The reference's default
+randn_source is likewise device-native ("GPU").  Measured A/B (r5): b4
+2.19 -> 2.23-2.28 img/s/chip, b1 p50 0.604 -> 0.569 s.
 """
 
 import json
@@ -63,6 +70,12 @@ import sys
 import time
 
 PEAK_TFLOPS_BF16 = 197.0  # TPU v5e per-chip bf16 peak
+
+#: BENCH_QUICK skips the XLA cost-analysis passes — each pipeline_flops
+#: call compiles the UNet/VAE/CLIP standalone (minutes through the tunnel)
+#: and the quick mode exists to fit the official two-leg record in the
+#: driver's wall budget.  Full runs keep the measured-MFU headline.
+SKIP_FLOPS = False
 
 
 def log(msg):
@@ -99,6 +112,8 @@ def pipeline_flops(model, batch, height, width, steps,
                    refiner_model=None, refiner_steps=0, hires=None):
     """Whole-pipeline FLOPs for one generation: steps x CFG-batched UNet
     + VAE decode + text encode (cond+uncond), all XLA-measured."""
+    if SKIP_FLOPS:
+        return None
     import jax.numpy as jnp
 
     from sdwebui_tpu.models import clip as clip_model
@@ -153,19 +168,20 @@ def pipeline_flops(model, batch, height, width, steps,
 # configs
 # --------------------------------------------------------------------------
 
-def time_runs(run, n, warm_seed=1, warm_runs=1):
+def time_runs(run, n, warm_seed=1, warm_runs=1, on_time=None):
     """Compile with warm_seed (retry once: the axon tunnel occasionally
     returns a transient 500), take warm_runs additional warm passes (steady-
     state caches: donated buffers, cond cache, host pools), then median wall
-    time of n seeded runs."""
+    time of n seeded runs.  on_time(times_so_far) fires after every timed
+    run so a leg timeout still leaves partial measurements in the record."""
     for attempt in range(2):
         try:
             run(warm_seed)
             break
-        except Exception:
+        except Exception as e:  # noqa: BLE001
             if attempt == 1:
                 raise
-            log("warmup failed; retrying in 30s")
+            log(f"warmup failed ({type(e).__name__}: {e}); retrying in 30s")
             time.sleep(30)
     for w in range(warm_runs):
         run(1000 + w)
@@ -174,6 +190,8 @@ def time_runs(run, n, warm_seed=1, warm_runs=1):
         t0 = time.perf_counter()
         run(2 + i)
         times.append(time.perf_counter() - t0)
+        if on_time is not None:
+            on_time(list(times))
     return times
 
 
@@ -458,7 +476,11 @@ def bench_sdxl(repeats, extra):
         assert res.images[0].width == 1024
         return res
 
-    times = time_runs(run, repeats)
+    def on_time(ts):
+        extra["sdxl_runs"] = [round(t, 3) for t in ts]
+        extra["sdxl_1024_p50_s"] = round(median(ts), 3)
+
+    times = time_runs(run, repeats, on_time=on_time)
     sec = median(times)
     # refiner handoff in the sigma domain lands near steps*(1-switch_at)
     r_steps = round(steps * (1 - switch_at))
@@ -482,6 +504,8 @@ def main():
     wanted = None if wanted == "all" else set(wanted.split(","))
     if os.environ.get("BENCH_QUICK") == "1":
         wanted = {"sd15_b4", "sdxl"}
+        global SKIP_FLOPS
+        SKIP_FLOPS = True
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1650"))
     leg_timeout = int(os.environ.get("BENCH_LEG_TIMEOUT", "900"))
 
@@ -514,6 +538,11 @@ def main():
 
     signal.signal(signal.SIGTERM, on_term)
     signal.signal(signal.SIGINT, on_term)
+
+    from sdwebui_tpu.utils.options import opts as _opts
+
+    _opts.set("randn_source", "TPU")   # production TPU noise (see docstring)
+    extra["randn_source"] = "TPU"
 
     state = {"model": None}
 
