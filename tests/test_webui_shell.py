@@ -506,3 +506,18 @@ def test_url_image_decode_gated_by_api_enable_requests():
         assert seen["ua"] == "sdtpu-test/1.0"
     finally:
         _ur.urlopen = old
+
+
+def test_infotext_paste_bindings_cover_advanced_fields(script):
+    """applyInfotext consumes the reference's full paste-field set
+    (javascript/dragdrop.js + modules/infotext_utils.py bindings): beyond
+    prompt/sampler/seed/size, also batch, tiling, face restoration, styles
+    extracted by the server, checkpoint swap, and the settings-backed
+    Clip skip / ENSD rides as per-request override_settings."""
+    for field in ('d["Batch size"]', 'd["Batch count"]', 'd["Tiling"]',
+                  'd["Face restoration"]', 'd["Styles array"]',
+                  'd["Model"]', 'd["Clip skip"]', 'd["ENSD"]'):
+        assert field in script, field
+    assert "pasteOverrides" in script
+    # paste overrides must reach the generate body
+    assert re.search(r"\{ \.\.\.pasteOverrides", script)
