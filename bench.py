@@ -50,6 +50,9 @@ Env knobs:
                                    ~1830 s wall — measured r3+r4); legs that
                                    don't fit the remainder are skipped
   BENCH_LEG_TIMEOUT=900            per-leg SIGALRM timebox (skip, not die)
+  BENCH_MFU=1                      re-measure FLOPs via XLA cost_analysis
+                                   (adds minutes of standalone compiles;
+                                   default uses the recorded constants)
 
 Timed windows are host-quiet: all runners set do_not_save_samples (no
 background PNG encodes contending for host CPU while the device loop is
@@ -71,11 +74,20 @@ import time
 
 PEAK_TFLOPS_BF16 = 197.0  # TPU v5e per-chip bf16 peak
 
-#: BENCH_QUICK skips the XLA cost-analysis passes — each pipeline_flops
-#: call compiles the UNet/VAE/CLIP standalone (minutes through the tunnel)
-#: and the quick mode exists to fit the official two-leg record in the
-#: driver's wall budget.  Full runs keep the measured-MFU headline.
-SKIP_FLOPS = False
+#: Each pipeline_flops call compiles the UNet/VAE/CLIP standalone (minutes
+#: each through the tunnel), which starved the SDXL leg out of the driver's
+#: wall budget in r3/r4.  Default: skip the compiles and use the
+#: previously-XLA-measured per-config constants below (FLOPs are a pure
+#: function of the model config + shapes — re-measure with BENCH_MFU=1).
+SKIP_FLOPS = os.environ.get("BENCH_MFU") != "1"
+
+#: XLA cost_analysis() totals captured by this same code (BENCH_MFU=1 runs)
+KNOWN_FLOPS = {
+    "sd15_b4": 173759380506624.0,
+    "sd15_b1": 47871921932288.0,
+    "hires": 249721200756736.0,
+    "sdxl_1024_b1": 327945204178944.0,
+}
 
 
 def log(msg):
@@ -223,7 +235,8 @@ def bench_sd15(model, batch, repeats, extra, flops_key=None, steps=20):
     sec = median(times)
     ips = batch / sec
     if flops_key:
-        fl = pipeline_flops(model, batch, 512, 512, steps)
+        fl = KNOWN_FLOPS.get(flops_key) if SKIP_FLOPS else \
+            pipeline_flops(model, batch, 512, 512, steps)
         if fl is not None:
             extra.setdefault("flops", {})[flops_key] = fl
             extra.setdefault("mfu", {})[flops_key] = round(
@@ -252,8 +265,9 @@ def bench_hires(model, repeats, extra):
     sec = median(times)
     # 2nd pass runs ceil(steps * denoising) steps in the reference step math
     hr_steps = max(1, int(steps * 0.55))
-    fl = pipeline_flops(model, 1, 512, 512, steps,
-                        hires=(1024, 1024, hr_steps))
+    fl = KNOWN_FLOPS.get("hires") if SKIP_FLOPS else \
+        pipeline_flops(model, 1, 512, 512, steps,
+                       hires=(1024, 1024, hr_steps))
     if fl is not None:
         extra.setdefault("flops", {})["hires"] = fl
         extra.setdefault("mfu", {})["hires"] = round(
@@ -484,8 +498,9 @@ def bench_sdxl(repeats, extra):
     sec = median(times)
     # refiner handoff in the sigma domain lands near steps*(1-switch_at)
     r_steps = round(steps * (1 - switch_at))
-    fl = pipeline_flops(base, 1, 1024, 1024, steps - r_steps,
-                        refiner_model=refiner, refiner_steps=r_steps)
+    fl = KNOWN_FLOPS.get("sdxl_1024_b1") if SKIP_FLOPS else \
+        pipeline_flops(base, 1, 1024, 1024, steps - r_steps,
+                       refiner_model=refiner, refiner_steps=r_steps)
     if fl is not None:
         extra.setdefault("flops", {})["sdxl_1024_b1"] = fl
         extra.setdefault("mfu", {})["sdxl_1024_b1"] = round(
@@ -504,8 +519,6 @@ def main():
     wanted = None if wanted == "all" else set(wanted.split(","))
     if os.environ.get("BENCH_QUICK") == "1":
         wanted = {"sd15_b4", "sdxl"}
-        global SKIP_FLOPS
-        SKIP_FLOPS = True
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1650"))
     leg_timeout = int(os.environ.get("BENCH_LEG_TIMEOUT", "900"))
 
