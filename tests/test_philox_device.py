@@ -86,3 +86,25 @@ def test_torch_cpu_generator_matches_reference_stream():
     want = np.stack([torch.randn((2, 2), generator=gen).numpy()
                      for _ in range(3)])
     np.testing.assert_array_equal(batch, want)
+
+
+def test_tpu_source_fused_equals_stepwise_e2e():
+    """randn_source=TPU through both sampling entry points (fused scan and
+    the stepwise live-preview chunking) produces identical images — the
+    device noise arrays slice/reshape the same either way."""
+    from sdwebui_tpu.pipeline.params import GenerationParams
+    from sdwebui_tpu.pipeline.processing import process_txt2img
+    from sdwebui_tpu.pipeline.sd_model import create_tiny_sd
+
+    model = create_tiny_sd()
+    mk = lambda: GenerationParams(prompt="a cat", seed=5, steps=3, width=64,
+                                  height=64, sampler_name="Euler a")
+    with opts.override({"randn_source": "TPU"}):
+        fused = process_txt2img(model, mk())
+        seen = []
+        stepwise = process_txt2img(
+            model, mk(),
+            step_callback=lambda i, n, lat: seen.append(i) or True)
+    assert seen
+    np.testing.assert_allclose(np.asarray(fused.images[0]),
+                               np.asarray(stepwise.images[0]), atol=1)
