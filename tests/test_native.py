@@ -83,10 +83,17 @@ def test_philox_speed_vs_numpy():
     n = 4 * 64 * 64
     k = 50
     native.philox_randn(1, 0, 2, n, force_native=True)  # warm
-    t0 = time.perf_counter()
-    native.philox_randn(1, 0, k, n, force_native=True)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    randn_at(1, np.arange(k), n)
-    t_numpy = time.perf_counter() - t0
+
+    def best(fn, reps=3):
+        # min-of-3: a single sample flakes under unrelated host load
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_native = best(lambda: native.philox_randn(1, 0, k, n,
+                                                force_native=True))
+    t_numpy = best(lambda: randn_at(1, np.arange(k), n))
     assert t_native < t_numpy * 2.0, (t_native, t_numpy)
