@@ -605,9 +605,16 @@ class Api:
         out = {}
         for key, info in _opts.data_labels.items():
             sec = info.section or (None, None)
-            out[key] = {"label": info.label,
-                        "section": sec[0] or "other",
-                        "section_title": sec[1] or "Other"}
+            row = {"label": info.label,
+                   "section": sec[0] or "other",
+                   "section_title": sec[1] or "Other"}
+            choices = (info.component_args or {}).get("choices")
+            if choices:
+                # quicksettings/settings render a real dropdown for these
+                row["choices"] = list(choices)
+            return_type = type(info.default).__name__
+            row["type"] = return_type
+            out[key] = row
         return out
 
     def save_style(self, body: dict):

@@ -521,3 +521,14 @@ def test_infotext_paste_bindings_cover_advanced_fields(script):
     assert "pasteOverrides" in script
     # paste overrides must reach the generate body
     assert re.search(r"\{ \.\.\.pasteOverrides", script)
+
+
+def test_quicksettings_typed_widgets(script):
+    """Quicksettings renders typed widgets per option metadata (checkbox /
+    choice dropdown / number), not bare text inputs (reference renders the
+    real component per option in the top bar)."""
+    block = script[script.index("async function renderQuicksettings"):]
+    assert '"checkbox"' in block
+    assert "m.choices" in block
+    assert '"number"' in block
+    assert "/internal/options-metadata" in block
