@@ -78,9 +78,82 @@ class TextConditioner:
 
     # ---- tokenization -------------------------------------------------
 
+    def _token_mults(self):
+        """token id → nesting multiplier for vocab entries that contain
+        literal paren/bracket characters (reference
+        FrozenCLIPEmbedderWithCustomWords.__init__,
+        modules/sd_hijack_clip.py:316-340) — the OLD emphasis algorithm
+        reads emphasis from tokens, not from a parsed attention tree."""
+        cached = getattr(self, "_token_mults_cache", None)
+        if cached is not None:
+            return cached
+        mults = {}
+        for text, ident in getattr(self.tokenizer, "encoder", {}).items():
+            if not any(c in str(text) for c in "()[]"):
+                continue
+            m = 1.0
+            for c in str(text):
+                if c == "[":
+                    m /= 1.1
+                elif c == "]":
+                    m *= 1.1
+                elif c == "(":
+                    m *= 1.1
+                elif c == ")":
+                    m /= 1.1
+            if m != 1.0:
+                mults[ident] = m
+        self._token_mults_cache = mults
+        return mults
+
+    def _tokenize_line_old(self, line: str):
+        """opts.use_old_emphasis_implementation (reference
+        modules/sd_hijack_clip_old.py process_text_old, 'you get to stay at
+        77'): ONE 75-token window — no chunking, no BREAK, no comma
+        backtrack — with literal paren/bracket TOKENS accumulating the
+        multiplier and overflow truncated.  Reproduces pre-1.0 seeds."""
+        ids = self.tokenizer.encode(line)
+        token_mults = self._token_mults()
+        tokens: list = []
+        mults: list = []
+        fixes: list = []
+        mult = 1.0
+        i = 0
+        while i < len(ids):
+            token = ids[i]
+            change = token_mults.get(token) \
+                if getattr(self, "emphasis", "Original") != "None" else None
+            emb = None
+            if change is not None:
+                mult *= change
+                i += 1
+                continue
+            if self.embedding_db is not None:
+                emb, emb_len = self.embedding_db.find_at(ids, i)
+                if emb is not None:
+                    fixes.append((len(tokens), emb))
+                    tokens += [0] * emb.vectors
+                    mults += [mult] * emb.vectors
+                    i += emb_len
+                    continue
+            tokens.append(token)
+            mults.append(mult)
+            i += 1
+        token_count = len(tokens)
+        tokens = tokens[:CHUNK_LEN]
+        mults = mults[:CHUNK_LEN]
+        fixes = [(p, e) for (p, e) in fixes if p < CHUNK_LEN]
+        tokens += [EOS] * (CHUNK_LEN - len(tokens))
+        mults += [1.0] * (CHUNK_LEN - len(mults))
+        return [PromptChunk(tokens, mults, fixes)], token_count
+
     def tokenize_line(self, line: str):
         """line → (List[PromptChunk], token_count). Reference
         sd_hijack_clip.py:81 semantics."""
+        from sdwebui_tpu.utils.options import opts as _opts
+
+        if bool(_opts.get("use_old_emphasis_implementation", False)):
+            return self._tokenize_line_old(line)
         parsed = prompt_parser.parse_prompt_attention(line)
 
         chunks: List[PromptChunk] = []

@@ -120,6 +120,11 @@ class FallbackTokenizer:
     eos_token_id = EOS
     bos_token_id = BOS
 
+    #: the paren/bracket single-byte word tokens (ASCII + 1000 + 256 </w>
+    #: variant) — lets vocab-scanning consumers (the old-emphasis
+    #: token_mults table) work against the fallback too
+    encoder = {"(</w>": 1296, ")</w>": 1297, "[</w>": 1347, "]</w>": 1349}
+
     def encode(self, text: str) -> List[int]:
         ids = []
         for word in _WORD_RE.findall(_clean(text)):

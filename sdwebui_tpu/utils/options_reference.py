@@ -93,8 +93,7 @@ REFERENCE_OPTIONS = [
          "see pad_cond_uncond; the v0 algorithm reproduced old-version padding bugs"),
     ]),
     (("compatibility", "Compatibility"), [
-        ('use_old_emphasis_implementation', False, 'Use old emphasis implementation. Can be useful to reproduce old seeds.',
-         "reproduces a pre-1.0 reference bug for old seeds; old-torch-stack seed reproduction is out of scope (current emphasis matches exactly)"),
+        ('use_old_emphasis_implementation', False, 'Use old emphasis implementation. Can be useful to reproduce old seeds.', None),
         ('no_dpmpp_sde_batch_determinism', False, 'Do not make DPM++ SDE deterministic across different batch sizes.',
          "N/A: per-image Philox noise streams are batch-size-invariant by construction (the reference's enable_batch_seeds=True behavior)"),
     ]),

@@ -258,3 +258,46 @@ def test_hires_schedule_continuation():
                                 hires_steps=8)
     assert sched.cond_idx.shape == (1, 8)
     assert list(np.asarray(sched.cond_idx[0])) == [0] * 4 + [1] * 4
+
+
+def test_old_emphasis_implementation_single_window():
+    """opts.use_old_emphasis_implementation (reference
+    modules/sd_hijack_clip_old.py): one 75-token window, literal paren
+    TOKENS act as nesting multipliers, long prompts truncate (no chunking
+    or BREAK)."""
+    from sdwebui_tpu.utils.options import opts
+
+    cond = make_conditioner()
+    with opts.override({"use_old_emphasis_implementation": True}):
+        # parens ride as tokens: the '(' token bumps the running multiplier
+        chunks, _count = cond.tokenize_line("a (cat) dog")
+        assert len(chunks) == 1
+        # truncation instead of chunking for long prompts
+        long_line = " ".join(["word"] * 200)
+        chunks_l, count_l = cond.tokenize_line(long_line)
+        assert len(chunks_l) == 1 and count_l >= 75
+        assert len(chunks_l[0].tokens) == 75
+        # BREAK is NOT special in the old path
+        chunks_b, _ = cond.tokenize_line("x BREAK y")
+        assert len(chunks_b) == 1
+    # new path still chunks
+    chunks_new, _ = cond.tokenize_line(" ".join(["word"] * 200))
+    assert len(chunks_new) > 1
+
+
+def test_old_emphasis_multiplier_applied():
+    """The old path's paren-token multipliers reach the chunk multipliers
+    (1.1 per '(' nesting level) and emphasis='None' disables them."""
+    from sdwebui_tpu.utils.options import opts
+
+    cond = make_conditioner()
+    with opts.override({"use_old_emphasis_implementation": True}):
+        chunks, _ = cond.tokenize_line("a (cat)")
+        mults = chunks[0].multipliers
+        assert any(abs(m - 1.1) < 1e-6 for m in mults), mults
+        cond.emphasis = "None"
+        try:
+            chunks2, _ = cond.tokenize_line("a (cat)")
+            assert all(m == 1.0 for m in chunks2[0].multipliers)
+        finally:
+            cond.emphasis = "Original"

@@ -51,7 +51,8 @@ def setup():
     dv.set_policy(old)
 
 
-def _reference_run(model, ctx_cond, ctx_uncond, x0, timesteps):
+def _reference_run(model, ctx_cond, ctx_uncond, x0, timesteps,
+                   method="ddim"):
     import torch
 
     from torch_twin_unet import make_torch_unet
@@ -81,15 +82,16 @@ def _reference_run(model, ctx_cond, ctx_uncond, x0, timesteps):
                 np.ascontiguousarray(eps.transpose(0, 3, 1, 2)))
 
     states = []
-    out = impl.ddim(_Chain(),
-                    torch.from_numpy(x0.transpose(0, 3, 1, 2).copy()),
-                    torch.as_tensor(timesteps), disable=True,
-                    callback=lambda d: states.append(
-                        d["x"].numpy().transpose(0, 2, 3, 1).copy()))
+    fn = getattr(impl, method)
+    out = fn(_Chain(),
+             torch.from_numpy(x0.transpose(0, 3, 1, 2).copy()),
+             torch.as_tensor(timesteps), disable=True,
+             callback=lambda d: states.append(
+                 d["x"].numpy().transpose(0, 2, 3, 1).copy()))
     return out.numpy().transpose(0, 2, 3, 1), states
 
 
-def _our_run(model, ctx_cond, ctx_uncond, x0, timesteps):
+def _our_run(model, ctx_cond, ctx_uncond, x0, timesteps, solver="ddim"):
     disc = model.disc
     t_desc = timesteps[::-1].astype(int)
     sigmas = np.asarray(disc.sigmas[t_desc], np.float64)
@@ -113,7 +115,7 @@ def _our_run(model, ctx_cond, ctx_uncond, x0, timesteps):
         s = float(sigmas[i + 1])
         states.append(np.asarray(xs) * np.sqrt(1.0 / (1.0 + s ** 2)))
 
-    out = sample(model_fn, x, sigmas.astype(np.float32), solver="ddim",
+    out = sample(model_fn, x, sigmas.astype(np.float32), solver=solver,
                  mode="loop", callback=cb)
     s_last = float(sigmas[-1])
     return np.asarray(out) * np.sqrt(1.0 / (1.0 + s_last ** 2)), states
@@ -222,3 +224,21 @@ def test_dpmpp_2m_karras_cfg_e2e_golden(setup):
     np.testing.assert_allclose(np.asarray(out), ref_states[-1],
                                atol=3e-3, rtol=3e-3)
     assert np.abs(ref_states[-1] - x0).max() > 0.1
+
+
+def test_plms_cfg_e2e_golden(setup):
+    """PLMS through the REAL tiny UNet vs the reference's own in-repo PLMS
+    loop (modules/sd_samplers_timesteps_impl.py:84) — the multistep
+    eps-history composition (PNDM warmup + 4th-order Adams-Bashforth) on
+    top of the same VP↔VE mapping the DDIM golden pins."""
+    model, ctx_cond, ctx_uncond, x0, timesteps = setup
+    want, ref_states = _reference_run(model, ctx_cond, ctx_uncond, x0,
+                                      timesteps, method="plms")
+    got, our_states = _our_run(model, ctx_cond, ctx_uncond, x0, timesteps,
+                               solver="plms")
+    assert len(ref_states) == len(our_states) == STEPS - 1
+    for i, (a, b) in enumerate(zip(ref_states, our_states)):
+        np.testing.assert_allclose(b, a, atol=5e-3, rtol=5e-3,
+                                   err_msg=f"state {i}")
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+    assert np.abs(want - x0).max() > 0.1

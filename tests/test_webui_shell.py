@@ -348,7 +348,8 @@ def test_behavior_backed_ui_options_all_referenced(script):
                    "profiling_with_stack", "api_useragent", "sd_unet",
                    "sd_checkpoints_keep_in_cpu",
                    "unload_models_when_training",
-                   "training_xattention_optimizations"}
+                   "training_xattention_optimizations",
+                   "use_old_emphasis_implementation"}
     for (key, _label), entries in REFERENCE_OPTIONS:
         for name, _d, _l, why in entries:
             if why is None and name not in server_side:
