@@ -142,3 +142,40 @@ def test_replicate_does_not_mutate_source_model():
     rep = model.replicate(rt)
     assert model.conditioner.params is before
     assert rep.conditioner is not model.conditioner
+
+
+def test_hybrid_dp_tp_txt2img_byte_identical_f32():
+    """COMBINED data+tensor parallelism: a (data=2, model=2) mesh running
+    batch_size=2 txt2img — batch sharded over `data`, UNet projections
+    Megatron-sharded over `model` — must reproduce the single-device images
+    byte-for-byte under f32 compute (same rationale as the tp=2 test)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from sdwebui_tpu.utils import devices as dv
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    old = get_runtime()
+    old_pol = dv.get_policy()
+    dv.set_policy(dataclasses.replace(old_pol, compute_dtype=jnp.float32))
+    try:
+        model = create_tiny_sd()
+        p = lambda: GenerationParams(prompt="a cat", seed=23, steps=2,
+                                     width=64, height=64, batch_size=2)
+        rt = MeshRuntime.create(data=2, model=2, devices=jax.devices()[:4])
+        set_runtime(rt)
+        res_h = process_txt2img(model.replicate(rt), p())
+        set_runtime(MeshRuntime.create(data=1, model=1,
+                                       devices=jax.devices()[:1]))
+        res_s = process_txt2img(model, p())
+        h_imgs = res_h.images[res_h.index_of_first_image:]
+        s_imgs = res_s.images[res_s.index_of_first_image:]
+        assert len(h_imgs) == 2
+        for a, b in zip(h_imgs, s_imgs):
+            np.testing.assert_array_equal(np.asarray(a, int),
+                                          np.asarray(b, int))
+    finally:
+        dv.set_policy(old_pol)
+        set_runtime(old)
