@@ -285,6 +285,14 @@ def save_image(image: Image.Image, path: str, basename: str = "",
         _fw.invoke("image_saved", params)
 
     if _opts.get("sdtpu_async_save", True):
+        # PIL's Image.save stores its kwargs ON the image object
+        # (im.encoderinfo) before encoding, so a concurrent save of the
+        # SAME object from another thread — e.g. the API's base64 encoder
+        # right after queueing this write — clobbers the writer's pnginfo
+        # and the infotext chunk silently vanishes (caught by
+        # test_img2img_batch_png_info's order-dependent failure).  Snapshot
+        # the image so the async writer owns its copy.
+        image = image.copy()
         _enqueue_save(_write)
     else:
         _write()
