@@ -52,6 +52,7 @@ def build_shim(extension_path: str = "") -> dict:
 
     root = types.ModuleType("modules")
     root.__path__ = []          # behave like a package
+    root.__sdtpu_compat__ = True    # lets tests assert the shim was removed
 
     m_scripts = types.ModuleType("modules.scripts")
     m_scripts.Script = framework.Script

@@ -107,10 +107,11 @@ def test_extension_script_loads_and_runs(ext_with_script):
     loaded = ext_mod.load_extension_scripts()
     assert loaded == {"sample-extension": ["watermark_tag.py"]}
     assert "sample watermark tag" in framework.list_selectable_scripts()
-    # the shim was removed after loading — 'modules' is not left installed
+    # the shim was removed after loading — OUR compat shim is not left
+    # installed as 'modules' (an unrelated 'modules' entry — e.g. the
+    # reference-oracle test loader's, whose __file__ may be None — is fine)
     mod = sys.modules.get("modules")
-    assert mod is None or not hasattr(mod, "script_callbacks") or \
-        getattr(mod, "__file__", "").startswith("/root/reference") or True
+    assert mod is None or getattr(mod, "__sdtpu_compat__", False) is False
 
     # basedir() resolved to the extension path during load
     ext_module = next(m for n, m in sys.modules.items()

@@ -44,14 +44,20 @@ def test_derive_config_and_convert_torch_layout():
     rng = np.random.default_rng(2)
     d, hd, w = 16, 4, 4
     sd = {}
+    # fan-in-ish scale: std-1 weights through 7 residual blocks overflow
+    # f32 in the window-attention softmax (exp of ~1e3 logits) — the NaNs
+    # that produced were numerics of the synthetic checkpoint, not the
+    # conversion under test
+    scale = 0.05
 
     def conv(k, ci, co, kk=3, bias=False):
-        sd[k + ".weight"] = rng.standard_normal((co, ci, kk, kk), np.float32)
+        sd[k + ".weight"] = scale * rng.standard_normal(
+            (co, ci, kk, kk), np.float32)
         if bias:
             sd[k + ".bias"] = np.zeros((co,), np.float32)
 
     def lin(k, ci, co):
-        sd[k + ".weight"] = rng.standard_normal((co, ci), np.float32)
+        sd[k + ".weight"] = scale * rng.standard_normal((co, ci), np.float32)
         sd[k + ".bias"] = np.zeros((co,), np.float32)
 
     def ctb(pre, dim):
