@@ -645,14 +645,15 @@ def main():
             bench_hires(get_model(), 3, extra), 3))),
         ("img2img", 150, lambda: extra.update(img2img_batch4_ips=round(
             bench_img2img(get_model(), 3)[1], 3))),
-        ("inpaint", 150, lambda: extra.update(inpaint_batch4_ips=round(
-            bench_img2img(get_model(), 3, inpaint=True)[1], 3))),
-        # lora_cn is BASELINE config 4 — it outranks the lora-only proof leg
-        # and the swap microbench when the budget tail runs short (ests are
-        # from the r5 driver-identical run: each leg = compile + 3 runs)
-        ("lora_cn", 200, lambda: extra.update(lora_cn_batch4_ips=round(
+        # lora_cn is BASELINE config 4's ControlNet half — it outranks the
+        # inpaint variant (config 2's core img2img leg runs above), the
+        # lora-only proof leg and the swap microbench when the budget tail
+        # runs short (ests from the r5 driver-identical runs)
+        ("lora_cn", 170, lambda: extra.update(lora_cn_batch4_ips=round(
             bench_lora_cn(get_model(), 3, extra, "/tmp/bench_lora")[1],
             3))),
+        ("inpaint", 150, lambda: extra.update(inpaint_batch4_ips=round(
+            bench_img2img(get_model(), 3, inpaint=True)[1], 3))),
         ("lora", 120, lambda: extra.update(lora_batch4_ips=round(
             bench_lora_only(get_model(), 3)[1], 3))),
         ("model_swap", 120, lambda: bench_model_swap(get_model(), extra)),
